@@ -1,0 +1,70 @@
+"""pypeln_spark — a PySpark-native engine with the query/data-processing
+capabilities of cgarciae/pypeln, re-architected Spark-first.
+
+The reference's concurrency machinery (queues + worker pools,
+pypeln/process/stage.py) is replaced wholesale by Catalyst plans over
+DataFrames; what is preserved is the operator semantics, the hierarchical
+order index, the lifecycle/DI contract and the four-namespace API
+(SURVEY.md).
+
+Top-level exports mirror ``import pypeln as pl`` usage::
+
+    import pypeln_spark as pl
+
+    stage = range(10) | pl.process.map(lambda x: x * 2) | pl.process.filter(lambda x: x > 4)
+    list(stage)
+
+plus the relational / streaming / LLM-pipeline layers the reference never
+had (pl.relational, pl.streaming, pl.text, pl.dedup, pl.similarity).
+"""
+
+from . import modes
+from .modes import process, sync, task, thread
+from .operators import (
+    concat,
+    each,
+    filter,  # noqa: A004
+    flat_map,
+    from_iterable,
+    map,  # noqa: A004
+    ordered,
+    run,
+    to_async_iterable,
+    to_iterable,
+)
+from .io import load_tables, read_csv, read_json, read_parquet, write_parquet
+from .session import get_spark
+from .stage import Stage, to_stage
+from .utils import Partial, PipelineException, StageStatus, WorkerInfo
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Stage",
+    "to_stage",
+    "get_spark",
+    "process",
+    "thread",
+    "task",
+    "sync",
+    "modes",
+    "map",
+    "flat_map",
+    "filter",
+    "each",
+    "concat",
+    "ordered",
+    "from_iterable",
+    "to_iterable",
+    "to_async_iterable",
+    "run",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "write_parquet",
+    "load_tables",
+    "Partial",
+    "PipelineException",
+    "WorkerInfo",
+    "StageStatus",
+]

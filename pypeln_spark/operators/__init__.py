@@ -1,0 +1,22 @@
+from .concat import concat
+from .each import each
+from .filter import filter  # noqa: A004 - mirrors the reference's public name
+from .flat_map import flat_map
+from .from_iterable import from_iterable
+from .map import map  # noqa: A004
+from .ordered import ordered
+from .run import run
+from .to_iterable import to_iterable, to_async_iterable
+
+__all__ = [
+    "concat",
+    "each",
+    "filter",
+    "flat_map",
+    "from_iterable",
+    "map",
+    "ordered",
+    "run",
+    "to_iterable",
+    "to_async_iterable",
+]

@@ -1,0 +1,137 @@
+"""Lifecycle, dependency-injection, timeout and async-mode contracts —
+the reference's behavioral micro-contracts (SURVEY.md §5) re-expressed:
+
+- on_start returns resources consumed by name  (map_process_test.py:97-119)
+- worker_info injection                        (map_process_test.py:79-94)
+- timeout drops exactly the slow element       (map_process_test.py:63-76)
+- error type surfaces on the driver            (map_process_test.py:168-182)
+- task mode runs async fns with concurrency    (task/api/map_task_test.py)
+"""
+
+import time
+
+import pytest
+
+import pypeln_spark as pl
+
+
+def test_on_start_resources_injected(spark):
+    def on_start():
+        return {"factor": 10}
+
+    def f(x, factor):
+        return x * factor
+
+    out = sorted(pl.map(f, [1, 2, 3], on_start=on_start, returns="long"))
+    assert out == [10, 20, 30]
+
+
+def test_on_start_worker_info_and_on_done(spark, tmp_path):
+    marker = tmp_path / "done"
+
+    def on_start(worker_info):
+        assert worker_info.index >= 0
+        return {"wid": worker_info.index}
+
+    def on_done(stage_status):
+        assert stage_status.done
+        marker.write_text("yes")  # local mode: executor shares our fs
+
+    def f(x, wid):
+        return wid >= 0
+
+    out = list(pl.map(f, [1, 2, 3], on_start=on_start, on_done=on_done, returns="boolean"))
+    assert out == [True, True, True]
+    assert marker.read_text() == "yes"
+
+
+def test_element_index_injection(spark):
+    def f(x, element_index):
+        return list(element_index)
+
+    out = pl.map(f, ["a", "b", "c"], returns="array<long>") | pl.ordered() | list
+    assert out == [[0], [1], [2]]
+
+
+def test_timeout_drops_slow_element(spark):
+    def f(x):
+        if x == 2:
+            time.sleep(5)
+        return x
+
+    out = sorted(pl.map(f, list(range(10)), timeout=1.0, returns="long"))
+    assert out == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_error_propagates_with_type(spark):
+    def boom(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    with pytest.raises(Exception) as exc_info:
+        # returns hint prevents the driver-side sample call from raising first
+        list(pl.map(boom, [3, 3, 3], returns="long"))
+    assert "ValueError" in str(exc_info.value) or "boom" in str(exc_info.value)
+
+
+def test_task_mode_async_fn(spark):
+    import asyncio
+
+    async def f(x):
+        await asyncio.sleep(0.01)
+        return x * 2
+
+    out = sorted(pl.task.map(f, [1, 2, 3, 4], workers=4, returns="long"))
+    assert out == [2, 4, 6, 8]
+
+
+def test_task_mode_async_concurrency_wall_clock(spark):
+    import asyncio
+
+    async def f(x):
+        await asyncio.sleep(0.5)
+        return x
+
+    data = list(range(32))
+    t0 = time.time()
+    out = sorted(pl.task.map(f, data, workers=64, returns="long"))
+    elapsed = time.time() - t0
+    assert out == data
+    # 32 × 0.5s sleeps across 8 partitions with in-partition concurrency:
+    # sequential would be ≥2s per partition; concurrent ≈0.5s + overhead
+    assert elapsed < 8, f"async concurrency not effective: {elapsed:.1f}s"
+
+
+def test_task_mode_async_flat_map_gen(spark):
+    async def gen(x):
+        yield x
+        yield x + 100
+
+    out = sorted(pl.task.flat_map(gen, [1, 2], returns="long"))
+    assert out == [1, 2, 101, 102]
+
+
+def test_task_mode_timeout(spark):
+    import asyncio
+
+    async def f(x):
+        if x == 1:
+            await asyncio.sleep(5)
+        return x
+
+    out = sorted(pl.task.map(f, [0, 1, 2], timeout=1.0, returns="long"))
+    assert out == [0, 2]
+
+
+def test_thread_mode_concurrent_io(spark):
+    def f(x):
+        time.sleep(0.3)
+        return x
+
+    data = list(range(16))
+    t0 = time.time()
+    out = sorted(pl.thread.map(f, data, workers=16, returns="long"))
+    elapsed = time.time() - t0
+    assert out == data
+    assert elapsed < 6, f"thread concurrency not effective: {elapsed:.1f}s"
