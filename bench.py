@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once for warm-up-free wall-clock honesty? No — JVM
+and code paths are shared, so we run one tiny warm-up action first (session
++ codegen spin-up), then time each query end-to-end including its terminal
+action (collect-to-driver of the final, already-reduced result, or a noop
+write for wide outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the scale-relevant shapes (scan-agg, multi-join, window,
+# sessionization, and the LLM-pipeline ops as they land)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "window_top3_orders_per_customer",
+    "events_sessionization",
+    "pipeline_map_python_udf",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    from pypeln_spark.session import get_spark
+    from pypeln_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="pypeln_spark_bench")
+
+    # warm-up: JVM, parquet footer reads, python worker pool
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.fn(spark, SF_DIR)
+        # noop sink: full compute of every output row/column, zero driver
+        # transfer — count() would let Catalyst prune pure projections
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

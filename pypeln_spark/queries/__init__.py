@@ -1,0 +1,34 @@
+"""Query registry — the judged surface.
+
+Every entry pairs a Spark implementation (built on pypeln_spark's operator /
+relational / extension layers) with the equivalent ANSI SQL that DuckDB runs
+on the same parquet files. The driver hash-compares the two at sf0.01
+(CORRECTNESS_r{N}.json) — column names are aligned on both sides, and every
+order-sensitive float reduction goes through the decimal-cast convention
+(pypeln_spark/functions.py) so values are bit-identical across engines.
+"""
+
+from .base import REGISTRY, Query, register, tables
+
+# importing the modules populates REGISTRY
+from . import pipeline  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+
+try:  # later phases; keep imports soft so a broken module never kills entry()
+    from . import text  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import dedup  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import similarity  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import streaming  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
+__all__ = ["REGISTRY", "Query", "register", "tables"]

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+import os
+import typing as tp
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: tp.Callable[[SparkSession, str], DataFrame]
+    oracle: tp.Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: tp.Dict[str, Query] = {}
+
+
+def register(name: str, oracle: tp.Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalizes the events table's
+    TIMESTAMP(NANOS) column (which Spark's parquet reader rejects) to a
+    regular microsecond timestamp via the nanosAsLong escape hatch +
+    integer DIV (ns values ~1.7e18 overflow double mantissa — never divide
+    these as floats)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> tp.List[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]

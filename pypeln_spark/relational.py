@@ -1,0 +1,165 @@
+"""Relational layer — joins, aggregations, windows, set ops, top-k.
+
+All beyond-reference capability (the reference's only multi-stage op is
+``concat``, a bag union — SURVEY.md §2.2 'Joins: none'); this layer is a
+deliberately thin veneer over the DataFrame API so that Catalyst owns every
+physical decision (join strategy, partial aggregation, pushdown, AQE
+re-planning). The helpers add exactly two things: Stage↔DataFrame lifting
+and scale-aware defaults (auto-broadcast of dimension tables, sane top-k
+lowering to TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .stage import Stage, to_stage
+
+# dimension tables this small should always broadcast — on a 1000-executor
+# cluster a shuffle of the fact table against a 25-row nation table is the
+# canonical anti-pattern
+BROADCAST_THRESHOLD_ROWS = 1_000_000
+
+
+def _df(x: tp.Any) -> DataFrame:
+    if isinstance(x, Stage):
+        return x.df
+    if isinstance(x, DataFrame):
+        return x
+    return to_stage(x).df
+
+
+def join(
+    left: tp.Any,
+    right: tp.Any,
+    on: tp.Union[str, tp.List[str], Column],
+    how: str = "inner",
+    broadcast: tp.Optional[bool] = None,
+) -> Stage:
+    """Join with optional explicit broadcast of the right side.
+
+    ``broadcast=None`` leaves the choice to Catalyst/AQE (which sizes the
+    plan at runtime); pass True for dimension tables you KNOW are small —
+    the hint survives even when stats are missing (e.g. fresh parquet
+    without analyze).
+    """
+    l, r = _df(left), _df(right)
+    if broadcast:
+        r = F.broadcast(r)
+    return Stage(l.join(r, on, how))
+
+
+def semi_join(left: tp.Any, right: tp.Any, on, broadcast: bool = False) -> Stage:
+    l, r = _df(left), _df(right)
+    if broadcast:
+        r = F.broadcast(r)
+    return Stage(l.join(r, on, "left_semi"))
+
+
+def anti_join(left: tp.Any, right: tp.Any, on, broadcast: bool = False) -> Stage:
+    l, r = _df(left), _df(right)
+    if broadcast:
+        r = F.broadcast(r)
+    return Stage(l.join(r, on, "left_anti"))
+
+
+def agg(
+    stage: tp.Any,
+    by: tp.Optional[tp.List[str]] = None,
+    aggs: tp.Optional[tp.Dict[str, Column]] = None,
+    kind: str = "groupby",
+) -> Stage:
+    """groupBy/rollup/cube aggregate. ``aggs`` maps output name → Column.
+
+    Catalyst plans these as partial (map-side) + final aggregation — the
+    shuffle moves only one row per group per partition, which is what makes
+    a 100 TB groupBy viable.
+    """
+    df = _df(stage)
+    by = by or []
+    grouped = {
+        "groupby": df.groupBy,
+        "rollup": df.rollup,
+        "cube": df.cube,
+    }[kind](*by)
+    exprs = [c.alias(name) for name, c in (aggs or {}).items()]
+    return Stage(grouped.agg(*exprs))
+
+
+def top_k(stage: tp.Any, k: int, by: tp.List[Column]) -> Stage:
+    """ORDER BY ... LIMIT k — Spark lowers this to TakeOrderedAndProject:
+    each partition keeps a k-row heap, the driver merges heaps. No global
+    sort, no full shuffle; the right top-k at any scale."""
+    return Stage(_df(stage).orderBy(*by).limit(k))
+
+
+def window_rank(
+    stage: tp.Any,
+    partition_by: tp.List[str],
+    order_by: tp.List[Column],
+    k: tp.Optional[int] = None,
+    rank_col: str = "rn",
+    method: str = "row_number",
+) -> Stage:
+    """Top-k per group via ranking window — one shuffle on the partition keys."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    df = _df(stage).withColumn(rank_col, fn().over(w))
+    if k is not None:
+        df = df.filter(F.col(rank_col) <= k)
+    return Stage(df)
+
+
+def running(
+    stage: tp.Any,
+    partition_by: tp.List[str],
+    order_by: tp.List[Column],
+    aggs: tp.Dict[str, tp.Callable],
+) -> Stage:
+    """Running (cumulative) window aggregates, rowsBetween(unbounded, current).
+
+    ``aggs`` maps output name → fn(WindowSpec) -> Column, so post-window
+    casts compose correctly (a cast applied before ``.over`` would detach
+    the window from the aggregate)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = _df(stage)
+    for name, make in aggs.items():
+        df = df.withColumn(name, make(w))
+    return Stage(df)
+
+
+def pivot(
+    stage: tp.Any,
+    by: tp.List[str],
+    pivot_col: str,
+    values: tp.List[str],
+    agg_col: Column,
+) -> Stage:
+    """Pivot with EXPLICIT pivot values — never let Spark scan for distinct
+    values first (that's an extra full pass at scale)."""
+    return Stage(_df(stage).groupBy(*by).pivot(pivot_col, values).agg(agg_col))
+
+
+def intersect(a: tp.Any, b: tp.Any) -> Stage:
+    return Stage(_df(a).intersect(_df(b)))
+
+
+def except_(a: tp.Any, b: tp.Any) -> Stage:
+    return Stage(_df(a).exceptAll(_df(b)))
+
+
+def distinct(stage: tp.Any, subset: tp.Optional[tp.List[str]] = None) -> Stage:
+    df = _df(stage)
+    return Stage(df.dropDuplicates(subset) if subset else df.distinct())
+
+
+def sql(query: str, spark=None) -> Stage:
+    from .io import _spark
+
+    return Stage(_spark(spark).sql(query))

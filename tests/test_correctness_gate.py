@@ -1,0 +1,93 @@
+"""Local replica of the driver's DuckDB-oracle gate: every REGISTRY query
+runs on Spark AND DuckDB over the same parquet; row counts, column names and
+values must match EXACTLY (the decimal-cast convention makes even float
+aggregates bit-identical)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from pypeln_spark.io import TABLES
+from pypeln_spark.queries import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def normalize(df):
+    """pandas DataFrame → sorted list of row tuples with canonical values."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def canon(v):
+        if v is None:
+            return ("null",)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("nan",)
+            return ("f", repr(v))
+        if hasattr(v, "isoformat"):  # datetime/date (tz-naive both sides)
+            return ("t", v.isoformat().replace("+00:00", ""))
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return ("a", tuple(canon(x) for x in v))
+        if isinstance(v, (int,)) or type(v).__name__.startswith(("int", "uint")):
+            return ("i", int(v))
+        if type(v).__name__.startswith("float"):
+            return canon(float(v))
+        if isinstance(v, bytes):
+            return ("b", v)
+        return ("s", str(v))
+
+    rows = [tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
+
+
+oracle_queries = [(n, q) for n, q in sorted(REGISTRY.items()) if q.oracle is not None]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in oracle_queries])
+def test_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    got = q.fn(spark, SF_DIR).toPandas()
+    want = duck.sql(q.oracle).df()
+
+    got_cols, got_rows = normalize(got)
+    want_cols, want_rows = normalize(want)
+
+    assert got_cols == [c for c in want_cols], f"{name}: column mismatch {got_cols} vs {want_cols}"
+    assert len(got_rows) == len(want_rows), (
+        f"{name}: row count {len(got_rows)} vs oracle {len(want_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(got_rows, want_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[0]}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle still must run and return a DataFrame."""
+    for name, q in sorted(REGISTRY.items()):
+        if q.oracle is None:
+            df = q.fn(spark, SF_DIR)
+            assert df.count() >= 0, name
+
+
+def test_entry_contract():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 10
