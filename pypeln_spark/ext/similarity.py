@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **cosine brute-force top-k**: the exact baseline. The dot product goes
+  through the decimal-cast fold so the similarity value is bit-identical
+  cross-engine (see functions.py scale rule); norms/sqrt/division are then
+  pure IEEE double ops — also identical.
+- **LSH-bucketed ANN**: the scale path. Deterministic random-hyperplane
+  signatures (plane components derived from md5, ext/hashing.py style) hash
+  each vector into a bucket; top-k runs within buckets only. At 100 TB the
+  bucket join replaces the all-pairs cross join; recall is tunable by
+  n_planes / multi-probe.
+- **embedding near-dup pairs**: all pairs with cosine ≥ threshold — exact
+  (cross-join a<b) for the oracle-checked form; the LSH variant bounds it.
+
+Float discipline: embeddings are float32 on disk; both engines MUST promote
+to double before multiplying (float32 multiply then promote gives different
+bits). All Spark-side math casts elements to double first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .hashing import P31
+
+# decimal(30,12) — NOT (38,12): Spark's decimal addition widens precision by
+# one ((p,s)+(p,s) → (p+1,s) capped at 38); at p=38 the cap instead drops the
+# scale to 11, silently rounding every fold step. p=30 leaves headroom so the
+# scale survives, and the per-step cast back to (30,12) is width-only (exact).
+DOT_PREC, DOT_SCALE = 30, 12
+
+
+def _vec_double(c):
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_decimal(a, b):
+    """Exact, order-insensitive dot product: per-position double multiply
+    (IEEE-identical on both engines), each product cast to decimal, exact
+    decimal sum, cast back to double."""
+    dt = f"decimal({DOT_PREC},{DOT_SCALE})"
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast(dt))
+    zero = F.lit(0).cast(dt)
+    return F.aggregate(prods, zero, lambda acc, x: (acc + x).cast(dt)).cast("double")
+
+
+def norm(a):
+    return F.sqrt(dot_decimal(a, a))
+
+
+def with_norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _vec_double(F.col(vec_col))
+    return df.withColumn("_v", v).withColumn("_norm", norm(F.col("_v")))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k: queries × corpus cross join, cosine, window
+    rank. The cross join broadcasts the (small) query side; corpus streams.
+    Output: (query_id, neighbor_id, cos, rank)."""
+    c = with_norms(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
+    )
+    q = with_norms(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot_decimal(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane_component(plane: int, dim) -> F.Column:
+    """Deterministic pseudo-random plane component in [-1, 1]:
+    md5('plane_<p>_<d>') → h31 → ((h % 2001) - 1000)/1000. Reproducible in
+    SQL, so the whole ANN pipeline has an oracle."""
+    from .hashing import h31
+
+    key = F.concat(F.lit(f"plane_{plane}_"), dim.cast("string"))
+    return ((h31(key) % F.lit(2001)) - F.lit(1000)).cast("double") / F.lit(1000.0)
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane signature: bit p = [dot(plane_p, v) > 0]; bucket =
+    the n_planes-bit integer. Plane dot products use the decimal fold —
+    bucket assignment is exact and engine-independent."""
+    v = _vec_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1), lambda d: hyperplane_component(p, d)
+        )
+        d = dot_decimal(v, comps)
+        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+    One equi-join on bucket instead of a cross join — the 100 TB shape."""
+    c = lsh_bucket(with_norms(emb, vec_col), "_v", n_planes).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"), "bucket",
+    )
+    q = lsh_bucket(with_norms(queries, vec_col), "_v", n_planes).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"), "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot_decimal(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact embedding near-dup pairs (cos ≥ threshold, id_a < id_b)."""
+    n = with_norms(emb, vec_col)
+    a = n.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_norm").alias("na"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

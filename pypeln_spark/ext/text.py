@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines: tokenization, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure Catalyst (built-in string/array functions, zero Python UDFs) — at
+100 TB these run inside whole-stage codegen at scan speed. Each operator is
+a DataFrame→DataFrame function; oracle SQL twins live in queries/text.py.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import P31, h31
+
+# tiny embedded stopword lists for the lang-id heuristic (public knowledge;
+# real pipelines would plug fastText/CLD3 in via the same operator shape)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+}
+
+
+def tokenize(c: Column) -> Column:
+    """Whitespace tokenization (array<string>). For BPE-ish splitting use
+    ``tokenize_bpe_ish``."""
+    return F.split(c, " ")
+
+
+def tokenize_bpe_ish(c: Column) -> Column:
+    """Regex word/punct segmentation approximating a BPE pre-tokenizer:
+    letter runs, digit runs, and single non-space symbols."""
+    return F.regexp_extract_all(c, F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), 1)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = tokenize(F.col(text_col))
+    return df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / word-length / stopword / char-class ratios — the standard
+    cheap quality filters (C4/Gopher-style) as one projection."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_toks = F.size(toks).cast("double")
+    n_chars = F.length(t).cast("double")
+    en_stop = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    # distinct stopwords present: filter the (ordered) stopword list, not the
+    # tokens — gives the same count as a set-intersect on every engine
+    n_stop = F.size(F.filter(en_stop, lambda s: F.array_contains(toks, s))).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, x))).cast("double")
+    return df.select(
+        id_col,
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (n_chars / n_toks).alias("avg_token_len"),
+        (stop_hits / n_toks).alias("stopword_ratio"),
+        (n_stop).cast("long").alias("n_distinct_stopwords"),
+        (
+            F.length(F.regexp_replace(t, r"[a-zA-Z0-9 ]", "")).cast("double") / n_chars
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double") / n_chars
+        ).alias("digit_ratio"),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit ratio per language + argmax prediction (deterministic
+    tiebreak: language list order en>de>fr>es, then 'und')."""
+    toks = tokenize(F.col(text_col))
+    n_toks = F.size(toks).cast("double")
+    cols: tp.List[Column] = [F.col(id_col)]
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("double")
+        cols.append((hits / n_toks).alias(f"score_{lang}"))
+    out = df.select(*cols)
+    best = F.greatest(*[F.col(f"score_{l}") for l in STOPWORDS])
+    pred = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("predicted_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: left fold of token hashes,
+    acc = (acc*31 + h31(token)) mod P31. Reorderings change the value
+    (unlike bag-of-shingles hashes) — the rolling-hash contract."""
+    toks = tokenize(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + h31(x)) % F.lit(P31),
+    )
+    return df.select(id_col, fp.alias("fingerprint"))

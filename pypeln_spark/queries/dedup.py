@@ -1,0 +1,185 @@
+"""Deduplication queries over the documents table — oracle-matched.
+
+The MinHash/SimHash oracles replicate the ENTIRE pipeline (shingle → hash →
+signature → band → candidate → verify) in DuckDB SQL using the same frozen
+hash family (ext/hashing.py), so the comparison checks the algorithm end to
+end — including which candidate pairs LSH does and doesn't surface — not
+just a lucky subset.
+"""
+
+from __future__ import annotations
+
+from pypeln_spark.ext import dedup as D
+from pypeln_spark.ext.hashing import MINHASH_PARAMS, sql_h31, sql_shingles
+
+from .base import register, tables
+
+JACCARD_THRESHOLD = 0.5
+N_HASHES = 32
+BANDS = 8
+
+_PARAM_VALUES = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES]))
+
+# shared CTE prefix: distinct (doc_id, shingle_hash)
+_SH_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, {sql_h31('shingle')} AS sh
+  FROM (SELECT doc_id, unnest({sql_shingles('text')}) AS shingle FROM documents)
+)
+"""
+
+_MH_CTE = f"""
+params(j, a, b) AS (VALUES {_PARAM_VALUES}),
+mh AS (
+  SELECT doc_id, j, MIN((a * sh + b) % 2147483647) AS mh
+  FROM sh CROSS JOIN params GROUP BY doc_id, j
+)
+"""
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= {t}
+"""
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup: hash-groupBy — shuffles (hash,id), never the payload."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SH_CTE}, {_MH_CTE}
+    SELECT doc_id, j, mh FROM mh
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (32 frozen hash fns) — checked value-for-value."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, n_hashes=N_HASHES)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_CTE}, {_MH_CTE},
+    banded AS (
+      SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL.format(t=JACCARD_THRESHOLD)}
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Full MinHash-LSH near-dup pipeline: shingle→sign→band→bucket-join→
+    exact-Jaccard verify. The oracle replays the identical pipeline, so the
+    check covers LSH's candidate generation itself."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_exact",
+    oracle=f"""
+    WITH {_SH_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL.format(t=JACCARD_THRESHOLD)}
+    """,
+)
+def dedup_ngram_jaccard_exact(spark, sf_dir):
+    """Exact n-gram Jaccard baseline (ground truth the LSH path approximates):
+    candidates = any shared shingle, then exact verify. Quadratic in the
+    worst case — the reason minhash_lsh exists."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+_TH = sql_h31("tok")
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {_TH} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    contrib AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    """32-bit SimHash fingerprints over tokens (every occurrence counts)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs)
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {_TH} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    contrib AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3). Spark avoids O(n²) via the
+    4-byte pigeonhole band join; the oracle's brute-force scan proves the
+    banding loses nothing."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(D.simhash_fingerprints(docs))

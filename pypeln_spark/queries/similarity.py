@@ -1,0 +1,124 @@
+"""Similarity-search queries over the embeddings table — oracle-matched.
+
+Cosine similarity uses the decimal-fold dot product (ext/similarity.py):
+per-position double multiply → decimal cast → exact sum → double. Both
+engines produce bit-identical cosines, so even top-k rank boundaries agree.
+"""
+
+from __future__ import annotations
+
+from pypeln_spark.ext import similarity as S
+from pypeln_spark.ext.hashing import sql_h31
+
+from .base import register, tables
+
+K = 5
+N_QUERIES = 10  # query set = vec_id < 10
+NEAR_DUP_T = 0.35
+N_PLANES = 6
+
+# DuckDB spellings of the decimal-fold dot product over 1-based list indexes
+def _dot(u: str, v: str) -> str:
+    # DECIMAL(30,12) with a per-step cast — mirrors ext/similarity.dot_decimal
+    return (
+        f"CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(30,12)), "
+        f"list_transform(range(1, len({u}) + 1), "
+        f"i -> CAST({u}[CAST(i AS INT)] * {v}[CAST(i AS INT)] AS DECIMAL(30,12)))), "
+        f"(acc, x) -> CAST(acc + x AS DECIMAL(30,12))) AS DOUBLE)"
+    )
+
+
+_E_CTE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)
+""".format(vv=_dot("v", "v"))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {K}
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (query side broadcast, corpus streams).
+    The baseline every ANN variant is judged against."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk(emb, queries, k=K)
+
+
+_PLANE = (
+    "(({h} % 2001) - 1000) / 1000.0"
+)
+
+
+def _plane_comp(p: int) -> str:
+    h = sql_h31(f"concat('plane_{p}_', CAST(i - 1 AS VARCHAR))")
+    return f"list_transform(range(1, 65), i -> (({h} % 2001) - 1000) / 1000.0)"
+
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_dot('v', _plane_comp(p))} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    bktd AS (SELECT vec_id, v, nrm, CAST({_BUCKET} AS BIGINT) AS bucket FROM n),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM bktd q JOIN bktd c ON q.bucket = c.bucket
+       AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {K}
+    """,
+)
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    """Scale-path ANN: deterministic random-hyperplane LSH buckets; top-k
+    searches only the query's bucket (equi-join replaces the cross join).
+    The oracle replays the identical plane family, so bucket assignment and
+    the recall loss itself are both verified."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ann_lsh_topk(emb, queries, k=K, n_planes=N_PLANES)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH {_E_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_dot("a.v", "b.v")} / (a.nrm * b.nrm) >= {NEAR_DUP_T}
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact, id_a < id_b)."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=NEAR_DUP_T)

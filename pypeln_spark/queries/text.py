@@ -1,0 +1,155 @@
+"""Text-analysis queries over the documents table — oracle-matched.
+
+Spark implementations live in ext/text.py (pure Catalyst); each oracle here
+spells the identical computation in DuckDB SQL. Shared sub-expressions come
+from ext/hashing.py's sql_* twins so the two dialects cannot drift.
+"""
+
+from __future__ import annotations
+
+from pypeln_spark.ext import text as X
+from pypeln_spark.ext.hashing import sql_h31
+
+from .base import register, tables
+
+TOKS = "string_split(text, ' ')"
+_STOP_EN = "['" + "','".join(X.STOPWORDS["en"]) + "']"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({TOKS})) AS BIGINT) AS n_unique_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting — one codegen'd projection, no UDF."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.token_stats(docs)
+
+
+@register(
+    "text_bpe_ish_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_ish_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer segmentation count (letter runs / digit runs /
+    single symbols) — regexp, still JVM-side."""
+    from pyspark.sql import functions as F
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(X.tokenize_bpe_ish(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / CAST(len({TOKS}) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_filter({TOKS}, t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / CAST(len({TOKS}) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_filter({_STOP_EN}, s -> list_contains({TOKS}, s))) AS BIGINT)
+             AS n_distinct_stopwords,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS digit_ratio
+    FROM documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """C4/Gopher-style cheap quality signals in one projection."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.quality_scores(docs)
+
+
+def _lang_score_sql(lang: str) -> str:
+    stop = "['" + "','".join(X.STOPWORDS[lang]) + "']"
+    return (
+        f"CAST(len(list_filter({TOKS}, t -> list_contains({stop}, t))) AS DOUBLE)"
+        f" / CAST(len({TOKS}) AS DOUBLE)"
+    )
+
+
+_LANGS = list(X.STOPWORDS)
+_BEST = "greatest(" + ", ".join(f"score_{l}" for l in _LANGS) + ")"
+_PRED_CASES = " ".join(
+    f"WHEN score_{l} = {_BEST} AND {_BEST} > 0 THEN '{l}'" for l in _LANGS
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {", ".join(f"{_lang_score_sql(l)} AS score_{l}" for l in _LANGS)}
+      FROM documents
+    )
+    SELECT doc_id, {", ".join(f"score_{l}" for l in _LANGS)},
+           CASE {_PRED_CASES} ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-ratio language ID with deterministic argmax tiebreak."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.lang_scores(docs)
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({TOKS}, t -> {sql_h31('t')})),
+             (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (left fold of token hashes)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.fingerprint(docs)
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypeln_spark import relational as R
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return R.agg(
+        docs.withColumn("bucket", (F.col("n_chars") / 100).cast("long")),
+        by=["bucket"],
+        aggs={
+            "n_docs": F.count(F.lit(1)),
+            "min_chars": F.min("n_chars"),
+            "max_chars": F.max("n_chars"),
+        },
+    ).df
