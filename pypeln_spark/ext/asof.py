@@ -1,0 +1,130 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Semantics: for each left row, the single right row with the greatest
+``right_ts`` ≤ ``left_ts`` within the same key group (DuckDB's ASOF JOIN,
+pandas' merge_asof(direction='backward')).
+
+Two lowerings:
+
+- **union+window (default, the scale path)**: tag left/right, union, one
+  window over (key, ts, side) carrying the last non-null right payload
+  forward, keep left rows. ONE shuffle on the key — no range join, no
+  per-key collect; skew behaves like any window (AQE handles it). This is
+  the formulation that survives 100 TB.
+- **merge_asof via applyInPandas (grouped fallback)**: per-key pandas
+  merge_asof — simpler to reason about, but materializes each key group in
+  one python worker; only sane when no key is huge.
+
+Ties: if several right rows share (key, ts), the one with the largest
+tiebreaker column wins deterministically (callers wanting DuckDB-identical
+results should dedup the right side first — DuckDB ASOF tie behavior is
+unspecified).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tp.Optional[tp.List[str]] = None,
+    suffix: str = "_right",
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join via union+window.
+
+    Output: every left column, plus ``<right_ts><suffix>`` and each
+    requested right column as ``<col><suffix>``; unmatched left rows are
+    dropped (how='inner') or kept with nulls (how='left')."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lpayload"),
+        F.lit(None).cast(right.select(right_ts, *right_cols).schema[right_ts].dataType).alias("_rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    rhs = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lhs.schema["_lpayload"].dataType).alias("_lpayload"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    # right rows sort before left rows at equal ts (side 0 < 1) → inclusive ≤
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        lhs.unionByName(rhs)
+        .withColumn("_m_ts", F.last("_rts", ignorenulls=True).over(w))
+        .withColumns(
+            {f"_m_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in right_cols}
+        )
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lpayload.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("_m_ts").alias(f"{right_ts}{suffix}"))
+    out_cols += [F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in right_cols]
+    out = carried.select(*out_cols)
+    if how == "inner":
+        out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())
+    return out
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tp.Optional[tp.List[str]] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """merge_asof fallback: cogroup by key, pandas merge_asof per group.
+    Keeps unmatched left rows (nulls) — pandas semantics."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    # copy — StructType.add MUTATES, and left.schema is the DataFrame's
+    # cached schema object
+    out_schema = T.StructType(list(left.schema.fields))
+    out_schema = out_schema.add(f"{right_ts}{suffix}", right.schema[right_ts].dataType)
+    for c in right_cols:
+        out_schema = out_schema.add(f"{c}{suffix}", right.schema[c].dataType)
+
+    left_cols = list(left.columns)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts)
+        r = (
+            r[[right_ts] + right_cols]
+            .rename(columns={right_ts: f"{right_ts}{suffix}", **{c: f"{c}{suffix}" for c in right_cols}})
+            .sort_values(f"{right_ts}{suffix}")
+        )
+        if len(r) == 0:
+            for c in [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]:
+                l[c] = None
+            return l
+        return pd.merge_asof(
+            l, r, left_on=left_ts, right_on=f"{right_ts}{suffix}", direction="backward"
+        )
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )

@@ -1,0 +1,243 @@
+"""Structured Streaming queries — event-time windows, watermark/late-data,
+stateful processing, as-of joins. Each runs a REAL streaming query (file
+source → memory sink, processAllAvailable) and returns the final table, so
+the driver's oracle gate checks genuine streaming semantics against batch
+SQL replays of the same rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypeln_spark import streaming as ST
+from pypeln_spark.ext import asof as A
+from pypeln_spark.functions import dsum, dsum_expr
+
+from .base import load_table, register, tables
+
+
+@register(
+    "streaming_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events, {dsum_expr('value')} AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def streaming_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1h windows over a real stream (complete mode). F.window's
+    epoch-aligned hour buckets ≡ date_trunc('hour')."""
+    ev = ST.events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+    out = ST.run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "streaming_sliding_1h_30m",
+    oracle="""
+    WITH starts AS (
+      SELECT e.*, unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                          time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+             AS window_start
+      FROM events e
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_1h_30m(spark, sf_dir):
+    """Sliding windows (1h length, 30m slide): every event lands in exactly
+    two windows; the oracle enumerates both starts per event."""
+    ev = ST.events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = ST.run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, seq
+    """,
+)
+def streaming_session_windows(spark, sf_dir):
+    """session_window(ts, 30m) per user — Spark's native streaming session
+    operator (update mode; a single microbatch emits each final session
+    once). Oracle replays the merge rule: same session while gap < 30m;
+    session end = last event + gap."""
+    ev = ST.events_stream(spark, sf_dir).withWatermark("ts", "1 second")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # session windows support append/complete only (not update); complete
+    # emits every session, matching the batch oracle in full
+    out = ST.run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_watermark_late_drop",
+    oracle="""
+    WITH b1 AS (SELECT * FROM events WHERE event_id < (SELECT CAST(COUNT(*)/2 AS BIGINT) FROM events)),
+    b2 AS (SELECT * FROM events WHERE event_id >= (SELECT CAST(COUNT(*)/2 AS BIGINT) FROM events)),
+    wm1 AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w FROM b1),
+    wmf AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+            FROM (SELECT ts FROM b1 UNION ALL SELECT ts FROM b2)),
+    kept AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT * FROM b2
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1)
+    )
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+    FROM kept
+    GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+    """,
+)
+def streaming_watermark_late_drop(spark, sf_dir):
+    """Watermark + late-data semantics, exercised for real: the events table
+    replays as two guaranteed-separate microbatches split by event_id (ts
+    interleaves, so batch 2 contains genuinely late rows). Append mode with
+    a 1h watermark: batch-2 rows whose window was already finalized are
+    dropped; only windows closed by the final watermark emit. The oracle
+    computes both watermarks (ms precision — Spark tracks event time in ms)
+    and replays the drop/emit rules exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    n_half = ev.count() // 2
+    b1 = ev.filter(F.col("event_id") < n_half)
+    b2 = ev.filter(F.col("event_id") >= n_half)
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    out = ST.staged_replay(spark, [b1, b2], build, output_mode="append")
+    return out.select(F.col("window.start").alias("window_start"), "n_events")
+
+
+@register(
+    "streaming_stateful_running_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {dsum_expr('value')} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_running_totals(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, decimal-exact sum) maintained in GroupState across microbatches.
+    One batch here → final state ≡ the batch aggregate; the multi-batch
+    accumulation contract is covered in tests/test_streaming.py."""
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = ST.events_stream(spark, sf_dir)
+
+    def fn(key, pdfs, state: GroupState):
+        n, total_str = state.get if state.exists else (0, "0")
+        total = decimal.Decimal(total_str)
+        exp = decimal.Decimal("0.000001")
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                # mirror dsum: quantize each term to 1e-6, exact decimal sum
+                total += decimal.Decimal(float(v)).quantize(
+                    exp, rounding=decimal.ROUND_HALF_UP
+                )
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return ST.run_to_memory(agg, output_mode="update")
+
+
+@register(
+    "asof_join_purchase_to_view",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, MIN(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    purchases AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.ts AS view_ts, v.view_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+    FROM purchases p
+    ASOF JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_purchase_to_view(spark, sf_dir):
+    """As-of join (Spark has no native one): each purchase matched to the
+    user's most recent view at-or-before it. Lowered as union+window — ONE
+    shuffle on user_id, no range join (SURVEY.md §4.3). Right side deduped
+    per (user, ts) for deterministic ties."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = A.asof_join(purchases, views, on="user_id", right_cols=["view_id"])
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("view_ts"),
+        F.col("view_id_right").alias("view_id"),
+        (F.col("ts").cast("long") - F.col("ts_right").cast("long")).alias("gap_s"),
+    )

@@ -1,0 +1,138 @@
+"""Structured Streaming layer.
+
+The reference's pipelines ARE streams (unbounded iterables with backpressure,
+SURVEY.md §2.2) but have no event-time notion: no watermarks, no windows, no
+stateful operators. This module adds those as first-class operators on top
+of Structured Streaming — the genuinely-new capability layer — plus the
+bounded-replay harness that lets a batch of parquet rows drive a streaming
+query to completion deterministically (used by tests, the oracle gate, and
+as the local stand-in for kafka/rate sources).
+
+Backpressure mapping: the reference's ``maxsize`` queue bound becomes
+``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` trigger sizing — Spark
+paces the source instead of blocking producers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import typing as tp
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: tp.Optional[int] = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (or a single file — the
+    file source itself only accepts directories, so a file path becomes its
+    parent dir + a pathGlobFilter). Schema is mandatory for streaming reads;
+    default = infer from a batch read of the same path."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, path: tp.Optional[str] = None) -> DataFrame:
+    """The events table as a stream, with the same TIMESTAMP(NANOS)
+    normalization as the batch path (queries/base.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = path or os.path.join(sf_dir, "events.parquet")
+    df = read_stream_parquet(spark, src)
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def tumbling(df: DataFrame, ts_col: str, duration: str) -> tp.Tuple[DataFrame, F.Column]:
+    return df, F.window(F.col(ts_col), duration)
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    name: tp.Optional[str] = None,
+) -> DataFrame:
+    """Drive a (bounded) streaming DataFrame to completion through the memory
+    sink; returns the result as a batch DataFrame. processAllAvailable makes
+    it synchronous and deterministic — every available file is consumed."""
+    spark = stream_df.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame, fn: tp.Callable[[DataFrame, int], None]
+) -> None:
+    """foreachBatch sink, driven to completion (exactly-once per epoch —
+    the Spark-native home for reference-style ``each`` side effects)."""
+    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def staged_replay(
+    spark: SparkSession,
+    batches: tp.Sequence[DataFrame],
+    build_query: tp.Callable[[DataFrame], DataFrame],
+    output_mode: str = "append",
+) -> DataFrame:
+    """Replay N batch DataFrames as N guaranteed-separate microbatches.
+
+    Writes each batch as a parquet file into a monitored directory and calls
+    processAllAvailable between writes — this is how watermark/late-data
+    semantics are exercised deterministically (file-source trigger order is
+    otherwise timing-dependent)."""
+    src_dir = tempfile.mkdtemp(prefix="pypeln_spark_replay_")
+    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+
+    schema = batches[0].schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = build_query(stream)
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for i, b in enumerate(batches):
+            b.write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,109 @@
+"""Streaming-specific contracts not covered by the oracle gate:
+multi-microbatch state accumulation, watermark drops across staged batches,
+and as-of join lowering equivalence."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pypeln_spark import streaming as ST
+from pypeln_spark.ext import asof as A
+from pypeln_spark.queries.base import load_table
+
+
+def test_staged_replay_two_batches(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.count() // 2
+    b1 = ev.filter(F.col("event_id") < half)
+    b2 = ev.filter(F.col("event_id") >= half)
+
+    def build(stream):
+        return stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    out = ST.staged_replay(spark, [b1, b2], build, output_mode="complete")
+    # complete mode memory sink holds the final totals = full-table counts
+    got = {r.event_type: r.n for r in out.collect()}
+    want = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_stateful_accumulates_across_batches(spark, sf_dir):
+    """applyInPandasWithState must carry (count) state from batch 1 into
+    batch 2 — the final emission per user equals the all-data count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.count() // 2
+    b1 = ev.filter(F.col("event_id") < half)
+    b2 = ev.filter(F.col("event_id") >= half)
+
+    def build(stream):
+        def fn(key, pdfs, state: GroupState):
+            (n,) = state.get if state.exists else (0,)
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        return stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    out = ST.staged_replay(spark, [b1, b2], build, output_mode="update")
+    # update-mode memory sink appends per-batch emissions; the LAST emission
+    # per user carries the accumulated total = max over emissions
+    got = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    )
+    want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r.user_id: r.n for r in got} == want
+
+
+def test_asof_union_window_equals_pandas_merge_asof(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    a = A.asof_join(purchases, views, on="user_id", right_cols=["view_id"])
+    b = A.asof_join_pandas(purchases, views, on="user_id", right_cols=["view_id"]).filter(
+        F.col("ts_right").isNotNull()
+    )
+    ka = {(r.purchase_id, r.view_id_right) for r in a.collect()}
+    kb = {(r.purchase_id, r.view_id_right) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+
+
+def test_asof_left_keeps_unmatched(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id", "ts").agg(
+        F.min("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    inner = A.asof_join(purchases, views, on="user_id", right_cols=["view_id"], how="inner")
+    left = A.asof_join(purchases, views, on="user_id", right_cols=["view_id"], how="left")
+    assert left.count() == purchases.count()
+    assert inner.count() <= left.count()
+
+
+def test_foreach_batch_sink(spark, sf_dir):
+    seen = []
+
+    def sink(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    ev = ST.events_stream(spark, sf_dir)
+    ST.run_foreach_batch(ev.filter(F.col("event_type") == "error"), sink)
+    total = sum(n for _, n in seen)
+    want = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error").count()
+    assert total == want
