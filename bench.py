@@ -33,8 +33,13 @@ HEADLINE = [
     "pipeline_map_python_udf",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_simhash_fingerprints",
     "ann_cosine_topk",
+    "ann_lsh_bucketed_topk",
     "text_quality_scores",
+    "text_fingerprint",
+    "asof_join_purchase_to_view",
+    "streaming_tumbling_hourly",
 ]
 
 

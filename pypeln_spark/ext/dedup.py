@@ -214,30 +214,32 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash over whitespace tokens: bit i of the fingerprint is 1
-    iff sum over tokens of (2*bit_i(h31(token)) - 1) > 0. Tokens stay as a
-    per-doc array; per-bit contributions come from one aggregate fold per
-    bit — a single narrow projection, no shuffle at all."""
-    tok_hashes = F.transform(F.split(F.col(text_col), " "), h31)
+    iff sum over tokens of (2*bit_i(h31(token)) - 1) > 0.
 
-    def _bit_sum(i: int):
-        # factory keeps the merge lambda at exactly 2 args (pyspark inspects
-        # the signature; a captured default param would make it arity-3)
-        return F.aggregate(
-            tok_hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1,
-        ).alias(f"s_{i}")
+    One SQL fold computes ALL bit-sums as an array accumulator — exactly one
+    md5 per token (a per-bit-fold formulation recomputes the token hashes
+    ``bits`` times: projection collapse defeats subexpression reuse across
+    higher-order functions; measured ~10× slower). Single narrow projection,
+    no shuffle."""
+    from .hashing import spark_sql_h31
 
-    bit_sums = [_bit_sum(i) for i in range(bits)]
-    fp = functools.reduce(
-        lambda expr, i: expr
-        + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)),
-        range(bits),
-        F.lit(0).cast("long"),
+    expr = f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          transform(split({text_col}, ' '), t -> {spark_sql_h31('t')}),
+          array_repeat(CAST(0 AS BIGINT), {bits}),
+          (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                               (a, i) -> a + (shiftright(h, i) & 1) * 2 - 1)
+        ),
+        sequence(0, {bits - 1}),
+        (s, i) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+                       ELSE CAST(0 AS BIGINT) END
+      ),
+      CAST(0 AS BIGINT), (x, y) -> x + y
     )
-    return df.select(F.col(id_col), *bit_sums).select(
-        id_col, fp.alias("simhash")
-    )
+    """
+    return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -70,6 +70,11 @@ def sql_h31(expr: str) -> str:
     )
 
 
+def spark_sql_h31(expr: str) -> str:
+    """Spark-SQL spelling of h31 (for F.expr-built higher-order pipelines)."""
+    return f"(CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT) % 2147483647)"
+
+
 def shingles(c: Column, k: int = 5) -> Column:
     """Distinct k-character shingles of a string column (array<string>).
     Positions are 1-based on both engines; strings shorter than k yield
