@@ -1,0 +1,323 @@
+"""Advanced relational coverage: subqueries, grouping sets, array functions,
+unpivot, manual medians, multi-hop analytical joins, plus rows-only entries
+for the genuinely non-SQL-expressible paths (async task mode, pickled
+payloads). Same decimal-determinism discipline as relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from pypeln_spark import relational as R
+from pypeln_spark.functions import dsum, dsum_expr
+
+from .base import register, tables
+
+
+@register(
+    "subquery_orders_above_avg",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT {dsum_expr('o_totalprice')} / CAST(COUNT(*) AS DOUBLE) FROM orders)
+    """,
+)
+def subquery_orders_above_avg(spark, sf_dir):
+    """Scalar subquery (avg computed via the deterministic decimal path).
+    Catalyst evaluates the subquery once and broadcasts the scalar."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) FROM orders)
+        """
+    )
+
+
+@register(
+    "correlated_max_quantity_items",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem l1
+    WHERE l_quantity = (
+      SELECT MAX(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def correlated_max_quantity_items(spark, sf_dir):
+    """Correlated subquery (groupwise max) — expressed as a window max, the
+    one-shuffle formulation Catalyst can't always derive from the correlated
+    form."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("_mx", F.max("l_quantity").over(w))
+        .filter(F.col("l_quantity") == F.col("_mx"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_expr('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS through the SQL surface (pl.sql passthrough) —
+    one Expand pass, like rollup/cube."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "array_function_gauntlet",
+    oracle="""
+    SELECT doc_id,
+           list_sort(string_split(text, ' '))[2:4] AS second_to_fourth_sorted,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           CAST(coalesce(list_position(string_split(text, ' '), 'query'), 0) AS BIGINT)
+             AS query_pos,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+             AS first5_vocab
+    FROM documents
+    """,
+)
+def array_function_gauntlet(spark, sf_dir):
+    """Array ops: sort, slice, contains, position, distinct, join — all
+    codegen'd JVM expressions."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.slice(F.sort_array(toks), 2, 3).alias("second_to_fourth_sorted"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "query").cast("long").alias("query_pos"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), "|").alias(
+            "first5_vocab"
+        ),
+    )
+
+
+@register(
+    "unpivot_order_status_counts",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, status, n FROM (
+      SELECT o_orderpriority, 'O' AS status, o_cnt AS n FROM p
+      UNION ALL SELECT o_orderpriority, 'F', f_cnt FROM p
+      UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM p)
+    """,
+)
+def unpivot_order_status_counts(spark, sf_dir):
+    """Pivot → unpivot round trip: wide counts back to long form via stack
+    (Spark's unpivot primitive)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    wide = R.pivot(
+        orders, by=["o_orderpriority"], pivot_col="o_orderstatus",
+        values=["O", "F", "P"], agg_col=F.count(F.lit(1)),
+    ).df.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("O", "F", "P")],
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', O, 'F', F, 'P', P) AS (status, n)",
+    )
+
+
+@register(
+    "manual_median_price_by_priority",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / 2 AS median_price
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY o_orderpriority
+    """,
+)
+def manual_median_price_by_priority(spark, sf_dir):
+    """Exact median per group WITHOUT percentile(): rank + pick the middle
+    one/two rows. Engine-interpolation (a+(b-a)*f vs a(1-f)+bf) differs in
+    the last ulp between engines, so the portable median sums the two middle
+    values decimally and halves — deterministic everywhere. Also the
+    formulation that scales: one shuffle, no full sort-per-group collect."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
+    )
+    return R.agg(
+        mid,
+        by=["o_orderpriority"],
+        aggs={"median_price": (dsum("o_totalprice") / 2)},
+    ).df
+
+
+@register(
+    "cheapest_item_supplier_per_part",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_suppkey) AS rn
+      FROM lineitem)
+    SELECT r.l_partkey, r.l_suppkey, r.l_extendedprice, s.s_name
+    FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE rn = 1
+    """,
+)
+def cheapest_item_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): window-rank then
+    broadcast-join the supplier dimension."""
+    li, supp = tables(spark, sf_dir, "lineitem", "supplier")
+    ranked = R.window_rank(
+        li.select("l_partkey", "l_suppkey", "l_extendedprice"),
+        partition_by=["l_partkey"],
+        order_by=[F.col("l_extendedprice").asc(), F.col("l_suppkey").asc()],
+        k=1,
+    )
+    j = R.join(
+        ranked.df.drop("rn"), supp, F.col("l_suppkey") == F.col("s_suppkey"), broadcast=True
+    )
+    return j.df.select("l_partkey", "l_suppkey", "l_extendedprice", "s_name")
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume by year — two aliased
+    broadcast joins of the same dimension."""
+    li, orders, cust, supp, nation = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return R.agg(
+        j.withColumn("ship_year", F.year("l_shipdate")),
+        by=["supp_nation", "cust_nation", "ship_year"],
+        aggs={"volume": dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))},
+    ).df
+
+
+@register(
+    "not_in_parts_never_shipped",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def not_in_parts_never_shipped(spark, sf_dir):
+    """NOT IN over a non-null key column ≡ anti join (with nullable keys the
+    SQL three-valued semantics would differ — keys here are non-null)."""
+    part, li = tables(spark, sf_dir, "part", "lineitem")
+    return R.anti_join(part, li.select("l_partkey"), F.col("p_partkey") == F.col("l_partkey")).df.select(
+        "p_partkey", "p_name"
+    )
+
+
+# --- rows-only entries (genuinely non-SQL-expressible paths) --------------
+
+
+@register("pipeline_task_async_enrich", oracle=None)
+def pipeline_task_async_enrich(spark, sf_dir):
+    """Task-mode async pipeline over table data: asyncio fns with a
+    per-partition event loop + semaphore (the reference's 1000-worker IO
+    story, task/worker.py:217-244). No SQL oracle — async execution is the
+    point; the driver records a rows-only check and correctness is covered
+    by tests/test_lifecycle.py."""
+    import asyncio
+
+    import pypeln_spark as pl
+    from pypeln_spark.stage import Stage
+    from pypeln_spark.utils import VALUE_COL
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    scalar = Stage(docs.select(F.col("doc_id").alias(VALUE_COL)))
+
+    async def enrich(doc_id):
+        await asyncio.sleep(0)  # stand-in for an IO call
+        return doc_id * 2 + 1
+
+    return pl.task.map(enrich, scalar, workers=64, returns="long").df
+
+
+@register("pipeline_pickled_objects", oracle=None)
+def pipeline_pickled_objects(spark, sf_dir):
+    """Opaque-Python-object pipeline (the reference's anything-goes payload
+    contract): dict payloads ride the pickled BinaryType fallback through
+    map/filter and come back typed. Rows-only check — pickled bytes have no
+    SQL twin."""
+    import pypeln_spark as pl
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    rows = [
+        {"doc_id": r.doc_id, "meta": (r.lang, r.source)}
+        for r in docs.select("doc_id", "lang", "source").limit(100).collect()
+    ]
+    stage = (
+        pl.from_iterable(rows, spark=spark)
+        | pl.map(lambda d: {**d, "tagged": d["meta"][0] == "en"})
+        | pl.filter(lambda d: d["doc_id"] % 2 == 0)
+        | pl.map(lambda d: d["doc_id"], returns="long")
+    )
+    return stage.df
