@@ -47,7 +47,12 @@ def shingle_arrays(
 ) -> DataFrame:
     """(id, sh_arr: array<long>) — per-doc distinct k-shingle hashes as one
     array column. No explode, no shuffle; the representation every
-    narrow-only stage below builds on."""
+    narrow-only stage below builds on.
+
+    Hash = h31(substring) (md5-based). The char-code polynomial alternative
+    (hashing.shingle_hashes) was measured SLOWER despite skipping md5:
+    higher-order expressions evaluate interpreted, so per-element node count
+    (16 vs 6) dominates, not hash arithmetic."""
     return df.select(
         F.col(id_col),
         F.transform(shingles(F.col(text_col), k), h31).alias("sh_arr"),

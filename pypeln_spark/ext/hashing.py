@@ -92,3 +92,33 @@ def sql_shingles(expr: str, k: int = 5) -> str:
         f"range(1, greatest(len({expr}) - {k - 1}, 1) + 1), "
         f"i -> substr({expr}, CAST(i AS INT), {k})))"
     )
+
+
+def shingle_hashes(c: Column, k: int = 5) -> Column:
+    """Distinct k-shingle HASHES via a char-code polynomial (no md5):
+    h = fold(ascii(char), ×31) mod P31; ascii('') = 0 on both engines covers
+    the short-string tail. NOTE: measured ~2× SLOWER than
+    transform(shingles, h31) — higher-order exprs run interpreted, so the 16
+    nodes/element here beat md5's 6 nodes on cost. Kept as the reference
+    implementation of an md5-free hash for engines where that matters."""
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+
+    def h(i):
+        acc = F.ascii(F.substring(c, i, 1))
+        for j in range(1, k):
+            acc = acc * F.lit(31) + F.ascii(F.substring(c, i + F.lit(j), 1))
+        return acc.cast("long") % F.lit(P31)
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), h))
+
+
+def sql_shingle_hashes(expr: str, k: int = 5) -> str:
+    """DuckDB spelling of shingle_hashes() — identical arithmetic."""
+    acc = f"ascii(substr({expr}, CAST(i AS INT), 1))"
+    for j in range(1, k):
+        acc = f"({acc} * 31 + ascii(substr({expr}, CAST(i + {j} AS INT), 1)))"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({expr}) - {k - 1}, 1) + 1), "
+        f"i -> CAST({acc} AS BIGINT) % 2147483647))"
+    )

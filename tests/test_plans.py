@@ -71,3 +71,26 @@ def test_minhash_plan_has_no_shingle_shuffle(spark):
     # stronger check: signatures plan contains zero aggregates (pure
     # projection over per-doc arrays)
     assert "HashAggregate" not in p, p
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """write.partitionBy + year filter must produce a scan with
+    PartitionFilters (only matching directories read) — partition pruning is
+    THE 100 TB scan-cost lever for time-partitioned lakes."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.queries.base import load_table
+
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.mode("overwrite").partitionBy("order_year").parquet(f"{d}/orders")
+        df = spark.read.parquet(f"{d}/orders").filter(F.col("order_year") == 1997)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in p and "order_year" in p.split("PartitionFilters")[1][:200], p
+        got = df.count()
+        want = orders.filter(F.col("order_year") == 1997).count()
+        assert got == want
