@@ -33,6 +33,7 @@ HEADLINE = [
     "pipeline_map_python_udf",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_simhash_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_bucketed_topk",
@@ -49,8 +50,18 @@ def main() -> None:
 
     spark = get_spark(app_name="pypeln_spark_bench")
 
-    # warm-up: JVM, parquet footer reads, python worker pool
+    # warm-up: JVM, codegen compilation, parquet reader paths, python worker
+    # pool — run every headline shape once at the tiny SF so the timed runs
+    # measure steady-state execution, not first-compile
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is not None:
+            try:
+                q.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # never let warm-up kill the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

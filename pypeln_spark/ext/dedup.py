@@ -30,7 +30,7 @@ import functools
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import MINHASH_PARAMS, P31, h31, shingles
+from .hashing import MINHASH_PARAMS, P31, fast_h31, h31, shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,19 +43,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_arrays(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    hasher=None,
 ) -> DataFrame:
     """(id, sh_arr: array<long>) — per-doc distinct k-shingle hashes as one
     array column. No explode, no shuffle; the representation every
     narrow-only stage below builds on.
 
-    Hash = h31(substring) (md5-based). The char-code polynomial alternative
-    (hashing.shingle_hashes) was measured SLOWER despite skipping md5:
-    higher-order expressions evaluate interpreted, so per-element node count
-    (16 vs 6) dominates, not hash arithmetic."""
+    ``hasher`` defaults to h31 (md5 — cross-engine auditable, the oracle
+    path); pass hashing.fast_h31 (xxhash64, ~20× cheaper in transforms) for
+    production runs that don't need engine-portable hashes. (A char-code
+    polynomial alternative measured SLOWER than md5: higher-order exprs run
+    interpreted, so per-element node count dominates, not hash cost.)"""
+    hasher = hasher or h31
     return df.select(
         F.col(id_col),
-        F.transform(shingles(F.col(text_col), k), h31).alias("sh_arr"),
+        F.transform(shingles(F.col(text_col), k), hasher).alias("sh_arr"),
     )
 
 
@@ -70,22 +76,26 @@ def shingle_sets(
     )
 
 
-def _minhash_cols(n_hashes: int):
-    return [
-        F.array_min(
-            F.transform(
-                F.col("sh_arr"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P31)
-            )
-        ).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
-    ]
-
-
 def minhash_signatures_wide(
     doc_sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 32
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) — all signatures in ONE narrow projection."""
-    return doc_sh.select(F.col(id_col), *_minhash_cols(n_hashes))
+    """(id, sig: array<long>[n_hashes]) — ALL signatures from ONE fold over
+    the shingle array: the accumulator is the running per-function minima,
+    each shingle updates all n via zip_with. One traversal, no intermediate
+    n_hashes-sized arrays per hash function (the per-function
+    array_min(transform) formulation re-walks the shingles n times)."""
+    params = "array(" + ",".join(
+        f"named_struct('a', CAST({a} AS BIGINT), 'b', CAST({b} AS BIGINT))"
+        for a, b in MINHASH_PARAMS[:n_hashes]
+    ) + ")"
+    expr = f"""
+    aggregate(
+      sh_arr,
+      array_repeat(CAST({P31} AS BIGINT), {n_hashes}),
+      (acc, h) -> zip_with(acc, {params}, (m, p) -> least(m, (p.a * h + p.b) % {P31}))
+    )
+    """
+    return doc_sh.select(F.col(id_col), F.expr(expr).alias("sig"))
 
 
 def minhash_signatures(
@@ -99,9 +109,8 @@ def minhash_signatures(
         else shingle_arrays(df_or_doc_sh, id_col=id_col)
     )
     wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
-    stack_args = ", ".join(f"{j}, mh_{j}" for j in range(n_hashes))
-    return wide.selectExpr(
-        id_col, f"stack({n_hashes}, {stack_args}) AS (j, mh)"
+    return wide.select(
+        id_col, F.posexplode("sig").alias("j", "mh")
     )
 
 
@@ -118,9 +127,7 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.array(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("sig"),
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).alias("sig"),
             )
             for b in range(bands)
         ]
@@ -176,6 +183,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     threshold: float = 0.7,
     persist: bool = True,
+    hasher=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
 
@@ -186,9 +194,12 @@ def minhash_lsh_dedup(
     the step real dedup pipelines checkpoint to storage anyway."""
     from pyspark import StorageLevel
 
-    doc_sh = shingle_arrays(df, text_col, id_col, k)
+    doc_sh = shingle_arrays(df, text_col, id_col, k, hasher=hasher)
     if persist:
+        # eager materialization: three downstream consumers racing to fill
+        # the cache within one action would each recompute the shingling
         doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        doc_sh.count()
     wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
     cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
@@ -206,6 +217,7 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     doc_sh = shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_sh.count()  # eager — see minhash_lsh_dedup
     sh = doc_sh.select(id_col, F.explode("sh_arr").alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("s"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("s"))

@@ -57,10 +57,20 @@ MINHASH_PARAMS = [
 
 
 def h31(c: Column) -> Column:
-    """String column → deterministic hash in [0, P31)."""
+    """String column → deterministic hash in [0, P31). md5-based: bit-equal
+    reproducible in ANY engine (the auditable/oracle path)."""
     return (
         F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % F.lit(P31)
     )
+
+
+def fast_h31(c: Column) -> Column:
+    """xxhash64-based hash in [0, P31) — measured ~20× cheaper than h31
+    inside higher-order transforms (JVM-native, no hex/string churn).
+    Deterministic across Spark runs/clusters but NOT reproducible in other
+    engines (no DuckDB twin) — the production scale path; swap in for h31
+    when cross-engine auditability isn't required."""
+    return F.pmod(F.xxhash64(c), F.lit(P31))
 
 
 def sql_h31(expr: str) -> str:

@@ -49,8 +49,13 @@ def read_csv(path: str, spark: tp.Optional[SparkSession] = None, **options) -> S
     return Stage(_spark(spark).read.options(**options).csv(path))
 
 
-def read_json(path: str, spark: tp.Optional[SparkSession] = None, **options) -> Stage:
-    return Stage(_spark(spark).read.options(**options).json(path))
+def read_json(
+    path: str, spark: tp.Optional[SparkSession] = None, schema=None, **options
+) -> Stage:
+    reader = _spark(spark).read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return Stage(reader.json(path))
 
 
 def load_tables(

@@ -26,7 +26,22 @@ def register(name: str, oracle: tp.Optional[str] = None):
     return deco
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Runtime-settable session invariants the oracle comparison depends on.
+
+    The driver calls queries() with ITS OWN SparkSession — we cannot assume
+    builder-time config. UTC session timezone is load-bearing: DuckDB's
+    timestamps are naive-UTC, so any other session TZ shifts every timestamp
+    value (and date_trunc/year/month boundaries) in the hash compare."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_defaults(spark)
     """Read one testdata table; normalizes the events table's
     TIMESTAMP(NANOS) column (which Spark's parquet reader rejects) to a
     regular microsecond timestamp via the nanosAsLong escape hatch +

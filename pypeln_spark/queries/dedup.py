@@ -125,6 +125,22 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
+@register("dedup_minhash_lsh_fast", oracle=None)
+def dedup_minhash_lsh_fast(spark, sf_dir):
+    """The production-speed MinHash-LSH: identical pipeline, xxhash64 shingle
+    hashes (~20× cheaper than md5 inside transforms; measured ~2× end-to-end).
+    No oracle — xxhash64 has no DuckDB twin; algorithmic correctness is
+    covered by the md5 variant's full-pipeline oracle, and this variant's
+    candidate/verify machinery is byte-identical code."""
+    from pypeln_spark.ext.hashing import fast_h31
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+        hasher=fast_h31,
+    )
+
+
 _TH = sql_h31("tok")
 
 @register(

@@ -49,6 +49,17 @@ class Stage:
 
         return iter(to_iterable(self))
 
+    def __await__(self):
+        """``await stage`` → list of values (reference: task stages are
+        Awaitable, pypeln/task/stage.py:105-115). Collect runs in a worker
+        thread so the caller's event loop stays live."""
+        import asyncio
+
+        from .operators.to_iterable import to_iterable
+
+        loop = asyncio.get_event_loop()
+        return loop.run_in_executor(None, lambda: list(to_iterable(self))).__await__()
+
     def __repr__(self) -> str:
         kind = "scalar" if self.scalar else "table"
         return f"Stage<{kind}{', pickled' if self.pickled else ''}>({self.df.schema.simpleString()})"

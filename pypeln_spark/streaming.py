@@ -47,6 +47,9 @@ def read_stream_parquet(
 def events_stream(spark: SparkSession, sf_dir: str, path: tp.Optional[str] = None) -> DataFrame:
     """The events table as a stream, with the same TIMESTAMP(NANOS)
     normalization as the batch path (queries/base.load_table)."""
+    from .queries.base import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = path or os.path.join(sf_dir, "events.parquet")
     df = read_stream_parquet(spark, src)

@@ -1,0 +1,83 @@
+"""Edge-case hardening: empty inputs through every extension operator,
+await-stage parity, CSV/JSON connector round trips. The driver and judge
+should never hit a crash on a degenerate input."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+import pypeln_spark as pl
+from pypeln_spark.ext import dedup as D, similarity as S, text as X
+from pypeln_spark.queries.base import load_table
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], schema=DOC_SCHEMA)
+
+
+@pytest.fixture()
+def empty_emb(spark):
+    return spark.createDataFrame([], schema=EMB_SCHEMA)
+
+
+def test_dedup_ops_on_empty(spark, empty_docs):
+    assert D.exact_dedup(empty_docs).count() == 0
+    assert D.minhash_lsh_dedup(empty_docs).count() == 0
+    assert D.simhash_near_pairs(D.simhash_fingerprints(empty_docs)).count() == 0
+    assert D.ngram_jaccard_pairs(empty_docs).count() == 0
+
+
+def test_text_ops_on_empty(spark, empty_docs):
+    assert X.token_stats(empty_docs).count() == 0
+    assert X.quality_scores(empty_docs).count() == 0
+    assert X.lang_scores(empty_docs).count() == 0
+    assert X.fingerprint(empty_docs).count() == 0
+
+
+def test_similarity_ops_on_empty(spark, empty_emb):
+    assert S.cosine_topk(empty_emb, empty_emb).count() == 0
+    assert S.near_dup_pairs(empty_emb).count() == 0
+
+
+def test_single_doc_no_pairs(spark):
+    one = spark.createDataFrame(
+        [(1, "hello world text sample", "en", "s", 23)], schema=DOC_SCHEMA
+    )
+    assert D.minhash_lsh_dedup(one).count() == 0
+    assert D.simhash_near_pairs(D.simhash_fingerprints(one)).count() == 0
+
+
+def test_await_stage(spark):
+    import asyncio
+
+    async def go():
+        stage = pl.map(lambda x: x + 1, [1, 2, 3], returns="long") | pl.ordered()
+        return await stage
+
+    out = asyncio.new_event_loop().run_until_complete(go())
+    assert out == [2, 3, 4]
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """Connector coverage: the same relation through parquet, csv and json
+    readers yields identical data."""
+    nation = load_table(spark, sf_dir, "nation")
+    csv_p, json_p = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    nation.write.mode("overwrite").option("header", True).csv(csv_p)
+    nation.write.mode("overwrite").json(json_p)
+
+    from_csv = pl.read_csv(csv_p, spark=spark, inferSchema=True).df
+    from_json = pl.read_json(json_p, spark=spark, schema=nation.schema).df
+
+    base = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in from_csv.collect()} == base
+    assert {tuple(r) for r in from_json.collect()} == base
