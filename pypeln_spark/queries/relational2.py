@@ -86,7 +86,8 @@ def grouping_sets_orders(spark, sf_dir):
     "array_function_gauntlet",
     oracle="""
     SELECT doc_id,
-           list_sort(string_split(text, ' '))[2:4] AS second_to_fourth_sorted,
+           array_to_string(list_sort(string_split(text, ' '))[2:4], '|')
+             AS second_to_fourth_sorted,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
            CAST(coalesce(list_position(string_split(text, ' '), 'query'), 0) AS BIGINT)
              AS query_pos,
@@ -97,12 +98,13 @@ def grouping_sets_orders(spark, sf_dir):
 )
 def array_function_gauntlet(spark, sf_dir):
     """Array ops: sort, slice, contains, position, distinct, join — all
-    codegen'd JVM expressions."""
+    codegen'd JVM expressions. Array-typed outputs are flattened to strings
+    so the cross-engine value hash never depends on list-repr details."""
     (docs,) = tables(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.slice(F.sort_array(toks), 2, 3).alias("second_to_fourth_sorted"),
+        F.array_join(F.slice(F.sort_array(toks), 2, 3), "|").alias("second_to_fourth_sorted"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_position(toks, "query").cast("long").alias("query_pos"),
         F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), "|").alias(

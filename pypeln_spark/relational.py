@@ -65,6 +65,30 @@ def anti_join(left: tp.Any, right: tp.Any, on, broadcast: bool = False) -> Stage
     return Stage(l.join(r, on, "left_anti"))
 
 
+def salted_join(
+    left: tp.Any,
+    right: tp.Any,
+    on: str,
+    how: str = "inner",
+    salts: int = 16,
+) -> Stage:
+    """Skew-mitigated equi-join: spread each hot left-side key over ``salts``
+    sub-keys, replicate the right side ×salts, join on (key, salt).
+
+    Use when one side has pathological key skew AND AQE's skew-join split
+    isn't available/enough (AQE only splits post-shuffle partitions of
+    sort-merge joins). Cost: right side inflates ×salts — keep it the small
+    side. The salt is derived from a stable row hash, not rand(): plans stay
+    deterministic under retries/AQE re-execution."""
+    l, r = _df(left), _df(right)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in l.columns]), F.lit(salts))
+    l_s = l.withColumn("_salt", salt.cast("int"))
+    r_s = r.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return Stage(l_s.join(r_s, [on, "_salt"], how).drop("_salt"))
+
+
 def agg(
     stage: tp.Any,
     by: tp.Optional[tp.List[str]] = None,
