@@ -32,12 +32,39 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     The driver calls queries() with ITS OWN SparkSession — we cannot assume
     builder-time config. UTC session timezone is load-bearing: DuckDB's
     timestamps are naive-UTC, so any other session TZ shifts every timestamp
-    value (and date_trunc/year/month boundaries) in the hash compare."""
+    value (and date_trunc/year/month boundaries) in the hash compare.
+
+    Python-harness queries additionally need pypeln_spark importable inside
+    executor python workers; a session created before our import never saw
+    our PYTHONPATH export, so ship the package as a zip via addPyFile —
+    the runtime-safe mechanism (workers put SparkFiles on sys.path)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_pypeln_spark_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    staging = tempfile.mkdtemp(prefix="pypeln_spark_ship_")
+    zip_base = os.path.join(staging, "pypeln_spark_pkg")
+    # zip with the package as the top-level entry so workers can import it
+    shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="pypeln_spark"
+    )
+    try:
+        sc.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # e.g. file added twice by concurrent sessions — harmless
+    sc._pypeln_spark_shipped = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
