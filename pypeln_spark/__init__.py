@@ -27,11 +27,13 @@ from .operators import (
     flat_map,
     from_iterable,
     map,  # noqa: A004
+    map_rows,
     ordered,
     run,
     to_async_iterable,
     to_iterable,
 )
+from . import shared
 from .io import load_tables, read_csv, read_json, read_parquet, write_parquet
 from .session import get_spark
 from .stage import Stage, to_stage
@@ -49,6 +51,8 @@ __all__ = [
     "sync",
     "modes",
     "map",
+    "map_rows",
+    "shared",
     "flat_map",
     "filter",
     "each",

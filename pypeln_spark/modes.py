@@ -45,8 +45,11 @@ class _Mode:
         self.concat = concat
         self.ordered = ordered
         self.run = run
+        from .operators import map_rows
+
         for name, op in (
             ("map", map),
+            ("map_rows", map_rows),
             ("flat_map", flat_map),
             ("filter", filter),
             ("each", each),

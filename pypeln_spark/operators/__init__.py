@@ -4,6 +4,7 @@ from .filter import filter  # noqa: A004 - mirrors the reference's public name
 from .flat_map import flat_map
 from .from_iterable import from_iterable
 from .map import map  # noqa: A004
+from .map_rows import map_rows
 from .ordered import ordered
 from .run import run
 from .to_iterable import to_iterable, to_async_iterable
@@ -15,6 +16,7 @@ __all__ = [
     "flat_map",
     "from_iterable",
     "map",
+    "map_rows",
     "ordered",
     "run",
     "to_iterable",

@@ -42,6 +42,37 @@ def pipeline_map_python_udf(spark, sf_dir):
 
 
 @register(
+    "pipeline_map_rows_python",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice * 1.1 AS taxed,
+           concat(o_orderstatus, '/', o_orderpriority) AS status_priority
+    FROM orders
+    """,
+)
+def pipeline_map_rows_python(spark, sf_dir):
+    """pl.map_rows — Python row-dict functions over TABLE stages (the
+    reference's arbitrary-object map applied to structured rows), through
+    the same Arrow harness."""
+    import pypeln_spark as pl
+
+    (orders,) = tables(spark, sf_dir, "orders")
+
+    def f(row):
+        return {
+            "o_orderkey": row["o_orderkey"],
+            "o_totalprice": row["o_totalprice"],
+            "taxed": row["o_totalprice"] * 1.1,
+            "status_priority": f"{row['o_orderstatus']}/{row['o_orderpriority']}",
+        }
+
+    return pl.map_rows(
+        f, orders,
+        returns="o_orderkey long, o_totalprice double, taxed double, status_priority string",
+    ).df
+
+
+@register(
     "pipeline_filter_shipdate",
     oracle="SELECT * FROM lineitem "
     "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "

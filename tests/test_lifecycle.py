@@ -135,3 +135,66 @@ def test_thread_mode_concurrent_io(spark):
     elapsed = time.time() - t0
     assert out == data
     assert elapsed < 6, f"thread concurrency not effective: {elapsed:.1f}s"
+
+
+def test_map_rows_with_inference_and_lifecycle(spark, sf_dir):
+    import pypeln_spark as pl
+    from pypeln_spark.queries.base import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+
+    def on_start():
+        return {"prefix": "N:"}
+
+    def f(row, prefix):
+        return {"key": row["n_nationkey"], "tag": prefix + row["n_name"]}
+
+    out = pl.map_rows(f, nation, on_start=on_start)  # schema inferred
+    rows = {r.key: r.tag for r in out.df.collect()}
+    assert len(rows) == 25 and rows[0].startswith("N:")
+
+
+def test_map_rows_timeout_drops_row(spark, sf_dir):
+    import time
+
+    import pypeln_spark as pl
+    from pypeln_spark.queries.base import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+
+    def f(row):
+        if row["n_nationkey"] == 3:
+            time.sleep(5)
+        return {"key": row["n_nationkey"]}
+
+    out = pl.map_rows(f, nation, timeout=1.0, returns="key long")
+    keys = {r.key for r in out.df.collect()}
+    assert 3 not in keys and len(keys) == 24
+
+
+def test_shared_counter_and_broadcast(spark):
+    import pypeln_spark as pl
+
+    acc = pl.shared.counter(spark)
+    lookup = pl.shared.broadcast_value(spark, {1: "a", 2: "b"})
+
+    def f(x):
+        acc.add(1)
+        return lookup.value.get(x, "?")
+
+    out = sorted(pl.map(f, [1, 2, 3], returns="string"))
+    assert out == ["?", "a", "b"]
+    assert acc.value == 3
+
+
+def test_shared_dict_counter(spark):
+    import pypeln_spark as pl
+
+    acc = pl.shared.dict_counter(spark)
+
+    def f(x):
+        acc.add({"even" if x % 2 == 0 else "odd": 1})
+        return x
+
+    pl.run(pl.map(f, list(range(10)), returns="long"))
+    assert acc.value == {"even": 5, "odd": 5}
