@@ -128,3 +128,31 @@ def test_mixed_mode_chain(spark):
         | pl.ordered()
     )
     assert list(stage) == [20, 40, 60, 80]
+
+
+def test_all_mode_orderings_chain(spark):
+    """Reference mixture-test analogue (tests/test_mixtures.py:17-206): every
+    ordering of the four namespaces chained, then ordered — identical
+    results regardless of execution-mode mixture."""
+    import itertools
+
+    modes = {
+        "process": pl.process,
+        "thread": pl.thread,
+        "task": pl.task,
+        "sync": pl.sync,
+    }
+
+    async def a_inc(x):
+        return x + 1
+
+    expected = [((x * 2) + 1) * 10 for x in range(6) if (x * 2) % 4 == 0]
+
+    for m1, m2, m3 in itertools.permutations(modes, 3):
+        f1 = modes[m1].map(lambda x: x * 2, returns="long")
+        f2 = modes[m2].filter(lambda x: x % 4 == 0)
+        inc = a_inc if m3 == "task" else (lambda x: x + 1)
+        f3 = modes[m3].map(inc, returns="long")
+        f4 = pl.map(lambda x: x * 10, returns="long")
+        out = range(6) | f1 | f2 | f3 | f4 | pl.ordered() | list
+        assert out == expected, (m1, m2, m3)

@@ -107,3 +107,38 @@ def test_foreach_batch_sink(spark, sf_dir):
     total = sum(n for _, n in seen)
     want = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error").count()
     assert total == want
+
+
+def test_rate_source_unbounded_stream(spark):
+    """Genuinely-unbounded source support (the reference's infinite
+    generators, SURVEY.md §2.2): Spark's rate source drives a windowed
+    aggregate; we stop after data arrives and check shape, not values
+    (row content is wall-clock dependent by design)."""
+    import tempfile
+    import time
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    )
+    agg = stream.groupBy(F.window("timestamp", "1 second")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="rate_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM rate_out").first()[0] > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM rate_out")
+    assert out.count() > 0
+    assert set(out.columns) == {"window", "n"}
