@@ -14,6 +14,7 @@ from .base import REGISTRY, Query, register, tables
 from . import pipeline  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 try:  # later phases; keep imports soft so a broken module never kills entry()
     from . import text  # noqa: F401

@@ -156,3 +156,15 @@ def test_all_mode_orderings_chain(spark):
         f4 = pl.map(lambda x: x * 10, returns="long")
         out = range(6) | f1 | f2 | f3 | f4 | pl.ordered() | list
         assert out == expected, (m1, m2, m3)
+
+
+def test_partial_composition(spark):
+    """Partials compose before any stage exists (reference:
+    pypeln/utils.py:87-98 — `x | partial == partial(x)` and partials chain)."""
+    pipe = (
+        pl.process.map(lambda x: x + 1, returns="long")
+        | pl.process.filter(lambda x: x % 2 == 0)
+        | pl.process.map(lambda x: x * 10, returns="long")
+    )
+    assert sorted(range(6) | pipe) == [20, 40, 60]
+    assert sorted(pipe(range(6))) == [20, 40, 60]
