@@ -41,6 +41,7 @@ HEADLINE = [
     "text_fingerprint",
     "asof_join_purchase_to_view",
     "streaming_tumbling_hourly",
+    "curation_pipeline_survivors",
 ]
 
 

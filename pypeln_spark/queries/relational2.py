@@ -323,3 +323,63 @@ def pipeline_pickled_objects(spark, sf_dir):
         | pl.map(lambda d: d["doc_id"], returns="long")
     )
     return stage.df
+
+
+@register(
+    "window_navigation_gauntlet",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+           lead(o_orderkey, 1, -1) OVER w AS next_order,
+           lag(o_orderkey, 1, -1) OVER w AS prev_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_navigation_gauntlet(spark, sf_dir):
+    """Window navigation: ntile / first_value / last_value (full frame) /
+    lead / lag with defaults — all deterministic under the orderkey
+    tiebreak; one shuffle on the partition key serves every function."""
+    from pyspark.sql import Window
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_order"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_order"),
+    )
+
+
+@register(
+    "listagg_region_nations",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def listagg_region_nations(spark, sf_dir):
+    """Ordered string aggregation: collect_list is unordered in a
+    distributed agg, so determinism comes from sort_array before the join —
+    the portable LISTAGG."""
+    region, nation = tables(spark, sf_dir, "region", "nation")
+    j = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
