@@ -383,3 +383,37 @@ def listagg_region_nations(spark, sf_dir):
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@register(
+    "stats_moments_by_event_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_value,
+           (CAST(SUM(CAST(value * value AS DECIMAL(38,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             - pow(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+             AS var_pop,
+           sqrt((CAST(SUM(CAST(value * value AS DECIMAL(38,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             - pow(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2))
+             AS stddev_pop
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_moments_by_event_type(spark, sf_dir):
+    """Population variance/stddev from decimal moment sums (E[x²]−E[x]²) —
+    the engines' native var_pop/stddev implementations accumulate doubles in
+    engine-specific orders, so reproducible statistics come from exact
+    moments + identical IEEE double arithmetic on both sides."""
+    (events,) = tables(spark, sf_dir, "events")
+    s1 = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,9)")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (s1 / n).alias("mean_value"),
+            ((s2 / n) - F.pow(s1 / n, F.lit(2))).alias("var_pop"),
+            F.sqrt((s2 / n) - F.pow(s1 / n, F.lit(2))).alias("stddev_pop"),
+        )
+    )
