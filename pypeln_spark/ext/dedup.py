@@ -33,10 +33,28 @@ from pyspark.sql import DataFrame, functions as F
 from .hashing import MINHASH_PARAMS, P31, fast_h31, h31, shingles
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure a CPU-heavy narrow pipeline gets the cluster's parallelism.
+
+    A single-file local input reads as ONE partition, serializing every
+    narrow projection downstream (measured: the whole minhash pipeline on 1
+    of 32 cores, 2× end-to-end). Repartition the raw side up to
+    defaultParallelism; no-op when the input already has that many
+    partitions — which a 100 TB source always does, so at scale this costs
+    nothing."""
+    if df.isStreaming:  # micro-batch sizing is the trigger's job
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One surviving id per distinct text. Returns (text_hash, keep_id, n_copies)."""
     return (
-        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        spread(df).select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -106,7 +124,7 @@ def minhash_signatures(
     doc_sh = (
         df_or_doc_sh
         if "sh_arr" in df_or_doc_sh.columns
-        else shingle_arrays(df_or_doc_sh, id_col=id_col)
+        else shingle_arrays(spread(df_or_doc_sh), id_col=id_col)
     )
     wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
     return wide.select(
@@ -187,20 +205,32 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
 
-    The shingle table feeds three consumers (signatures, both sides of the
-    verify join); without a persist Spark recomputes the md5-shingling per
-    consumer (~3× the dominant cost — measured). MEMORY_AND_DISK is the
-    production choice: spills instead of OOM, and at cluster scale this is
-    the step real dedup pipelines checkpoint to storage anyway."""
+    Two persist points, both load-bearing (measured at sf0.1):
+
+    - the shingle table feeds three consumers (signatures, both sides of the
+      verify join); without a persist Spark recomputes the md5-shingling per
+      consumer (~3× the dominant cost);
+    - the signature table feeds BOTH sides of the band self-join, and the
+      interpreted aggregate/zip_with fold is the single most expensive
+      projection in the pipeline — unpersisted it runs once per join side
+      plus once per verify path (11.2s → 5.4s end-to-end with the persist).
+
+    MEMORY_AND_DISK is the production choice: spills instead of OOM, and at
+    cluster scale these are the steps real dedup pipelines checkpoint to
+    storage anyway. Both caches are tiny relative to input: shingles ∝ text
+    length, signatures are n_hashes longs per doc."""
     from pyspark import StorageLevel
 
-    doc_sh = shingle_arrays(df, text_col, id_col, k, hasher=hasher)
+    doc_sh = shingle_arrays(spread(df), text_col, id_col, k, hasher=hasher)
     if persist:
-        # eager materialization: three downstream consumers racing to fill
-        # the cache within one action would each recompute the shingling
+        # eager materialization: downstream consumers racing to fill the
+        # cache within one action would each recompute the projection
         doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
         doc_sh.count()
     wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
+    if persist:
+        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+        wide.count()
     cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
 
@@ -216,7 +246,7 @@ def ngram_jaccard_pairs(
     inverted shingle index (any shared shingle) — the quadratic baseline."""
     from pyspark import StorageLevel
 
-    doc_sh = shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_sh = shingle_arrays(spread(df), text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     doc_sh.count()  # eager — see minhash_lsh_dedup
     sh = doc_sh.select(id_col, F.explode("sh_arr").alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("s"))
@@ -240,6 +270,7 @@ def simhash_fingerprints(
     no shuffle."""
     from .hashing import spark_sql_h31
 
+    df = spread(df)
     expr = f"""
     aggregate(
       zip_with(

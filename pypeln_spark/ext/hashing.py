@@ -73,6 +73,16 @@ def fast_h31(c: Column) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(P31))
 
 
+def py_h31(s: str) -> int:
+    """Driver-side Python twin of h31 — MUST stay in lockstep with h31()/
+    sql_h31(). Used to precompute row-independent constants (e.g. LSH
+    hyperplane components) once on the driver instead of per row inside
+    interpreted higher-order expressions."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P31
+
+
 def sql_h31(expr: str) -> str:
     """DuckDB spelling of h31 — MUST stay in lockstep with h31()."""
     return (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import spread
 from .hashing import P31
 
 # decimal(30,12) — NOT (38,12): Spark's decimal addition widens precision by
@@ -63,7 +64,7 @@ def cosine_topk(
     """Exact brute-force top-k: queries × corpus cross join, cosine, window
     rank. The cross join broadcasts the (small) query side; corpus streams.
     Output: (query_id, neighbor_id, cos, rank)."""
-    c = with_norms(emb, vec_col).select(
+    c = with_norms(spread(emb), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
     )
     q = with_norms(queries, vec_col).select(
@@ -91,16 +92,36 @@ def hyperplane_component(plane: int, dim) -> F.Column:
     return ((h31(key) % F.lit(2001)) - F.lit(1000)).cast("double") / F.lit(1000.0)
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8) -> DataFrame:
+def plane_components(plane: int, dim: int) -> list[float]:
+    """Driver-side precompute of one plane's components (py_h31 twin of
+    hyperplane_component) — identical values, computed once instead of per
+    row inside interpreted transforms."""
+    from .hashing import py_h31
+
+    return [((py_h31(f"plane_{plane}_{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
     """Random-hyperplane signature: bit p = [dot(plane_p, v) > 0]; bucket =
     the n_planes-bit integer. Plane dot products use the decimal fold —
-    bucket assignment is exact and engine-independent."""
+    bucket assignment is exact and engine-independent.
+
+    Pass ``dim`` when the embedding dimension is fixed/known: plane
+    components are then precomputed on the driver and inlined as literal
+    arrays (the components depend only on (plane, dim-index), and the
+    fallback recomputes their md5 derivation per ROW inside an interpreted
+    transform — measured 2.5× slower at sf0.1)."""
     v = _vec_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1), lambda d: hyperplane_component(p, d)
-        )
+        if dim is not None:
+            comps = F.array(*[F.lit(x) for x in plane_components(p, dim)])
+        else:
+            comps = F.transform(
+                F.sequence(F.lit(0), F.size(v) - 1), lambda d: hyperplane_component(p, d)
+            )
         d = dot_decimal(v, comps)
         bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
@@ -113,14 +134,15 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
     One equi-join on bucket instead of a cross join — the 100 TB shape."""
-    c = lsh_bucket(with_norms(emb, vec_col), "_v", n_planes).select(
+    c = lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
         F.col("_norm").alias("cn"), "bucket",
     )
-    q = lsh_bucket(with_norms(queries, vec_col), "_v", n_planes).select(
+    q = lsh_bucket(with_norms(queries, vec_col), "_v", n_planes, dim).select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
         F.col("_norm").alias("qn"), "bucket",
     )
@@ -141,7 +163,7 @@ def near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact embedding near-dup pairs (cos ≥ threshold, id_a < id_b)."""
-    n = with_norms(emb, vec_col)
+    n = with_norms(spread(emb), vec_col)
     a = n.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_norm").alias("na"))
     b = n.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))
     return (

@@ -12,6 +12,7 @@ import typing as tp
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .dedup import spread
 from .hashing import P31, h31
 
 # tiny embedded stopword lists for the lang-id heuristic (public knowledge;
@@ -38,7 +39,7 @@ def tokenize_bpe_ish(c: Column) -> Column:
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     toks = tokenize(F.col(text_col))
-    return df.select(
+    return spread(df).select(
         id_col,
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
@@ -58,7 +59,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     # tokens — gives the same count as a set-intersect on every engine
     n_stop = F.size(F.filter(en_stop, lambda s: F.array_contains(toks, s))).cast("double")
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, x))).cast("double")
-    return df.select(
+    return spread(df).select(
         id_col,
         F.length(t).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -84,7 +85,7 @@ def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         arr = F.array([F.lit(w) for w in words])
         hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("double")
         cols.append((hits / n_toks).alias(f"score_{lang}"))
-    out = df.select(*cols)
+    out = spread(df).select(*cols)
     best = F.greatest(*[F.col(f"score_{l}") for l in STOPWORDS])
     pred = F.lit("und")
     for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
@@ -104,4 +105,4 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(31) + h31(x)) % F.lit(P31),
     )
-    return df.select(id_col, fp.alias("fingerprint"))
+    return spread(df).select(id_col, fp.alias("fingerprint"))

@@ -16,6 +16,7 @@ K = 5
 N_QUERIES = 10  # query set = vec_id < 10
 NEAR_DUP_T = 0.35
 N_PLANES = 6
+DIM = 64  # embeddings table dimension — the oracle's range(1,65) hardcodes it too
 
 # DuckDB spellings of the decimal-fold dot product over 1-based list indexes
 def _dot(u: str, v: str) -> str:
@@ -105,7 +106,7 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.ann_lsh_topk(emb, queries, k=K, n_planes=N_PLANES)
+    return S.ann_lsh_topk(emb, queries, k=K, n_planes=N_PLANES, dim=DIM)
 
 
 @register(
