@@ -37,11 +37,13 @@ HEADLINE = [
     "dedup_simhash_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
     "text_quality_scores",
     "text_fingerprint",
     "asof_join_purchase_to_view",
     "streaming_tumbling_hourly",
     "curation_pipeline_survivors",
+    "curation_decontaminated",
 ]
 
 

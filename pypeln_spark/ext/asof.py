@@ -128,3 +128,46 @@ def asof_join_pandas(
         .cogroup(right.groupBy(on))
         .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval (range) join — points matched to every [start, end] interval
+    of the same key that contains them — WITHOUT the naive theta-join.
+
+    The scale shape: intervals explode to the time buckets they cover
+    (rows ∝ interval length / bucket_s — bounded, pick bucket_s near the
+    typical interval length), points map to exactly ONE bucket, and the
+    match becomes an equi-join on (key, bucket) + an exact containment
+    filter. Each (point, interval) pair meets in exactly one bucket (the
+    point's), so no post-join dedup is needed. A theta-join
+    `p.key = i.key AND p.ts BETWEEN i.start AND i.end` would make Spark fall
+    back to a broadcast-nested-loop per key — quadratic per key group.
+
+    Column names of ``points`` and ``intervals`` must not collide except for
+    ``on``. Epoch-second truncation is monotonic, so bucket(point) always
+    lies within [bucket(start), bucket(end)] — no boundary misses."""
+    pb = points.withColumn(
+        "_rb", F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_s))
+    )
+    ib = intervals.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / F.lit(bucket_s)),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / F.lit(bucket_s)),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [on, "_rb"])
+        .filter((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts)))
+        .drop("_rb")
+    )

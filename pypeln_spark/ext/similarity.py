@@ -159,6 +159,75 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    n_cells: int,
+    keep: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its ``keep`` nearest centroid cells by cosine
+    (deterministic tiebreak: centroid id). ``vecs``/``centroids`` are
+    with_norms frames. The centroid side is broadcast — assignment is one
+    narrow pass over the corpus, the IVF build shape at any scale."""
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
+    )
+    scored = vecs.join(F.broadcast(c), F.lit(True)).withColumn(
+        "ccos", dot_decimal(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= keep)
+        .select(id_col, "_v", "_norm", "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer (deterministic centroids = the first
+    ``n_cells`` vectors by id) partitions the corpus into inverted lists;
+    each query probes its ``nprobe`` nearest cells only.
+
+    The 100 TB shape: corpus assignment is a broadcast-join narrow pass, the
+    inverted lists are an equi-join key (cell id), and search cost per query
+    drops from |corpus| to nprobe/n_cells of it. Recall is tunable via
+    nprobe. A trained k-means quantizer would slot in by swapping the
+    centroid frame; the frozen first-K choice keeps the whole pipeline
+    engine-reproducible (cf. oracle in queries/similarity.py)."""
+    corpus = with_norms(spread(emb), vec_col)
+    cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
+    cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"), "cid",
+    )
+    probes = ivf_assign(
+        with_norms(queries, vec_col), cents, n_cells, keep=nprobe, id_col=id_col
+    ).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"), "cid",
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot_decimal(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

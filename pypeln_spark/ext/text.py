@@ -106,3 +106,28 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         lambda acc, x: (acc * F.lit(31) + h31(x)) % F.lit(P31),
     )
     return spread(df).select(id_col, fp.alias("fingerprint"))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-token-count chunks — the packing step
+    before sequence-length-bounded training. Output one row per chunk:
+    (id, chunk_id, chunk_text, n_chunk_tokens). Pure posexplode of a
+    per-doc slice array: narrow, no shuffle, rows ∝ total tokens /
+    chunk_size. The chunk index extends the hierarchical-order convention
+    (posexplode pos = the appended index component, SURVEY §2.1 flat_map)."""
+    toks = tokenize(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.array_join(F.slice(toks, c * chunk_size + 1, chunk_size), " "),
+    )
+    return spread(df).select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).withColumn(
+        "n_chunk_tokens", F.size(tokenize(F.col("chunk_text"))).cast("long")
+    )

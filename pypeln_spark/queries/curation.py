@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pypeln_spark.ext import dedup as D, text as X
+from pypeln_spark.ext import curation as C, dedup as D, text as X
+from pypeln_spark.ext.hashing import sql_h31
 
 from .base import register, tables
 
@@ -57,3 +58,115 @@ def curation_pipeline_survivors(spark, sf_dir):
     )
     keep = D.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
     return quality.join(keep, "doc_id").select("doc_id", "n_tokens", "stopword_ratio")
+
+
+SAMPLE_RATE = 0.25
+SAMPLE_DENOM = 10000
+_SAMPLE_KEY = sql_h31("concat('sample:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "curation_sample_by_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE {_SAMPLE_KEY} % {SAMPLE_DENOM} < {int(SAMPLE_RATE * SAMPLE_DENOM)}
+    """,
+)
+def curation_sample_by_hash(spark, sf_dir):
+    """Deterministic hash-Bernoulli sampling: reproducible across engines
+    and runs (df.sample is partition-layout-dependent), pure pushdown-able
+    filter, and disjoint rate windows split train/val/test in one pass."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return C.sample_by_hash(docs, rate=SAMPLE_RATE, denom=SAMPLE_DENOM).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+STRAT_N = 20
+
+
+@register(
+    "curation_stratified_topn",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {STRAT_N}
+    """,
+)
+def curation_stratified_topn(spark, sf_dir):
+    """Per-language quota sampling: the N longest docs per stratum under a
+    total (deterministic) order. One shuffle on the strata key."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return C.stratified_topn(
+        docs.select("doc_id", "lang", "n_chars"),
+        strata=["lang"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        n=STRAT_N,
+    )
+
+
+DECON_N = 8
+_DTOKS = "string_split(text, ' ')"
+_DGRAM = sql_h31(
+    f"array_to_string(list_slice({_DTOKS}, CAST(i AS INT), CAST(i + {DECON_N - 1} AS INT)), ' ')"
+)
+_DGRAMS = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_DTOKS}) - {DECON_N - 1}, 1) + 1), i -> {_DGRAM}))"
+)
+
+
+@register(
+    "curation_decontaminated",
+    oracle=f"""
+    WITH bg AS (
+      SELECT DISTINCT unnest({_DGRAMS}) AS g FROM documents WHERE doc_id % 97 = 0
+    ),
+    tg AS (SELECT doc_id, unnest({_DGRAMS}) AS g FROM documents),
+    cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+    """,
+)
+def curation_decontaminated(spark, sf_dir):
+    """Benchmark decontamination: drop every training doc sharing any word
+    8-gram with the eval set (here the deterministic doc_id%97 slice — a
+    stand-in for a real benchmark table). The gram join ships hashes only;
+    the eval gram set broadcasts; text never shuffles."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.decontaminate(docs, bench, n=DECON_N).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+CHUNK = 64
+_CTOKS = "string_split(text, ' ')"
+
+
+@register(
+    "curation_chunk_tokens",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, {_CTOKS} AS toks,
+             unnest(range(0, CAST(ceil(len({_CTOKS}) / {CHUNK}.0) AS BIGINT))) AS c
+      FROM documents
+    )
+    SELECT doc_id, CAST(c AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, CAST(c * {CHUNK} + 1 AS INT),
+                                      CAST(c * {CHUNK} + {CHUNK} AS INT)), ' ') AS chunk_text,
+           CAST(len(string_split(array_to_string(list_slice(toks, CAST(c * {CHUNK} + 1 AS INT),
+                                      CAST(c * {CHUNK} + {CHUNK} AS INT)), ' '), ' ')) AS BIGINT)
+             AS n_chunk_tokens
+    FROM ex
+    """,
+)
+def curation_chunk_tokens(spark, sf_dir):
+    """Fixed-token-count chunk packing (sequence-length prep): posexplode of
+    per-doc slice arrays — narrow, chunk index continues the hierarchical
+    _index convention (SURVEY §2.1 flat_map)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.chunk_tokens(docs, chunk_size=CHUNK)

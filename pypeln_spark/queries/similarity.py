@@ -109,6 +109,54 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     return S.ann_lsh_topk(emb, queries, k=K, n_planes=N_PLANES, dim=DIM)
 
 
+N_CELLS = 16
+NPROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {N_CELLS}),
+    ascore AS (
+      SELECT x.vec_id, x.v, x.nrm, c.cid,
+             {_dot("x.v", "c.cv")} / (x.nrm * c.cn) AS ccos
+      FROM n x JOIN cent c ON TRUE
+    ),
+    ranked AS (
+      SELECT vec_id, v, nrm, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+      FROM ascore
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE crank = 1),
+    probes AS (SELECT vec_id, v, nrm, cid FROM ranked
+               WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM probes q JOIN cells c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {K}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (centroids = first 16 vectors)
+    → inverted lists keyed by cell id → nprobe=2 probe join. Together with
+    ann_lsh_bucketed_topk this gives both scale paths the brief names; the
+    oracle replays quantization, probing, and ranking — recall loss itself
+    is verified."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk(emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE)
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""

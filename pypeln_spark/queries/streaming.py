@@ -241,3 +241,45 @@ def asof_join_purchase_to_view(spark, sf_dir):
         F.col("view_id_right").alias("view_id"),
         (F.col("ts").cast("long") - F.col("ts_right").cast("long")).alias("gap_s"),
     )
+
+
+@register(
+    "range_join_purchase_after_signup",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           s.event_id AS signup_id, s.ts AS signup_ts,
+           epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def range_join_purchase_after_signup(spark, sf_dir):
+    """Interval (range) join via the bucketed equi-join lowering
+    (ext/asof.range_join): purchases matched to every same-user signup whose
+    1-hour window contains them. The oracle is the plain theta-join — the
+    bucketed plan must reproduce it exactly. At scale the theta-join is a
+    per-key nested loop; the bucketed form is one equi-join shuffle."""
+    from pypeln_spark.ext import asof as A
+
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("_end_ts"),
+    )
+    return A.range_join(
+        purchases, signups, on="user_id",
+        point_ts="purchase_ts", start_ts="signup_ts", end_ts="_end_ts",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "signup_id", "signup_ts",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("signup_ts")))
+        .alias("delay_us"),
+    )

@@ -80,3 +80,81 @@ def test_simhash_pigeonhole_equals_bruteforce(spark, sf_dir):
     )
     assert banded == {(r.id_a, r.id_b) for r in brute.collect()}
     fp.unpersist()
+
+
+def test_sample_by_hash_deterministic_and_nested(spark, sf_dir):
+    from pypeln_spark.ext import curation as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s25 = {r.doc_id for r in C.sample_by_hash(docs, rate=0.25).select("doc_id").collect()}
+    s25_again = {r.doc_id for r in C.sample_by_hash(docs, rate=0.25).select("doc_id").collect()}
+    s50 = {r.doc_id for r in C.sample_by_hash(docs, rate=0.5).select("doc_id").collect()}
+    assert s25 == s25_again  # reproducible, unlike df.sample
+    assert s25 <= s50  # rate windows nest: [0,2500) ⊂ [0,5000)
+    other = {
+        r.doc_id
+        for r in C.sample_by_hash(docs, rate=0.5, salt="val").select("doc_id").collect()
+    }
+    assert other != s50  # a different salt is an independent draw
+
+
+def test_decontaminate_drops_all_bench_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import curation as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    surv = C.decontaminate(docs, bench)
+    # every bench doc shares its own grams -> none survive
+    assert surv.join(bench.select("doc_id"), "doc_id").count() == 0
+    assert 0 < surv.count() < docs.count()
+
+
+def test_chunk_tokens_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    chunks = X.chunk_tokens(docs, chunk_size=16)
+    assert chunks.filter(F.col("n_chunk_tokens") > 16).count() == 0
+    # chunks, re-joined in chunk order, reconstruct the original text exactly
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ivf_topk_shape_and_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=2).collect()
+    brute = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=5).collect()}
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # contiguous ranks
+    hits = sum((r.query_id, r.neighbor_id) in brute for r in ivf)
+    assert hits / max(len(brute), 1) > 0.2  # probing 2/8 cells keeps real recall
