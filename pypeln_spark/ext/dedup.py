@@ -315,3 +315,64 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (doc_id, cluster_id) where
+    cluster_id = the MINIMUM doc id reachable through the pair graph — the
+    canonical survivor choice, making dedup keep-lists one filter away
+    (keep iff doc_id == cluster_id).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels (one join + one groupBy-min
+    per round), converging in O(graph diameter) rounds — near-dup clusters
+    are shallow, so this is 2-4 rounds in practice. Each round's labels
+    persist eagerly and the previous round unpersists: lineage stays O(1)
+    deep, not O(iterations). Convergence is detected exactly (changed == 0),
+    so results are deterministic and engine-independent — the oracle replays
+    the same fixpoint as a recursive-CTE transitive closure. For adversarial
+    high-diameter graphs swap in alternating large-star/small-star
+    (O(log n) rounds, same join shapes); dedup workloads don't need it."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("dst", "v")
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "v")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -199,3 +199,58 @@ def dedup_simhash_near_pairs(spark, sf_dir):
     banding loses nothing."""
     (docs,) = tables(spark, sf_dir, "documents")
     return D.simhash_near_pairs(D.simhash_fingerprints(docs))
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE}, {_MH_CTE},
+    banded AS (
+      SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → (doc_id, cluster_id =
+    min reachable id). The keep-list is `cluster_id = doc_id`. Spark runs
+    iterative min-label propagation to the exact fixpoint; the oracle
+    replays it as a recursive-CTE transitive closure — both converge to the
+    same canonical labeling, so the iteration count never leaks into the
+    result."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD
+    )
+    return D.connected_components(pairs)

@@ -158,3 +158,23 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))  # contiguous ranks
     hits = sum((r.query_id, r.neighbor_id) in brute for r in ivf)
     assert hits / max(len(brute), 1) > 0.2  # probing 2/8 cells keeps real recall
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pypeln_spark.ext import dedup as D
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # island pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
