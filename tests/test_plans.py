@@ -94,3 +94,34 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
         got = df.count()
         want = orders.filter(F.col("order_year") == 1997).count()
         assert got == want
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed range-join lowering must produce a hash/sort-merge
+    equi-join — the naive theta formulation degenerates to
+    BroadcastNestedLoopJoin, a per-key quadratic scan at scale."""
+    p = plan_of(spark, "range_join_purchase_after_signup")
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert "Join" in p
+
+
+def test_sample_by_hash_is_pure_filter(spark):
+    """Hash sampling must stay a filter (no shuffle, no aggregate): the
+    whole point is a zero-cost reproducible sample at the scan."""
+    p = plan_of(spark, "curation_sample_by_hash")
+    assert "Exchange" not in p, p
+    assert "HashAggregate" not in p, p
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The eval-set gram side must broadcast; the training side must reach
+    the contamination join as (gram, id) pairs — document text stays put."""
+    p = plan_of(spark, "curation_decontaminated")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_ivf_centroid_assignment_broadcasts(spark):
+    """Corpus→centroid scoring must broadcast the centroid side (narrow
+    corpus pass), never shuffle the corpus by centroid."""
+    p = plan_of(spark, "ann_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
