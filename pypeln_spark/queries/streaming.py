@@ -283,3 +283,78 @@ def range_join_purchase_after_signup(spark, sf_dir):
         (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("signup_ts")))
         .alias("delay_us"),
     )
+
+
+@register(
+    "streaming_interval_join_purchase_signup",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           s.event_id AS signup_id, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_join_purchase_signup(spark, sf_dir):
+    """STREAM-STREAM interval join: two live streams over the same event
+    source, watermarked on both sides, joined on key + time-range — the
+    Structured Streaming capability the reference has no analogue for.
+    Watermarks bound the join state (each side retains only rows younger
+    than watermark − 1h); the time-range predicate is what makes state
+    cleanup possible at all. Inner matches emit as they are found, so the
+    bounded replay reproduces the batch theta-join oracle exactly."""
+    purchases = (
+        ST.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    signups = (
+        ST.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "2 hours")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = ST.run_to_memory(joined, output_mode="append")
+    return out.select("purchase_id", "user_id", "purchase_ts", "signup_id", "signup_ts")
+
+
+@register(
+    "streaming_static_enrich_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation, e.event_type,
+           COUNT(*) AS n_events, {dsum_expr('e.value')} AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich_nation(spark, sf_dir):
+    """Stream-static enrichment: a live stream hash-joined to a static
+    dimension (broadcast per microbatch — the dimension never streams, no
+    watermark needed on it), then aggregated in complete mode. The standard
+    'enrich events with reference data' shape."""
+    ev = ST.events_stream(spark, sf_dir)
+    (nation,) = tables(spark, sf_dir, "nation")
+    enriched = ev.join(
+        F.broadcast(nation), ev.user_id % 25 == nation.n_nationkey
+    )
+    agg = enriched.groupBy(
+        F.col("n_name").alias("nation"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    out = ST.run_to_memory(agg, output_mode="complete")
+    return out.select("nation", "event_type", "n_events", "total_value")
