@@ -140,3 +140,23 @@ def pipeline_ordered_lineitem(spark, sf_dir):
     (li,) = tables(spark, sf_dir, "lineitem")
     stage = pl.to_stage(li).with_index("l_orderkey", "l_linenumber") | pl.ordered()
     return stage.df.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register("multimodal_asset_feature_stats", oracle=None)
+def multimodal_asset_feature_stats(spark, sf_dir):
+    """Multimodal plumbing through the registry: binary assets →
+    mapInPandas feature extraction (deterministic fake decode — the real
+    decoder is the documented stub) → per-modality stats. Rows-only: binary
+    payloads have no SQL twin; the batch shapes and schema contracts are
+    unit-tested in tests/test_ext.py."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import multimodal as M
+
+    assets = M.synthesize_assets(spark, n=96)
+    feats = M.extract_features(assets, fake_decode=True)
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.avg("mean_intensity").alias("avg_intensity"),
+        F.min("batch_rows").alias("min_batch_rows"),
+    )

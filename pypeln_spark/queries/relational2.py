@@ -417,3 +417,30 @@ def stats_moments_by_event_type(spark, sf_dir):
             F.sqrt((s2 / n) - F.pow(s1 / n, F.lit(2))).alias("stddev_pop"),
         )
     )
+
+
+@register(
+    "skew_salted_event_totals",
+    oracle=f"""
+    SELECT n.n_name AS nation, COUNT(*) AS n_events,
+           {dsum_expr('e.value')} AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_event_totals(spark, sf_dir):
+    """Skew-mitigated join, end-to-end: the fact side is salted over 16
+    sub-keys and the (small) dim side replicated ×16, so one pathological
+    hot key spreads across 16 tasks instead of stalling one. Salting is
+    pure plumbing — the oracle is the plain join, results must be
+    identical. (AQE skew-split only handles post-shuffle SMJ; salting is
+    the general tool.)"""
+    from pypeln_spark import relational as R
+
+    events, nation = tables(spark, sf_dir, "events", "nation")
+    left = events.withColumn("n_nationkey", (F.col("user_id") % 25).cast("long"))
+    joined = R.salted_join(left, nation, on="n_nationkey", salts=16).df
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
