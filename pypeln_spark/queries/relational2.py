@@ -10,6 +10,7 @@ from pyspark.sql import Window, functions as F
 
 from pypeln_spark import relational as R
 from pypeln_spark.functions import dsum, dsum_expr
+from pypeln_spark.ext.hashing import sql_h31
 
 from .base import register, tables
 
@@ -444,3 +445,38 @@ def skew_salted_event_totals(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+    WITH hh AS (
+      SELECT event_type, {sql_h31("CAST(user_id AS VARCHAR)")} AS h FROM events
+    ),
+    sk AS (
+      SELECT event_type, list_slice(list_sort(list(DISTINCT h)), 1, 64) AS kmin
+      FROM hh GROUP BY event_type
+    ),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+    SELECT s.event_type, s.kmin,
+           CASE WHEN len(s.kmin) < 64 THEN CAST(len(s.kmin) AS DOUBLE)
+                ELSE CAST(135291469761 AS DOUBLE) / CAST(s.kmin[64] AS DOUBLE)
+           END AS est_distinct,
+           ex.n_exact
+    FROM sk s JOIN ex USING (event_type)
+    """,
+)
+def sketch_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (k=64) per event_type, estimate AND sketch
+    state both value-checked against the oracle (HLL can't be — no shared
+    spec across engines; KMV over the frozen hash family can). Spark side
+    runs the true two-phase shape: partial sub-sketches per salt sub-key,
+    lossless k-min merge — result provably independent of partitioning."""
+    from pypeln_spark.ext import sketch as K
+
+    (events,) = tables(spark, sf_dir, "events")
+    sk = K.kmv_sketch(events, ["event_type"], "user_id", k=64)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type")

@@ -178,3 +178,28 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_kmv_sketch_partition_invariant_and_accurate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import sketch as K
+    from pypeln_spark.queries.base import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    one = K.kmv_sketch(events.coalesce(1), ["event_type"], "user_id", k=32, salts=1)
+    many = K.kmv_sketch(events.repartition(16), ["event_type"], "user_id", k=32, salts=8)
+    a = {r.event_type: (r.kmin, r.est_distinct) for r in one.collect()}
+    b = {r.event_type: (r.kmin, r.est_distinct) for r in many.collect()}
+    assert a == b  # merge is lossless: layout/salting never changes the sketch
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, (kmin, est) in a.items():
+        if len(kmin) < 32:
+            assert est == len(kmin) == exact[et]  # small groups are exact
+        else:
+            assert abs(est - exact[et]) / exact[et] < 0.5  # k=32 → ~18% σ
