@@ -22,7 +22,7 @@ import typing as tp
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import P31, h31
+from .hashing import MINHASH_PARAMS, P31, h31
 
 
 def kmv_sketch(
@@ -53,3 +53,85 @@ def kmv_sketch(
         F.size("kmin") < k, F.size("kmin").cast("double")
     ).otherwise(F.lit(float((k - 1) * P31)) / kth)
     return merged.withColumn("est_distinct", est)
+
+
+def _cms_buckets(value_col: str, d: int, w: int) -> F.Column:
+    """array<long> of the d CMS row-buckets for a value: row j's bucket is
+    ((a_j*h31(v) + b_j) mod P31) mod w over the frozen minhash family —
+    a_j*h < 2^62, so everything stays in exact int64 on any engine."""
+    h = h31(F.col(value_col).cast("string"))
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(P31)) % F.lit(w)
+            for a, b in MINHASH_PARAMS[:d]
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: tp.Sequence[str],
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Per-group Count-Min sketch: (group..., cms: array<array<long>>), d
+    rows × w counters; cms[j][b] = #rows whose value hashes to bucket b under
+    row-hash j. The sketch is LINEAR (counter-wise sums), so merging partial
+    sketches is elementwise addition — partition-invariant by construction.
+
+    Scale shape: one explode (×d) into a groupBy over (group, j, bucket) —
+    key cardinality bounded by |groups|·d·w regardless of input size, so
+    map-side partial aggregation collapses the shuffle to ~|groups|·d·w rows;
+    the dense-array assembly then touches only that bounded relation."""
+    rows = df.withColumn("_bk", _cms_buckets(value_col, d, w)).select(
+        *group_cols, F.posexplode("_bk").alias("_j", "_b")
+    )
+    counts = rows.groupBy(*group_cols, "_j", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dense = counts.groupBy(*group_cols, "_j").agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m")
+    ).select(
+        *group_cols,
+        "_j",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            lambda b: F.coalesce(F.element_at(F.col("_m"), b.cast("long")), F.lit(0)),
+        ).alias("_row"),
+    )
+    return dense.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_j", "_row"))), lambda x: x["_row"]
+        ).alias("cms")
+    )
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    items_df: DataFrame,
+    group_cols: tp.Sequence[str],
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for (group, value) rows in items_df against
+    a cms_sketch over the same (d, w, hash family): adds `n_est` = min over
+    rows j of cms[j][bucket_j(value)] — the classic CMS upper bound, exact-
+    deterministic so it can be value-checked cross-engine. The sketch side is
+    tiny (one row per group), so the join broadcasts."""
+    bk = _cms_buckets(value_col, d, w)
+    est = F.least(
+        *[
+            F.element_at(
+                F.element_at("cms", j + 1), (F.element_at("_bk", j + 1) + 1).cast("int")
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        items_df.withColumn("_bk", bk)
+        .join(F.broadcast(sketch_df), list(group_cols))
+        .withColumn("n_est", est)
+        .drop("_bk", "cms")
+    )

@@ -10,7 +10,7 @@ from pyspark.sql import Window, functions as F
 
 from pypeln_spark import relational as R
 from pypeln_spark.functions import dsum, dsum_expr
-from pypeln_spark.ext.hashing import sql_h31
+from pypeln_spark.ext.hashing import MINHASH_PARAMS, sql_h31
 
 from .base import register, tables
 
@@ -480,3 +480,78 @@ def sketch_kmv_distinct_users(spark, sf_dir):
         F.countDistinct("user_id").alias("n_exact")
     )
     return sk.join(exact, "event_type")
+
+
+_CMS_D, _CMS_W = 4, 256
+_CMS_PARAMS = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS[:_CMS_D])
+)
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH p(j, pa, pb) AS (VALUES {_CMS_PARAMS}),
+    hh AS (
+      SELECT event_type, user_id,
+             {sql_h31("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    bk AS (
+      SELECT event_type, user_id, j,
+             ((CAST(pa AS BIGINT) * h + pb) % 2147483647) % {_CMS_W} AS b
+      FROM hh CROSS JOIN p
+    ),
+    c AS (
+      SELECT event_type, j, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bk GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT event_type, user_id, n_true FROM (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type
+                 ORDER BY COUNT(*) DESC, user_id) AS rn
+        FROM events GROUP BY 1, 2
+      ) WHERE rn <= 3
+    ),
+    tb AS (
+      SELECT DISTINCT t.event_type, t.user_id, t.n_true, bk.j, bk.b
+      FROM t JOIN bk ON t.event_type = bk.event_type
+                    AND t.user_id = bk.user_id
+    )
+    SELECT tb.event_type, tb.user_id, tb.n_true,
+           CAST(MIN(c.cnt) AS BIGINT) AS n_est
+    FROM tb JOIN c ON tb.event_type = c.event_type
+                  AND tb.j = c.j AND tb.b = c.b
+    GROUP BY 1, 2, 3
+    """,
+)
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: per event_type, the exact top-3 users by
+    event count alongside their CMS point estimate (d=4, w=256). The sketch
+    is linear (counter-wise sums), so the estimate is fully deterministic
+    under any partitioning and value-checks against the oracle — unlike
+    engine-native approx frequency functions, which have no cross-engine
+    spec. Sketch build is a bounded-cardinality groupBy (|groups|*d*w keys);
+    the estimate join broadcasts the one-row-per-group sketch."""
+    from pypeln_spark.ext import sketch as K
+
+    (events,) = tables(spark, sf_dir, "events")
+    sk = K.cms_sketch(events, ["event_type"], "user_id", d=_CMS_D, w=_CMS_W)
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    top = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("n_true"), F.asc("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    return K.cms_estimate(sk, top, ["event_type"], "user_id", d=_CMS_D, w=_CMS_W)

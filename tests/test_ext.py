@@ -203,3 +203,34 @@ def test_kmv_sketch_partition_invariant_and_accurate(spark, sf_dir):
             assert est == len(kmin) == exact[et]  # small groups are exact
         else:
             assert abs(est - exact[et]) / exact[et] < 0.5  # k=32 → ~18% σ
+
+
+def test_cms_sketch_linear_merge_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import sketch as K
+    from pypeln_spark.queries.base import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    one = K.cms_sketch(events.coalesce(1), ["event_type"], "user_id", d=2, w=64)
+    many = K.cms_sketch(events.repartition(16), ["event_type"], "user_id", d=2, w=64)
+    a = {r.event_type: r.cms for r in one.collect()}
+    b = {r.event_type: r.cms for r in many.collect()}
+    assert a == b  # linear sketch: layout never changes the counters
+    totals = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for et, cms in a.items():
+        for row in cms:  # every CMS row preserves the group's total mass
+            assert sum(row) == totals[et]
+    # point estimates are upper bounds on true frequency, exact-deterministic
+    truth = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    est = K.cms_estimate(
+        K.cms_sketch(events, ["event_type"], "user_id", d=2, w=64),
+        truth, ["event_type"], "user_id", d=2, w=64,
+    )
+    bad = est.filter(F.col("n_est") < F.col("n_true")).count()
+    assert bad == 0
