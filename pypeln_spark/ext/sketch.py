@@ -135,3 +135,51 @@ def cms_estimate(
         .withColumn("n_est", est)
         .drop("_bk", "cms")
     )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    group_cols: tp.Sequence[str],
+    key_col: str,
+    value_col: str,
+    k: int = 128,
+    probs: tp.Sequence[float] = (0.5, 0.9),
+    salts: int = 8,
+) -> DataFrame:
+    """Per-group quantile estimates from a bottom-k uniform row sample:
+    keep the k rows whose KEY hashes smallest (key_col must be unique per
+    row — e.g. the table's id — so the sample is uniform over ROWS and the
+    estimates target multiset quantiles, not distinct-value quantiles).
+    Output: (group..., m_sample, est_p{NN}...). Estimator is the sample
+    value at rank max(1, ceil(p*m)) — pure integer/rank arithmetic, no
+    interpolation, so estimates are bit-identical cross-engine; groups
+    smaller than k are sampled whole, making their quantiles exact.
+
+    Scale shape: same two-phase partial/final as kmv_sketch — per-(group,
+    salt) bottom-k sub-samples (state ≤ k structs each), then a lossless
+    k-smallest merge; the result is independent of partitioning."""
+    h = h31(F.col(key_col).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(salts))
+    pair = F.struct(h.alias("_h"), F.col(value_col).alias("_v"))
+    partial = (
+        df.withColumn("_pair", pair)
+        .withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list("_pair")), 1, k).alias("_part"))
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_part"))), 1, k
+        ).alias("_kmin")
+    )
+    vals = F.array_sort(F.transform(F.col("_kmin"), lambda x: x["_v"]))
+    out = merged.withColumn("_vals", vals).withColumn(
+        "m_sample", F.size("_vals").cast("long")
+    )
+    for p in probs:
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(float(p)) * F.size("_vals")))
+        out = out.withColumn(
+            f"est_p{int(round(p * 100))}",
+            F.element_at("_vals", rank.cast("int")),
+        )
+    return out.drop("_kmin", "_vals")

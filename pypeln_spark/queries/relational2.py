@@ -555,3 +555,55 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
         .drop("rn")
     )
     return K.cms_estimate(sk, top, ["event_type"], "user_id", d=_CMS_D, w=_CMS_W)
+
+
+@register(
+    "sketch_quantile_doc_lengths",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, {sql_h31("CAST(doc_id AS VARCHAR)")} AS h, n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, n_chars) AS rn
+      FROM s
+    ),
+    sv AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS vr,
+             COUNT(*) OVER (PARTITION BY lang) AS m
+      FROM r WHERE rn <= 128
+    ),
+    q AS (
+      SELECT lang,
+             CAST(MAX(m) AS BIGINT) AS m_sample,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.5 * m) AS BIGINT))
+                 THEN n_chars END) AS est_p50,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.9 * m) AS BIGINT))
+                 THEN n_chars END) AS est_p90
+      FROM sv GROUP BY lang
+    ),
+    ex AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT q.lang, q.m_sample, q.est_p50, q.est_p90, ex.n_docs
+    FROM q JOIN ex USING (lang)
+    """,
+)
+def sketch_quantile_doc_lengths(spark, sf_dir):
+    """Quantile sketch via bottom-k uniform row sampling: per lang, p50/p90
+    of document length estimated from the 128 docs whose doc_id hashes
+    smallest. Rank-pick estimator (no interpolation) + the frozen hash family
+    make the estimates bit-identical cross-engine — the auditable stand-in
+    for approx_percentile/t-digest, whose spec no two engines share. Same
+    lossless two-phase partial/final merge shape as the KMV sketch."""
+    from pypeln_spark.ext import sketch as K
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sk = K.bottomk_quantiles(
+        docs, ["lang"], "doc_id", "n_chars", k=128, probs=(0.5, 0.9)
+    )
+    exact = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return sk.join(exact, "lang")

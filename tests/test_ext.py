@@ -234,3 +234,36 @@ def test_cms_sketch_linear_merge_and_bounds(spark, sf_dir):
     )
     bad = est.filter(F.col("n_est") < F.col("n_true")).count()
     assert bad == 0
+
+
+def test_bottomk_quantiles_partition_invariant_and_exact_small(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import sketch as K
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = K.bottomk_quantiles(
+        docs.coalesce(1), ["lang"], "doc_id", "n_chars", k=64, salts=1
+    )
+    many = K.bottomk_quantiles(
+        docs.repartition(16), ["lang"], "doc_id", "n_chars", k=64, salts=8
+    )
+    a = {r.lang: (r.m_sample, r.est_p50, r.est_p90) for r in one.collect()}
+    b = {r.lang: (r.m_sample, r.est_p50, r.est_p90) for r in many.collect()}
+    assert a == b  # bottom-k merge is lossless under any layout
+    # k >= group size → sample is the whole group → exact rank quantiles
+    import math
+
+    whole = K.bottomk_quantiles(docs, ["lang"], "doc_id", "n_chars", k=10**6)
+    got = {r.lang: (r.m_sample, r.est_p50, r.est_p90) for r in whole.collect()}
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        vals = sorted(grp.n_chars)
+        m = len(vals)
+        exp = (
+            m,
+            vals[max(1, math.ceil(0.5 * m)) - 1],
+            vals[max(1, math.ceil(0.9 * m)) - 1],
+        )
+        assert got[lang] == exp
