@@ -44,6 +44,8 @@ HEADLINE = [
     "streaming_tumbling_hourly",
     "curation_pipeline_survivors",
     "curation_decontaminated",
+    "sketch_kmv_distinct_users",
+    "sketch_cms_heavy_hitters",
 ]
 
 

@@ -1,19 +1,25 @@
 """Mergeable sketches over the frozen md5 hash family (ext/hashing.py).
 
-KMV (K-Minimum-Values) distinct-count sketch: a group's sketch is the k
-smallest distinct hashes of its values; the estimator is (k-1) * H / kth_min
-(hashes uniform on [0, H)). Chosen over HLL here because it is *exactly
-reproducible cross-engine* — Spark's approx_count_distinct and DuckDB's HLL
-are different implementations with no shared spec, so they can never be
-oracle-checked value-for-value; KMV over h31 can, estimate included.
+Three sketches, one design rule: every estimator is *exactly reproducible
+cross-engine*, so sketch state AND estimates can be value-checked against
+the DuckDB oracle — unlike engine-native approx fns (approx_count_distinct,
+approx_percentile, HLL/t-digest), which share no spec across engines.
 
-Scale shape (the point): a two-phase aggregate exactly like Spark lowers
-sum() — a PARTIAL sketch per (group, salt) sub-key, then a FINAL merge of
-sub-sketches (flatten → distinct → k smallest). Merge is associative and
-lossless (the k smallest of a union are among each side's k smallest), so
-the result is independent of partitioning/salting — which is what lets the
-oracle compute it single-node. State per sub-group is ≤ k longs, never the
-value set; collect_set stays bounded by the salt fan-out.
+- kmv_sketch — KMV (K-Minimum-Values) distinct count: a group's sketch is
+  its k smallest distinct hashes; estimator (k-1) * H / kth_min (hashes
+  uniform on [0, H)). The reproducible HLL alternative.
+- cms_sketch / cms_estimate — Count-Min point frequency: d×w counter
+  matrix; estimate = min over rows of the value's counter. Linear, so
+  merge is counter addition.
+- bottomk_quantiles — quantiles from the uniform row sample given by the k
+  smallest key-hashes; rank-pick estimator, no interpolation.
+
+Scale shape (the point): each is a two-phase aggregate exactly like Spark
+lowers sum() — bounded PARTIAL state per (group, salt) sub-key or
+(group, j, bucket) key, then an associative lossless FINAL merge — so the
+result is provably independent of partitioning (tested), which is also
+what lets the oracle compute it single-node. State never holds the value
+set; collect_set/collect_list stay bounded by k and the salt fan-out.
 """
 
 from __future__ import annotations
