@@ -125,3 +125,20 @@ def test_ivf_centroid_assignment_broadcasts(spark):
     corpus pass), never shuffle the corpus by centroid."""
     p = plan_of(spark, "ann_ivf_topk")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_sketch_builds_are_partial_aggregates(spark):
+    # Sketch state must build map-side (partial HashAggregate/ObjectHashAggregate
+    # before the exchange), so the shuffle carries bounded sketch state, never
+    # raw values — the property that makes them viable at 100 TB.
+    for q in ("sketch_kmv_distinct_users", "sketch_quantile_doc_lengths"):
+        p = plan_of(spark, q)
+        assert "partial" in p.lower(), f"{q}: no partial aggregation\n{p}"
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    # The one-row-per-group sketch must broadcast into the probe side;
+    # a SortMergeJoin here would shuffle the full probe relation.
+    p = plan_of(spark, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, f"sketch join fell back to SMJ\n{p}"
