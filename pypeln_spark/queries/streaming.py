@@ -358,3 +358,57 @@ def streaming_static_enrich_nation(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
     out = ST.run_to_memory(agg, output_mode="complete")
     return out.select("nation", "event_type", "n_events", "total_value")
+
+
+@register(
+    "streaming_kmv_daily_distinct",
+    oracle="""
+    WITH hh AS (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+             (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2147483647) AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT window_start, event_type,
+             list_slice(list_sort(list(DISTINCT h)), 1, 64) AS kmin
+      FROM hh GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + INTERVAL 1 DAY AS window_end,
+           event_type, kmin,
+           CASE WHEN len(kmin) < 64 THEN CAST(len(kmin) AS DOUBLE)
+                ELSE CAST(135291469761 AS DOUBLE) / CAST(kmin[64] AS DOUBLE)
+           END AS est_distinct
+    FROM sk
+    """,
+)
+def streaming_kmv_daily_distinct(spark, sf_dir):
+    """KMV distinct-count sketch as STREAMING state: daily tumbling windows
+    per event_type, sketch built inside the streaming aggregation (complete
+    mode), estimate projected after the sink. The micro-batch incremental
+    update IS the sketch merge (associative + lossless), so the streamed
+    result is bit-identical to the batch/oracle computation — the property
+    that makes sketch state safe to checkpoint and resume. k=64 longs per
+    (window, event_type) group; the frozen md5 hash family keeps it
+    value-checkable cross-engine (see ext/sketch.py)."""
+    from pypeln_spark.ext.hashing import P31, h31
+
+    k = 64
+    ev = ST.events_stream(spark, sf_dir)
+    agg = (
+        ev.withColumn("_h", h31(F.col("user_id").cast("string")))
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("kmin"))
+    )
+    out = ST.run_to_memory(agg, output_mode="complete")
+    kth = F.element_at(F.col("kmin"), k).cast("double")
+    est = F.when(F.size("kmin") < k, F.size("kmin").cast("double")).otherwise(
+        F.lit(float((k - 1) * P31)) / kth
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "kmin",
+        est.alias("est_distinct"),
+    )
