@@ -49,13 +49,21 @@ ASSET_SCHEMA = T.StructType(
 
 
 def synthesize_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table (seeded bytes) for exercising the
-    plumbing without real media files."""
-    rng = np.random.RandomState(42)
+    """Deterministic fake asset table for exercising the plumbing without
+    real media files. Payload bytes are md5-derived from the asset id
+    (block b's 16 bytes = md5(f"{id}:{b}").digest()) — deterministic AND
+    SQL-reproducible, so downstream feature stats can be value-checked by
+    a DuckDB oracle that recomputes the first block's byte-mean from md5."""
+    import hashlib
+
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = rng.bytes(256 + (i % 7) * 64)
+        nbytes = 256 + (i % 7) * 64
+        payload = b"".join(
+            hashlib.md5(f"{i}:{b}".encode()).digest()
+            for b in range((nbytes + 15) // 16)
+        )[:nbytes]
         rows.append(
             (
                 i,

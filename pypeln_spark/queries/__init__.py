@@ -10,10 +10,15 @@ order-sensitive float reduction goes through the decimal-cast convention
 
 from .base import REGISTRY, Query, register, tables
 
-# importing the modules populates REGISTRY
+# Importing the modules populates REGISTRY. Order is deliberate blast-radius
+# insurance: the driver checks queries in registration order and r1 showed one
+# canonicalizer-hostile output schema starves every LATER entry of its row —
+# so the plain-schema relational surface registers first and the modules with
+# unusual output types (sketch state, streaming windows) register last. The
+# schemas themselves are contract-tested scalar-only (tests/test_correctness_
+# gate.py::test_no_canonicalizer_hostile_output_columns).
 from . import pipeline  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
-from . import relational2  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 
 try:  # later phases; keep imports soft so a broken module never kills entry()
@@ -28,6 +33,8 @@ try:
     from . import similarity  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+from . import relational2  # noqa: E402,F401
+
 try:
     from . import streaming  # noqa: F401
 except ImportError:  # pragma: no cover

@@ -142,12 +142,40 @@ def pipeline_ordered_lineitem(spark, sf_dir):
     return stage.df.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
-@register("multimodal_asset_feature_stats", oracle=None)
+@register(
+    "multimodal_asset_feature_stats",
+    oracle="""
+    WITH ids AS (SELECT range AS asset_id FROM range(96)),
+    b AS (
+      SELECT asset_id,
+             CASE CAST(asset_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             md5(CAST(asset_id AS VARCHAR) || ':0') AS hx
+      FROM ids
+    ),
+    e AS (
+      SELECT asset_id, modality,
+             CAST(concat('0x', substr(hx, CAST(2*i+1 AS INT), 2)) AS INT) AS byte
+      FROM b CROSS JOIN range(16) t(i)
+    ),
+    m AS (
+      SELECT asset_id, modality,
+             CAST(SUM(byte) AS DOUBLE) / 16.0 AS mean_intensity
+      FROM e GROUP BY 1, 2
+    )
+    SELECT modality, COUNT(*) AS n_assets,
+           CAST(SUM(CAST(mean_intensity AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_intensity
+    FROM m GROUP BY modality
+    """,
+)
 def multimodal_asset_feature_stats(spark, sf_dir):
     """Multimodal plumbing through the registry: binary assets →
     mapInPandas feature extraction (deterministic fake decode — the real
-    decoder is the documented stub) → per-modality stats. Rows-only: binary
-    payloads have no SQL twin; the batch shapes and schema contracts are
+    decoder is the documented stub) → per-modality stats. The synthetic
+    payloads are md5-derived (ext/multimodal.py), so the fake decoder's
+    mean-of-first-16-bytes IS SQL-expressible and the whole Arrow/
+    mapInPandas path gets a value-level oracle; batch shapes stay
     unit-tested in tests/test_ext.py."""
     from pyspark.sql import functions as F
 
@@ -157,6 +185,8 @@ def multimodal_asset_feature_stats(spark, sf_dir):
     feats = M.extract_features(assets, fake_decode=True)
     return feats.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_assets"),
-        F.avg("mean_intensity").alias("avg_intensity"),
-        F.min("batch_rows").alias("min_batch_rows"),
+        (
+            F.sum(F.col("mean_intensity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_intensity"),
     )

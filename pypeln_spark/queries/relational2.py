@@ -281,13 +281,16 @@ def not_in_parts_never_shipped(spark, sf_dir):
 # --- rows-only entries (genuinely non-SQL-expressible paths) --------------
 
 
-@register("pipeline_task_async_enrich", oracle=None)
+@register(
+    "pipeline_task_async_enrich",
+    oracle="SELECT doc_id * 2 + 1 AS value FROM documents",
+)
 def pipeline_task_async_enrich(spark, sf_dir):
     """Task-mode async pipeline over table data: asyncio fns with a
     per-partition event loop + semaphore (the reference's 1000-worker IO
-    story, task/worker.py:217-244). No SQL oracle — async execution is the
-    point; the driver records a rows-only check and correctness is covered
-    by tests/test_lifecycle.py."""
+    story, task/worker.py:217-244). The enrich function is deterministic
+    (doc_id*2+1), so despite running through the async harness it has an
+    exact SQL twin — async scheduling must not change values."""
     import asyncio
 
     import pypeln_spark as pl
@@ -304,18 +307,28 @@ def pipeline_task_async_enrich(spark, sf_dir):
     return pl.task.map(enrich, scalar, workers=64, returns="long").df
 
 
-@register("pipeline_pickled_objects", oracle=None)
+@register(
+    "pipeline_pickled_objects",
+    oracle="""
+    SELECT doc_id AS value
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+    WHERE doc_id % 2 = 0
+    """,
+)
 def pipeline_pickled_objects(spark, sf_dir):
     """Opaque-Python-object pipeline (the reference's anything-goes payload
     contract): dict payloads ride the pickled BinaryType fallback through
-    map/filter and come back typed. Rows-only check — pickled bytes have no
-    SQL twin."""
+    map/filter and come back typed. The fixture is the first 100 doc_ids in
+    key order (deterministic), so the surviving ids have an exact SQL twin;
+    only the scalar value column is returned — the from_iterable `_index`
+    bookkeeping column broke the driver canonicalizer in r1."""
     import pypeln_spark as pl
+    from pypeln_spark.utils import VALUE_COL
 
     (docs,) = tables(spark, sf_dir, "documents")
     rows = [
         {"doc_id": r.doc_id, "meta": (r.lang, r.source)}
-        for r in docs.select("doc_id", "lang", "source").limit(100).collect()
+        for r in docs.select("doc_id", "lang", "source").orderBy("doc_id").limit(100).collect()
     ]
     stage = (
         pl.from_iterable(rows, spark=spark)
@@ -323,7 +336,7 @@ def pipeline_pickled_objects(spark, sf_dir):
         | pl.filter(lambda d: d["doc_id"] % 2 == 0)
         | pl.map(lambda d: d["doc_id"], returns="long")
     )
-    return stage.df
+    return stage.df.select(VALUE_COL)
 
 
 @register(
@@ -458,7 +471,7 @@ def skew_salted_event_totals(spark, sf_dir):
       FROM hh GROUP BY event_type
     ),
     ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
-    SELECT s.event_type, s.kmin,
+    SELECT s.event_type, array_to_string(s.kmin, ',') AS kmin_csv,
            CASE WHEN len(s.kmin) < 64 THEN CAST(len(s.kmin) AS DOUBLE)
                 ELSE CAST(135291469761 AS DOUBLE) / CAST(s.kmin[64] AS DOUBLE)
            END AS est_distinct,
@@ -471,7 +484,12 @@ def sketch_kmv_distinct_users(spark, sf_dir):
     state both value-checked against the oracle (HLL can't be — no shared
     spec across engines; KMV over the frozen hash family can). Spark side
     runs the true two-phase shape: partial sub-sketches per salt sub-key,
-    lossless k-min merge — result provably independent of partitioning."""
+    lossless k-min merge — result provably independent of partitioning.
+
+    The sketch state is serialized to a csv string for the driver check:
+    array-typed output columns crash the driver's pandas canonicalizer
+    (VERDICT r1 — numpy.ndarray is unhashable in a lexsort), so arrays stay
+    internal to ext/sketch.py and registry outputs are scalars only."""
     from pypeln_spark.ext import sketch as K
 
     (events,) = tables(spark, sf_dir, "events")
@@ -479,7 +497,12 @@ def sketch_kmv_distinct_users(spark, sf_dir):
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    return sk.join(exact, "event_type")
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        F.array_join("kmin", ",").alias("kmin_csv"),
+        "est_distinct",
+        "n_exact",
+    )
 
 
 _CMS_D, _CMS_W = 4, 256

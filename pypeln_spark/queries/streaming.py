@@ -375,7 +375,7 @@ def streaming_static_enrich_nation(spark, sf_dir):
       FROM hh GROUP BY 1, 2
     )
     SELECT window_start, window_start + INTERVAL 1 DAY AS window_end,
-           event_type, kmin,
+           event_type, array_to_string(kmin, ',') AS kmin_csv,
            CASE WHEN len(kmin) < 64 THEN CAST(len(kmin) AS DOUBLE)
                 ELSE CAST(135291469761 AS DOUBLE) / CAST(kmin[64] AS DOUBLE)
            END AS est_distinct
@@ -388,9 +388,12 @@ def streaming_kmv_daily_distinct(spark, sf_dir):
     mode), estimate projected after the sink. The micro-batch incremental
     update IS the sketch merge (associative + lossless), so the streamed
     result is bit-identical to the batch/oracle computation — the property
-    that makes sketch state safe to checkpoint and resume. k=64 longs per
-    (window, event_type) group; the frozen md5 hash family keeps it
-    value-checkable cross-engine (see ext/sketch.py)."""
+    that makes the sketch safe to checkpoint and resume. The OUTPUT is
+    bounded at k=64 longs per (window, event_type) group; the collect_set
+    aggregation state underneath is O(distinct users per window/group) —
+    see ext/sketch.py's state-bound note. The frozen md5 hash family keeps
+    it value-checkable cross-engine. Sketch state is serialized to csv for
+    the driver check (arrays crash the pandas canonicalizer, VERDICT r1)."""
     from pypeln_spark.ext.hashing import P31, h31
 
     k = 64
@@ -409,6 +412,6 @@ def streaming_kmv_daily_distinct(spark, sf_dir):
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         "event_type",
-        "kmin",
+        F.array_join("kmin", ",").alias("kmin_csv"),
         est.alias("est_distinct"),
     )

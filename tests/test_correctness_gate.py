@@ -58,10 +58,28 @@ def normalize(df):
 oracle_queries = [(n, q) for n, q in sorted(REGISTRY.items()) if q.oracle is not None]
 
 
+def assert_driver_safe_schema(df, name):
+    """The driver canonicalizes outputs with a pandas lexsort; array/map/
+    binary top-level columns crash it (numpy.ndarray is unhashable — r1's
+    run aborted there, starving 35 later queries of correctness rows).
+    Contract: registry outputs are scalar-only; complex state is serialized
+    (array_join / to_json) before it leaves a query."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.BinaryType, T.StructType))
+    ]
+    assert not bad, f"{name}: canonicalizer-hostile output columns {bad}"
+
+
 @pytest.mark.parametrize("name", [n for n, _ in oracle_queries])
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
-    got = q.fn(spark, SF_DIR).toPandas()
+    sdf = q.fn(spark, SF_DIR)
+    assert_driver_safe_schema(sdf, name)
+    got = sdf.toPandas()
     want = duck.sql(q.oracle).df()
 
     got_cols, got_rows = normalize(got)
@@ -78,10 +96,12 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_rows_only_queries_run(spark):
-    """Queries without an oracle still must run and return a DataFrame."""
+    """Queries without an oracle still must run, return a DataFrame, and
+    keep their output schema canonicalizer-safe."""
     for name, q in sorted(REGISTRY.items()):
         if q.oracle is None:
             df = q.fn(spark, SF_DIR)
+            assert_driver_safe_schema(df, name)
             assert df.count() >= 0, name
 
 
