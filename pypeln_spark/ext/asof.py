@@ -15,17 +15,20 @@ Two lowerings:
   merge_asof — simpler to reason about, but materializes each key group in
   one python worker; only sane when no key is huge.
 
-Ties: if several right rows share (key, ts), the one with the largest
-tiebreaker column wins deterministically (callers wanting DuckDB-identical
-results should dedup the right side first — DuckDB ASOF tie behavior is
-unspecified).
+Ties: if several right rows share (key, ts), the row whose payload struct
+sorts largest wins deterministically — and it wins AS A WHOLE ROW: the
+matched right row's payload travels through the window as ONE struct, so
+its columns can never mix across different right rows and its legitimate
+NULLs are preserved (merge_asof / ASOF JOIN semantics). Callers wanting
+DuckDB-identical results should still dedup the right side first — DuckDB
+ASOF tie behavior is unspecified.
 """
 
 from __future__ import annotations
 
 import typing as tp
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def asof_join(
@@ -45,39 +48,47 @@ def asof_join(
     dropped (how='inner') or kept with nulls (how='left')."""
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
+    # The matched right row rides the window as ONE struct — carrying each
+    # payload column through its own last(ignorenulls) would backfill a
+    # right row's legitimate NULL from an OLDER right row and mix columns
+    # across rows (ADVICE r1). One struct, one last(), whole-row semantics.
+    lp_type = T.StructType(list(left.schema.fields))
+    rp_type = T.StructType(
+        [T.StructField("_rts", right.schema[right_ts].dataType)]
+        + [T.StructField(f"_r_{c}", right.schema[c].dataType) for c in right_cols]
+    )
     lhs = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lpayload"),
-        F.lit(None).cast(right.select(right_ts, *right_cols).schema[right_ts].dataType).alias("_rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(rp_type).alias("_rpayload"),
     )
     rhs = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(lhs.schema["_lpayload"].dataType).alias("_lpayload"),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(lp_type).alias("_lpayload"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        ).alias("_rpayload"),
     )
-    # right rows sort before left rows at equal ts (side 0 < 1) → inclusive ≤
+    # right rows sort before left rows at equal ts (side 0 < 1) → inclusive ≤;
+    # the struct tiebreak makes same-(key, ts) right rows deterministic
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rts").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rpayload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
         lhs.unionByName(rhs)
-        .withColumn("_m_ts", F.last("_rts", ignorenulls=True).over(w))
-        .withColumns(
-            {f"_m_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in right_cols}
-        )
+        .withColumn("_m", F.last("_rpayload", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
     out_cols = [F.col(f"_lpayload.{c}").alias(c) for c in left.columns]
-    out_cols.append(F.col("_m_ts").alias(f"{right_ts}{suffix}"))
-    out_cols += [F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in right_cols]
+    out_cols.append(F.col("_m._rts").alias(f"{right_ts}{suffix}"))
+    out_cols += [F.col(f"_m._r_{c}").alias(f"{c}{suffix}") for c in right_cols]
     out = carried.select(*out_cols)
     if how == "inner":
         out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())

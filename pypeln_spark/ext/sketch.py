@@ -14,12 +14,22 @@ approx_percentile, HLL/t-digest), which share no spec across engines.
 - bottomk_quantiles — quantiles from the uniform row sample given by the k
   smallest key-hashes; rank-pick estimator, no interpolation.
 
-Scale shape (the point): each is a two-phase aggregate exactly like Spark
-lowers sum() — bounded PARTIAL state per (group, salt) sub-key or
-(group, j, bucket) key, then an associative lossless FINAL merge — so the
-result is provably independent of partitioning (tested), which is also
-what lets the oracle compute it single-node. State never holds the value
-set; collect_set/collect_list stay bounded by k and the salt fan-out.
+Scale shape (the point): each is a two-phase aggregate like Spark lowers
+sum() — PARTIAL state per (group, salt) sub-key or (group, j, bucket) key,
+then an associative lossless FINAL merge — so the result is provably
+independent of partitioning (tested), which is also what lets the oracle
+compute it single-node.
+
+State-bound honesty (ADVICE r1): only CMS has truly bounded aggregation
+state (d×w counters). The KMV / bottom-k paths use collect_set /
+collect_list, whose AGGREGATION BUFFER holds the full distinct-hash set
+(resp. row list) per (group, salt) before the slice to k — the slice is a
+post-aggregation projection, not an incremental bound. The salt fan-out
+divides that buffer ×salts and map-side partial aggregation dedups within
+a partition, but worst-case partial state is O(distinct per group / salts),
+NOT O(k). Only the OUTPUT is bounded at k. For genuinely bounded
+incremental state use kmv_sketch_bounded (mapInPandas partial bottom-k,
+same result bit-for-bit) — the trade is a Python hop per partition.
 """
 
 from __future__ import annotations
@@ -28,7 +38,17 @@ import typing as tp
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import MINHASH_PARAMS, P31, h31
+from .hashing import MINHASH_PARAMS, P31, h31, py_h31
+
+
+def _kmv_estimate(merged: DataFrame, k: int) -> DataFrame:
+    """Attach the KMV estimator to a merged sketch: est = (k-1)*H / kth_min,
+    exact (= |kmin|) when the group has fewer than k distinct hashes."""
+    kth = F.element_at(F.col("kmin"), k).cast("double")
+    est = F.when(
+        F.size("kmin") < k, F.size("kmin").cast("double")
+    ).otherwise(F.lit(float((k - 1) * P31)) / kth)
+    return merged.withColumn("est_distinct", est)
 
 
 def kmv_sketch(
@@ -54,11 +74,72 @@ def kmv_sketch(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))), 1, k
         ).alias("kmin")
     )
-    kth = F.element_at(F.col("kmin"), k).cast("double")
-    est = F.when(
-        F.size("kmin") < k, F.size("kmin").cast("double")
-    ).otherwise(F.lit(float((k - 1) * P31)) / kth)
-    return merged.withColumn("est_distinct", est)
+    return _kmv_estimate(merged, k)
+
+
+def kmv_sketch_bounded(
+    df: DataFrame,
+    group_cols: tp.Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV with genuinely O(k) incremental state — the bounded counterpart
+    to kmv_sketch's collect_set path (whose aggregation buffer is
+    O(distinct per group); see the module docstring).
+
+    A mapInPandas pass streams each partition's Arrow batches through a
+    bounded per-group heap, keeping only the k smallest DISTINCT hashes —
+    memory O(groups·k) per partition no matter how many rows flow through.
+    The ≤k-row partials then merge in one groupBy whose collect_set input
+    is bounded at k·partitions rows per group. Bit-identical to kmv_sketch
+    over the same frozen md5 family (py_h31 is h31's lockstep Python twin);
+    the trade is a Python/Arrow hop, so prefer kmv_sketch until group
+    value-sets are large enough to spill its aggregation buffers.
+
+    ``value_col`` must be integer/string typed: the Python side hashes
+    str(value), matching Spark's cast("string") for those types only."""
+    import heapq
+
+    from pyspark.sql import types as T
+
+    gcols = list(group_cols)
+    out_schema = T.StructType(
+        [df.schema[c] for c in gcols] + [T.StructField("_h", T.LongType())]
+    )
+
+    def partial(batches: tp.Iterator) -> tp.Iterator:
+        import pandas as pd
+
+        # group key -> (max-heap of negated hashes, member set), both ≤ k
+        state: dict = {}
+        for pdf in batches:
+            groups = list(zip(*[pdf[c] for c in gcols])) if gcols else [()] * len(pdf)
+            for gv, v in zip(groups, pdf[value_col]):
+                h = py_h31(str(v))
+                heap, members = state.setdefault(gv, ([], set()))
+                if h in members:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -h)
+                    members.add(h)
+                elif h < -heap[0]:
+                    evicted = -heapq.heappushpop(heap, -h)
+                    members.discard(evicted)
+                    members.add(h)
+        rows = [
+            tuple(gv) + (h,)
+            for gv, (_, members) in state.items()
+            for h in members
+        ]
+        if rows:  # empty partitions emit nothing (empty object dtypes
+            # don't convert cleanly to the Arrow long schema)
+            yield pd.DataFrame(rows, columns=gcols + ["_h"])
+
+    partials = df.select(*gcols, value_col).mapInPandas(partial, schema=out_schema)
+    merged = partials.groupBy(*gcols).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("kmin")
+    )
+    return _kmv_estimate(merged, k)
 
 
 def _cms_buckets(value_col: str, d: int, w: int) -> F.Column:

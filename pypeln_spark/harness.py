@@ -198,8 +198,14 @@ def make_apply(
                 async with sem:
                     try:
                         if is_async_gen:
-                            ys = [y async for y in f(x, **kw)]
-                            return idx, ys
+                            # the whole generator consumption is one element's
+                            # work → one timeout budget, like the sync watchdog
+                            async def _consume():
+                                return [y async for y in f(x, **kw)]
+
+                            if timeout:
+                                return idx, await asyncio.wait_for(_consume(), timeout)
+                            return idx, await _consume()
                         coro = f(x, **kw)
                         if not inspect.isawaitable(coro):
                             return idx, coro
@@ -229,10 +235,18 @@ def make_apply(
 
             async def pred(raw):
                 async with sem:
-                    res = f(decode(raw), **f_kwargs)
-                    if inspect.isawaitable(res):
-                        res = await res
-                    return bool(res)
+                    try:
+                        res = f(decode(raw), **f_kwargs)
+                        if inspect.isawaitable(res):
+                            if timeout:
+                                res = await asyncio.wait_for(res, timeout)
+                            else:
+                                res = await res
+                        return bool(res)
+                    except asyncio.TimeoutError:
+                        # timed-out element is dropped — same as the sync
+                        # watchdog's _DROPPED semantics
+                        return False
 
             mask = await asyncio.gather(*[pred(v) for v in vals])
             return pdf[pd.Series(list(mask), index=pdf.index)]

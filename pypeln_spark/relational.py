@@ -79,7 +79,17 @@ def salted_join(
     isn't available/enough (AQE only splits post-shuffle partitions of
     sort-merge joins). Cost: right side inflates ×salts — keep it the small
     side. The salt is derived from a stable row hash, not rand(): plans stay
-    deterministic under retries/AQE re-execution."""
+    deterministic under retries/AQE re-execution.
+
+    Only left-preserving joins are allowed: the right side is replicated
+    ×salts, so right/full-outer would emit each unmatched right row
+    ``salts`` times — wrong multiplicity (ADVICE r1)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: the "
+            "right side is replicated per salt, so right-preserving joins "
+            "would duplicate unmatched right rows"
+        )
     l, r = _df(left), _df(right)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in l.columns]), F.lit(salts))
     l_s = l.withColumn("_salt", salt.cast("int"))

@@ -205,6 +205,23 @@ def test_kmv_sketch_partition_invariant_and_accurate(spark, sf_dir):
             assert abs(est - exact[et]) / exact[et] < 0.5  # k=32 → ~18% σ
 
 
+def test_kmv_sketch_bounded_matches_collect_set_path(spark, sf_dir):
+    """kmv_sketch_bounded (O(k) incremental state via mapInPandas) must be
+    bit-identical to the Catalyst collect_set path — same frozen hash
+    family, lossless merge, any partitioning."""
+    from pypeln_spark.ext import sketch as K
+    from pypeln_spark.queries.base import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    ref = K.kmv_sketch(events, ["event_type"], "user_id", k=32)
+    bnd = K.kmv_sketch_bounded(
+        events.repartition(16), ["event_type"], "user_id", k=32
+    )
+    a = {r.event_type: (r.kmin, r.est_distinct) for r in ref.collect()}
+    b = {r.event_type: (r.kmin, r.est_distinct) for r in bnd.collect()}
+    assert a == b
+
+
 def test_cms_sketch_linear_merge_and_bounds(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -124,6 +124,36 @@ def test_task_mode_timeout(spark):
     assert out == [0, 2]
 
 
+def test_task_mode_filter_timeout_drops_element(spark):
+    """ADVICE r1: timeout must apply to async filter predicates too — the
+    timed-out element is dropped, matching the sync watchdog."""
+    import asyncio
+
+    async def pred(x):
+        if x == 1:
+            await asyncio.sleep(5)
+        return True
+
+    out = sorted(pl.task.filter(pred, [0, 1, 2], timeout=1.0))
+    assert out == [0, 2]
+
+
+def test_task_mode_async_gen_timeout_drops_element(spark):
+    """ADVICE r1: the async-generator flat_map path gets one timeout budget
+    for the whole generator consumption."""
+    import asyncio
+
+    async def gen(x):
+        yield x
+        if x == 1:
+            await asyncio.sleep(5)
+            yield -1
+        yield x + 100
+
+    out = sorted(pl.task.flat_map(gen, [0, 1, 2], timeout=1.0, returns="long"))
+    assert out == [0, 2, 100, 102]
+
+
 def test_thread_mode_concurrent_io(spark):
     def f(x):
         time.sleep(0.3)

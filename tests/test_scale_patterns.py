@@ -36,6 +36,16 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_salts == 8
 
 
+def test_salted_join_rejects_right_preserving_how(spark):
+    """ADVICE r1: the right side is replicated ×salts, so right/full joins
+    would emit unmatched right rows `salts` times — refuse them."""
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(2, "b")], "k int, name string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            R.salted_join(left, right, on="k", how=how)
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Tables bucketed on the join key co-locate: the join plan must contain
     NO Exchange above either bucketed scan (shuffle-free join — the

@@ -96,6 +96,27 @@ def test_asof_left_keeps_unmatched(spark, sf_dir):
     assert inner.count() <= left.count()
 
 
+def test_asof_null_payload_stays_with_its_row(spark, sf_dir):
+    """ADVICE r1 regression: the matched right row's values must travel
+    together — a NULL payload column in the matched row must NOT be
+    backfilled from an older right row, and columns must never mix across
+    right rows."""
+    left = spark.createDataFrame([(1, 10), (1, 25)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, "old", 100), (1, 20, None, 200)],
+        "k int, ts int, label string, score int",
+    )
+    out = {
+        r.ts: (r.label_right, r.score_right)
+        for r in A.asof_join(
+            left, right, on="k", right_cols=["label", "score"]
+        ).collect()
+    }
+    assert out[10] == ("old", 100)
+    # ts=25 matches the ts=20 right row WHOLE: label is its legitimate NULL
+    assert out[25] == (None, 200)
+
+
 def test_foreach_batch_sink(spark, sf_dir):
     seen = []
 
