@@ -116,6 +116,99 @@ def minhash_signatures_wide(
     return doc_sh.select(F.col(id_col), F.expr(expr).alias("sig"))
 
 
+def shingle_sigs_np(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_hashes: int = 32,
+) -> DataFrame:
+    """(id, sh_arr, sig) in ONE Arrow/numpy pass — the vectorized twin of
+    ``shingle_arrays`` + ``minhash_signatures_wide``.
+
+    Same frozen md5 family (hashing.py_h31 lockstep), same first-occurrence
+    shingle order, so outputs are BIT-IDENTICAL to the Catalyst path
+    (tested) — but the per-shingle md5 and the n_hashes-way min-fold run in
+    Python/numpy instead of Spark's *interpreted* higher-order expressions,
+    which r1 measured as the dominant cost of the LSH pipeline. The fold is
+    one `(a*h+b) % p` vector op + `minimum.reduceat` per hash function over
+    the batch's concatenated shingle hashes; a per-partition md5 memo
+    exploits cross-document shingle repetition. NULL text hashes as ''.
+
+    Scale shape: narrow mapInPandas — no shuffle, parallelism = input
+    partitions, memory bounded per Arrow batch. The trade vs Catalyst is a
+    Python worker hop; it wins because the JVM path is interpreted, not
+    codegen, for higher-order functions."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sh_arr", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    ab = [(int(a), int(b)) for a, b in MINHASH_PARAMS[:n_hashes]]
+
+    def op(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cache: dict = {}
+
+        def sh_hashes(text: str):
+            # distinct shingles in FIRST-OCCURRENCE order = exactly
+            # array_distinct(transform(sequence, substring)) semantics
+            n = max(len(text) - (k - 1), 1)
+            seen: dict = {}
+            for i in range(n):
+                s = text[i : i + k]
+                if s not in seen:
+                    h = cache.get(s)
+                    if h is None:
+                        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P31
+                        cache[s] = h
+                    seen[s] = h
+            return list(seen.values())
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if len(cache) > 2_000_000:  # bound the memo across huge partitions
+                cache.clear()
+            hl = [
+                np.fromiter(
+                    sh_hashes(t if t is not None else ""), dtype=np.int64
+                )
+                for t in pdf[text_col]
+            ]
+            lens = np.fromiter((len(x) for x in hl), dtype=np.int64, count=len(hl))
+            conc = np.concatenate(hl)
+            starts = np.zeros(len(hl), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # one pass per hash fn keeps peak memory at O(total shingles),
+            # not O(total × n_hashes)
+            sig_cols = [
+                np.minimum.reduceat((a * conc + b) % P31, starts)
+                for a, b in ab
+            ]
+            sigs = np.stack(sig_cols, axis=1)  # (n_docs, n_hashes)
+            # numpy arrays (not Python lists) in the object columns: Arrow
+            # converts them zero-copy-ish — measured the cheaper hop for
+            # ~10^6-element array columns
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "sh_arr": pd.Series(hl, dtype="object"),
+                    "sig": pd.Series(list(sigs), dtype="object"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=schema)
+
+
 def minhash_signatures(
     df_or_doc_sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 32
 ) -> DataFrame:
@@ -138,9 +231,14 @@ def lsh_candidate_pairs(
     """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
 
     Band key = array of the band's minhashes; one explode to bands×docs rows
-    (cheap — `bands` rows per doc), then a self-equi-join on (band, sig).
-    At scale this join's build side is the banded table itself: shuffle
-    bytes ∝ n_docs × bands, independent of document size."""
+    (cheap — `bands` rows per doc), then a self-equi-join. The join key is
+    xxhash64(band, band-sig) — a SCALAR, so the shuffle partitioner and the
+    join comparator work on 8 bytes instead of an array (measured ~20%
+    cheaper); exactness is preserved by re-checking full band-sig equality
+    after the hash match, so a 64-bit collision can only cost a spurious
+    candidate that exact-Jaccard verification then scores — never a missed
+    or false pair. At scale the join's shuffle bytes stay ∝ n_docs × bands,
+    independent of document size."""
     band_structs = F.array(
         *[
             F.struct(
@@ -150,14 +248,19 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = wide.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
-        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    banded = (
+        wide.select(F.col(id_col), F.explode(band_structs).alias("bs"))
+        .select(
+            id_col,
+            F.xxhash64(F.col("bs.band"), F.col("bs.sig")).alias("sigh"),
+            F.col("bs.sig").alias("sig"),
+        )
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    a = banded.select(F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a"))
+    b = banded.select(F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b"))
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, "sigh")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("sig_a") == F.col("sig_b")))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -202,8 +305,15 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     persist: bool = True,
     hasher=None,
+    impl: str = "catalyst",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    ``impl="numpy"`` swaps the shingle+signature stage for shingle_sigs_np
+    (one vectorized Arrow pass, bit-identical outputs over the same frozen
+    md5 family — ``hasher`` is ignored); banding/candidate/verify stay the
+    same Catalyst plan. Measured the fastest end-to-end variant at sf0.1:
+    the interpreted higher-order fold is the pipeline's cost center.
 
     Two persist points, both load-bearing (measured at sf0.1):
 
@@ -221,16 +331,26 @@ def minhash_lsh_dedup(
     length, signatures are n_hashes longs per doc."""
     from pyspark import StorageLevel
 
-    doc_sh = shingle_arrays(spread(df), text_col, id_col, k, hasher=hasher)
-    if persist:
-        # eager materialization: downstream consumers racing to fill the
-        # cache within one action would each recompute the projection
-        doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
-        doc_sh.count()
-    wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
-    if persist:
-        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
-        wide.count()
+    if impl == "numpy":
+        both = shingle_sigs_np(spread(df), text_col, id_col, k, n_hashes)
+        if persist:
+            # ONE persist covers all four consumers (band join both sides +
+            # verify join both sides) — the single-pass stage's other win
+            both = both.persist(StorageLevel.MEMORY_AND_DISK)
+            both.count()
+        doc_sh = both.select(id_col, "sh_arr")
+        wide = both.select(id_col, "sig")
+    else:
+        doc_sh = shingle_arrays(spread(df), text_col, id_col, k, hasher=hasher)
+        if persist:
+            # eager materialization: downstream consumers racing to fill the
+            # cache within one action would each recompute the projection
+            doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
+            doc_sh.count()
+        wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
+        if persist:
+            wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+            wide.count()
     cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
 

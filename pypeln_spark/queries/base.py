@@ -41,6 +41,11 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # runtime-settable perf invariants (see session.py for rationale):
+        # AQE + a 64m broadcast ceiling let join-heavy pipelines drop
+        # shuffles based on measured sizes even under a driver-owned session
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     except Exception:
         pass
     _ship_package(spark)

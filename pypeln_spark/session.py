@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64m broadcast ceiling: executors hold GBs, and letting AQE pick a
+        # broadcast join for sub-64MB sides (e.g. a 5M-doc shingle table at
+        # bench scale, any dimension table at cluster scale) removes a full
+        # shuffle from join-heavy pipelines. AQE decides from MEASURED size,
+        # so oversized sides still get SMJ — this raises the ceiling, it
+        # doesn't force anything.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -205,6 +205,26 @@ def test_kmv_sketch_partition_invariant_and_accurate(spark, sf_dir):
             assert abs(est - exact[et]) / exact[et] < 0.5  # k=32 → ~18% σ
 
 
+def test_shingle_sigs_np_bitwise_matches_catalyst(spark, sf_dir):
+    """The numpy signature pass must be BIT-identical to the Catalyst
+    shingle_arrays + minhash_signatures_wide path — same md5 family, same
+    first-occurrence shingle order, same minima."""
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    cat_sh = D.shingle_arrays(docs)
+    cat_sig = D.minhash_signatures_wide(cat_sh, n_hashes=16)
+    np_both = D.shingle_sigs_np(docs, n_hashes=16)
+    a_sh = {r.doc_id: r.sh_arr for r in cat_sh.collect()}
+    a_sig = {r.doc_id: r.sig for r in cat_sig.collect()}
+    b = {r.doc_id: (r.sh_arr, r.sig) for r in np_both.collect()}
+    assert set(b) == set(a_sh)
+    for d, (sh, sig) in b.items():
+        assert sh == a_sh[d], f"sh_arr mismatch doc {d}"
+        assert sig == a_sig[d], f"sig mismatch doc {d}"
+
+
 def test_kmv_sketch_bounded_matches_collect_set_path(spark, sf_dir):
     """kmv_sketch_bounded (O(k) incremental state via mapInPandas) must be
     bit-identical to the Catalyst collect_set path — same frozen hash
