@@ -41,11 +41,15 @@ HEADLINE = [
     "text_quality_scores",
     "text_fingerprint",
     "asof_join_purchase_to_view",
+    "range_join_purchase_after_signup",
     "streaming_tumbling_hourly",
+    "streaming_interval_join_purchase_signup",
     "curation_pipeline_survivors",
     "curation_decontaminated",
     "sketch_kmv_distinct_users",
     "sketch_cms_heavy_hitters",
+    "sketch_quantile_doc_lengths",
+    "dedup_minhash_clusters",
 ]
 
 

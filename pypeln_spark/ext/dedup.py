@@ -51,6 +51,25 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
+QUADRATIC_GUARD_ROWS = 1_000_000
+
+
+def guard_quadratic(df: DataFrame, what: str, allow_large: bool = False) -> None:
+    """Refuse to run a deliberately-quadratic exact baseline on large input
+    (VERDICT r1: the baselines must not be mistaken for prod paths). The
+    check reads at most GUARD+1 rows (limit pushes into the scan). Pass
+    ``allow_large=True`` to run anyway — you are choosing O(n²) on n>10⁶."""
+    if allow_large:
+        return
+    if df.limit(QUADRATIC_GUARD_ROWS + 1).count() > QUADRATIC_GUARD_ROWS:
+        raise ValueError(
+            f"{what} is an exact quadratic baseline kept for oracle/ground-"
+            f"truth use; input exceeds {QUADRATIC_GUARD_ROWS:,} rows. Use the "
+            "bucketed production path (minhash_lsh_dedup / ann_lsh_topk / "
+            "ivf_topk) instead, or pass allow_large=True to force it."
+        )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One surviving id per distinct text. Returns (text_hash, keep_id, n_copies)."""
     return (
@@ -361,11 +380,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.7,
+    allow_large: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold. Candidates via the
-    inverted shingle index (any shared shingle) — the quadratic baseline."""
+    inverted shingle index (any shared shingle) — the quadratic baseline;
+    refuses >10⁶ docs unless ``allow_large`` (see guard_quadratic)."""
     from pyspark import StorageLevel
 
+    guard_quadratic(df, "ngram_jaccard_pairs", allow_large)
     doc_sh = shingle_arrays(spread(df), text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     doc_sh.count()  # eager — see minhash_lsh_dedup
     sh = doc_sh.select(id_col, F.explode("sh_arr").alias("sh"))

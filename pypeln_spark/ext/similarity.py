@@ -229,9 +229,18 @@ def ivf_topk(
 
 
 def near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_large: bool = False,
 ) -> DataFrame:
-    """Exact embedding near-dup pairs (cos ≥ threshold, id_a < id_b)."""
+    """Exact embedding near-dup pairs (cos ≥ threshold, id_a < id_b) — the
+    all-pairs quadratic baseline; refuses >10⁶ vectors unless
+    ``allow_large`` (the LSH-bucketed path is the production shape)."""
+    from .dedup import guard_quadratic
+
+    guard_quadratic(emb, "near_dup_pairs", allow_large)
     n = with_norms(spread(emb), vec_col)
     a = n.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_norm").alias("na"))
     b = n.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))

@@ -267,6 +267,7 @@ def dedup_minhash_clusters(spark, sf_dir):
     result."""
     (docs,) = tables(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(
-        docs, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+        impl="numpy",  # same md5 family → same oracle; see shingle_sigs_np
     )
     return D.connected_components(pairs)

@@ -205,6 +205,22 @@ def test_kmv_sketch_partition_invariant_and_accurate(spark, sf_dir):
             assert abs(est - exact[et]) / exact[et] < 0.5  # k=32 → ~18% σ
 
 
+def test_quadratic_guard_refuses_large_input(spark):
+    """VERDICT r1: the exact quadratic baselines must refuse big inputs
+    unless explicitly forced."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext import dedup as D
+
+    big = spark.range(0, D.QUADRATIC_GUARD_ROWS + 10).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    )
+    with _pytest.raises(ValueError, match="quadratic"):
+        D.guard_quadratic(big, "test_op")
+    D.guard_quadratic(big, "test_op", allow_large=True)  # explicit opt-in OK
+    D.guard_quadratic(big.limit(10), "test_op")  # small inputs pass
+
+
 def test_shingle_sigs_np_bitwise_matches_catalyst(spark, sf_dir):
     """The numpy signature pass must be BIT-identical to the Catalyst
     shingle_arrays + minhash_signatures_wide path — same md5 family, same
