@@ -5,22 +5,34 @@ variant pypeln/task/api/from_iterable.py:14-83. Elements get the flat
 creation-order index ``(i,)`` exactly like the reference
 (from_iterable.py:22-28).
 
-Lowering: the iterable is drained driver-side into an Arrow-backed
+Lowering: a BOUNDED iterable is drained driver-side into an Arrow-backed
 ``createDataFrame`` (typed column when every element maps onto one Spark
 type, pickled BinaryType otherwise — see infer.py). The reference's
 ``use_thread``/``maxsize`` knobs control queue plumbing that Spark doesn't
-have; they are accepted and ignored for API parity. Unbounded iterables
-should go through the streaming module instead (readStream / rate source) —
-a driver-side list is the honest batch semantics.
+have; they are accepted and ignored for API parity on the bounded path.
+
+``unbounded=True`` is the parity path for the reference's INFINITE
+iterables (task/api/from_iterable.py:14-83 consumes endless async
+generators with queue backpressure): the iterable is NOT drained — an
+IterablePump pulls ``chunk_size`` elements at a time, writes each chunk
+as one parquet file into a monitored directory (atomic tmp+rename), and
+the returned Stage wraps the Structured Streaming file source over that
+directory. Driver memory is bounded at one chunk; the generator advances
+only when ``pump.feed()`` asks for more (pull-based backpressure — the
+Spark-native reading of the reference's ``maxsize``), and trigger sizing
+(maxFilesPerTrigger) paces the executors.
 """
 
 from __future__ import annotations
 
 import asyncio
 import inspect
+import os
+import tempfile
 import typing as tp
+import uuid
 
-from pyspark.sql import SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, types as T
 
 from .. import infer
 from ..stage import Stage
@@ -38,18 +50,157 @@ def _drain(iterable: tp.Any) -> tp.List[tp.Any]:
     return list(iterable)
 
 
+class PumpSink:
+    """A persistent memory-sink query over a pump-fed (or any) streaming
+    DataFrame: feed → process() → read, repeatedly, under ONE checkpoint so
+    each micro-batch is consumed exactly once across calls."""
+
+    def __init__(self, df: DataFrame, output_mode: str = "append"):
+        self.spark = df.sparkSession
+        self.name = f"pump_{uuid.uuid4().hex[:10]}"
+        ckpt = tempfile.mkdtemp(prefix="pypeln_spark_pump_ckpt_")
+        self.query = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(self.name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def process(self) -> DataFrame:
+        """Consume everything currently available; return the sink table."""
+        self.query.processAllAvailable()
+        return self.spark.table(self.name)
+
+    def stop(self) -> None:
+        self.query.stop()
+
+
+class IterablePump:
+    """Micro-batch pump for UNBOUNDED Python iterables.
+
+    Pulls ``chunk_size`` elements per feed() from the (possibly infinite)
+    iterable and writes them as one parquet file into the monitored source
+    directory — write to a dot-prefixed temp name, then os.rename, so the
+    file source never lists a partial file. Driver memory is bounded at one
+    chunk regardless of how long the stream runs; element indices continue
+    across chunks, preserving the reference's creation-order ``(i,)``
+    contract (process/api/from_iterable.py:22-28).
+
+    The element type comes from ``returns`` or is inferred from the FIRST
+    chunk (later chunks must conform — the schema is part of the stream);
+    non-conforming payloads ride the pickled BinaryType fallback.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        iterable: tp.Any,
+        chunk_size: int = 1000,
+        returns: tp.Optional[tp.Union[str, T.DataType]] = None,
+        max_files_per_trigger: tp.Optional[int] = None,
+    ):
+        self.spark = spark
+        self.chunk_size = max(int(chunk_size), 1)
+        self.dir = tempfile.mkdtemp(prefix="pypeln_spark_pump_src_")
+        self._it = iter(iterable)
+        self._i = 0  # global element index
+        self._n = 0  # chunk counter
+        self.exhausted = False
+        self._first_chunk = self._pull()
+        if isinstance(returns, str):
+            returns = T._parse_datatype_string(returns)
+        out_type = returns if returns is not None else infer.infer_common_type(self._first_chunk)
+        self.pickled = out_type is None
+        self.value_type = out_type if not self.pickled else T.BinaryType()
+        self.schema = T.StructType(
+            [
+                T.StructField(INDEX_COL, T.ArrayType(T.LongType()), False),
+                T.StructField(VALUE_COL, self.value_type, True),
+            ]
+        )
+        self._write_chunk(self._first_chunk)
+        self._first_chunk = None
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _pull(self) -> list:
+        out = []
+        try:
+            for _ in range(self.chunk_size):
+                out.append(next(self._it))
+        except StopIteration:
+            self.exhausted = True
+        return out
+
+    def _write_chunk(self, values: list) -> int:
+        if not values:
+            return 0
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        idx = pa.array([[i] for i in range(self._i, self._i + len(values))],
+                       type=pa.list_(pa.int64()))
+        payload = [infer.dumps(v) for v in values] if self.pickled else values
+        vals = pa.array(payload, type=to_arrow_type(self.value_type))
+        tbl = pa.table({INDEX_COL: idx, VALUE_COL: vals})
+        tmp = os.path.join(self.dir, f".tmp-{self._n}.parquet")
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, os.path.join(self.dir, f"chunk-{self._n:08d}.parquet"))
+        self._i += len(values)
+        self._n += 1
+        return len(values)
+
+    def feed(self, n_chunks: int = 1) -> int:
+        """Advance the iterable by up to n_chunks × chunk_size elements and
+        publish them to the stream. Returns elements written (less when the
+        iterable ends — ``exhausted`` flips and further feeds are no-ops)."""
+        written = 0
+        for _ in range(n_chunks):
+            if self.exhausted:
+                break
+            written += self._write_chunk(self._pull())
+        return written
+
+    @property
+    def stage(self) -> Stage:
+        reader = self.spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        st = Stage(reader.parquet(self.dir), scalar=True, pickled=self.pickled)
+        st.pump = self
+        return st
+
+    def sink(self, stage_or_df, output_mode: str = "append") -> PumpSink:
+        df = stage_or_df.df if isinstance(stage_or_df, Stage) else stage_or_df
+        return PumpSink(df, output_mode)
+
+
 def from_iterable(
     iterable: tp.Any,
-    maxsize: int = 0,  # noqa: ARG001 - parity knob, Spark pulls
+    maxsize: int = 0,  # noqa: ARG001 - parity knob on the bounded path
     use_thread: bool = True,  # noqa: ARG001 - parity knob
     spark: tp.Optional[SparkSession] = None,
     returns: tp.Optional[tp.Union[str, T.DataType]] = None,
+    unbounded: bool = False,
+    chunk_size: int = 1000,
 ) -> Stage:
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         from ..session import get_spark
 
         spark = get_spark()
+
+    if unbounded:
+        pump = IterablePump(
+            spark,
+            iterable,
+            chunk_size=chunk_size,
+            returns=returns,
+            max_files_per_trigger=maxsize or None,
+        )
+        return pump.stage
 
     values = _drain(iterable)
 

@@ -143,6 +143,43 @@ def pipeline_ordered_lineitem(spark, sf_dir):
 
 
 @register(
+    "pipeline_unbounded_pump",
+    oracle="""
+    SELECT i * 3 + 1 AS value FROM range(1500) t(i) WHERE (i * 3 + 1) % 2 = 0
+    """,
+)
+def pipeline_unbounded_pump(spark, sf_dir):
+    """Unbounded-source parity (reference consumes infinite async iterables,
+    task/api/from_iterable.py:14-83): an INFINITE generator rides the
+    micro-batch pump — from_iterable(unbounded=True) — through python
+    map|filter as a real Structured Streaming query. Three 500-element
+    chunks are fed and drained (the generator itself never terminates; the
+    pump's pull-based feed is the backpressure), so the streamed result is
+    deterministic and has an exact SQL twin over range(1500)."""
+    import itertools
+
+    import pypeln_spark as pl
+    from pypeln_spark.utils import VALUE_COL
+
+    stage = pl.from_iterable(
+        itertools.count(), unbounded=True, chunk_size=500, spark=spark, returns="long"
+    )
+    out = stage | pl.map(lambda x: x * 3 + 1, returns="long") | pl.filter(
+        lambda x: x % 2 == 0
+    )
+    sink = stage.pump.sink(out)
+    try:
+        stage.pump.feed(2)  # chunk 0 was written at construction → 1500 total
+        result = sink.process().select(VALUE_COL)
+        # materialize before stopping the query — the memory sink table is
+        # session-scoped but we copy out to stay independent of its lifetime
+        rows = result.collect()
+    finally:
+        sink.stop()
+    return spark.createDataFrame(rows, schema=result.schema)
+
+
+@register(
     "multimodal_asset_feature_stats",
     oracle="""
     WITH ids AS (SELECT range AS asset_id FROM range(96)),

@@ -96,6 +96,38 @@ def test_asof_left_keeps_unmatched(spark, sf_dir):
     assert inner.count() <= left.count()
 
 
+def test_unbounded_pump_streams_infinite_generator(spark):
+    """Parity with the reference's infinite-iterable sources (task/api/
+    from_iterable.py:14-83): an endless generator flows through map|filter
+    as a stream with bounded driver memory — the generator only advances
+    when feed() pulls, and each micro-batch is consumed exactly once."""
+    import itertools
+
+    import pypeln_spark as pl
+
+    pulled = {"n": 0}
+
+    def gen():
+        for i in itertools.count():  # genuinely infinite
+            pulled["n"] += 1
+            yield i
+
+    stage = pl.from_iterable(gen(), unbounded=True, chunk_size=100, spark=spark, returns="long")
+    out = stage | pl.map(lambda x: x * 3 + 1, returns="long") | pl.filter(lambda x: x % 2 == 0)
+    sink = stage.pump.sink(out)
+    try:
+        stage.pump.feed(2)  # constructor wrote chunk 0 → 300 elements live
+        got = sorted(r.value for r in sink.process().select("value").collect())
+        assert got == sorted(i * 3 + 1 for i in range(300) if (i * 3 + 1) % 2 == 0)
+        stage.pump.feed(2)  # incremental: two more micro-batches
+        n2 = sink.process().count()
+        assert n2 == len([i for i in range(500) if (i * 3 + 1) % 2 == 0])
+        # bounded pull: the infinite generator advanced exactly 500 times
+        assert pulled["n"] == 500
+    finally:
+        sink.stop()
+
+
 def test_asof_null_payload_stays_with_its_row(spark, sf_dir):
     """ADVICE r1 regression: the matched right row's values must travel
     together — a NULL payload column in the matched row must NOT be
