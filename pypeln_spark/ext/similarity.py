@@ -184,6 +184,74 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means quantizer, engine-reproducible by construction:
+
+    - **frozen-hash init**: seeds = the ``n_cells`` vectors whose
+      h31(id) sorts smallest (tiebreak id) — deterministic, no RNG, and a
+      hash-uniform draw over the corpus (first-K-by-id would bias toward
+      whatever the id order encodes). cid = the seed's vec_id.
+    - **assignment** by cosine (decimal-fold dot — bit-identical cross-
+      engine), tiebreak cid asc.
+    - **update**: per-dimension mean via exact decimal sums / double count
+      — order-insensitive, so the centroid values don't depend on Spark's
+      aggregation order and DuckDB can replay them exactly.
+    - **fixed ``iters`` iterations**, no convergence test: the iteration
+      count is part of the spec. Cells that lose all members drop (both
+      engines agree).
+
+    Scale shape: each iteration is one broadcast-join assignment pass over
+    the corpus + a groupBy on (cid, dim) whose key cardinality is
+    n_cells × dim — partial aggregation collapses the shuffle to a constant
+    regardless of corpus size. Returns (id_col, _v, _norm) ready to feed
+    ivf_assign."""
+    from .hashing import h31
+
+    n = with_norms(spread(emb), vec_col)
+    cents = (
+        n.withColumn("_h", h31(F.col(id_col).cast("string")))
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn"))
+    )
+    dt = f"decimal({DOT_PREC},{DOT_SCALE})"
+    for _ in range(iters):
+        scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
+            "ccos", dot_decimal(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
+        assigned = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("cid", "_v")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("cid", "_i")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast(dt)).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("_mv")
+            )
+        )
+        cv = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_mv"))), lambda s: s["_mv"]
+            ).alias("cv")
+        )
+        cents = cv.withColumn("cn", F.sqrt(dot_decimal(F.col("cv"), F.col("cv"))))
+    return cents.select(
+        F.col("cid").alias(id_col), F.col("cv").alias("_v"), F.col("cn").alias("_norm")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -192,6 +260,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     nprobe: int = 2,
+    quantizer: str = "first",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer (deterministic centroids = the first
     ``n_cells`` vectors by id) partitions the corpus into inverted lists;
@@ -200,11 +270,18 @@ def ivf_topk(
     The 100 TB shape: corpus assignment is a broadcast-join narrow pass, the
     inverted lists are an equi-join key (cell id), and search cost per query
     drops from |corpus| to nprobe/n_cells of it. Recall is tunable via
-    nprobe. A trained k-means quantizer would slot in by swapping the
-    centroid frame; the frozen first-K choice keeps the whole pipeline
-    engine-reproducible (cf. oracle in queries/similarity.py)."""
+    nprobe.
+
+    ``quantizer``: "first" = frozen centroids (the first n_cells vectors by
+    id — zero training cost, the simplest engine-reproducible choice);
+    "kmeans" = trained spherical k-means (kmeans_centroids — better cell
+    balance and recall, still engine-reproducible via frozen-hash init +
+    decimal-exact updates, so it keeps a full SQL oracle too)."""
     corpus = with_norms(spread(emb), vec_col)
-    cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(emb, n_cells, kmeans_iters, id_col, vec_col)
+    else:
+        cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
     cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
         F.col("_norm").alias("cn"), "cid",
