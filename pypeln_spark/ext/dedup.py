@@ -475,11 +475,15 @@ def connected_components(
     per round), converging in O(graph diameter) rounds — near-dup clusters
     are shallow, so this is 2-4 rounds in practice. Each round's labels
     persist eagerly and the previous round unpersists: lineage stays O(1)
-    deep, not O(iterations). Convergence is detected exactly (changed == 0),
-    so results are deterministic and engine-independent — the oracle replays
-    the same fixpoint as a recursive-CTE transitive closure. For adversarial
-    high-diameter graphs swap in alternating large-star/small-star
-    (O(log n) rounds, same join shapes); dedup workloads don't need it."""
+    deep, not O(iterations). Convergence is detected exactly (changed == 0)
+    WITHOUT an extra self-join or separate job: each round's frame carries
+    the previous label alongside the new one, so a single agg action both
+    materializes the persisted labels and returns the changed-count — one
+    Spark job per round. Results are deterministic and engine-independent —
+    the oracle replays the same fixpoint as a recursive-CTE transitive
+    closure. For adversarial high-diameter graphs swap in alternating
+    large-star/small-star (O(log n) rounds, same join shapes); dedup
+    workloads don't need it."""
     from pyspark import StorageLevel
 
     edges = (
@@ -494,7 +498,7 @@ def connected_components(
         .withColumn("label", F.col("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels.count()
+    pinned = labels  # the currently-persisted frame (may carry an extra col)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("v", "src"), "src")
@@ -502,19 +506,22 @@ def connected_components(
             .agg(F.min("label").alias("nl"))
             .withColumnRenamed("dst", "v")
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "v", "left")
-            .select("v", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"))
+            .select(
+                "v",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "v")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(
+            F.sum((F.col("label") != F.col("old")).cast("long")).alias("c")
+        ).first()["c"]
+        pinned.unpersist()
+        pinned = stepped
+        labels = stepped.select("v", "label")
+        if not changed:
             break
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -10,13 +10,18 @@ order-sensitive float reduction goes through the decimal-cast convention
 
 from .base import REGISTRY, Query, register, tables
 
-# Importing the modules populates REGISTRY. Order is deliberate blast-radius
-# insurance: the driver checks queries in registration order and r1 showed one
-# canonicalizer-hostile output schema starves every LATER entry of its row —
-# so the plain-schema relational surface registers first and the modules with
-# unusual output types (sketch state, streaming windows) register last. The
-# schemas themselves are contract-tested scalar-only (tests/test_correctness_
-# gate.py::test_no_canonicalizer_hostile_output_columns).
+# Importing the modules populates REGISTRY in module order; the explicit
+# _PRIORITY reorder below then decides the DRIVER-VISIBLE order. The driver
+# hash-checks the first 50 registered queries per round, so the front of the
+# registry is rotated each round toward the queries with the fewest driver
+# correctness rows. Round-3 front: the 20 queries never driver-checked in
+# r1/r2 (all streaming, ANN/embedding, asof/range join, sketch CMS/quantiles,
+# simhash pairs, minhash clusters/fast) plus the three r1 failures whose
+# fixes landed in r2 but were re-verified only by the local DuckDB gate.
+# Every output schema is contract-tested canonicalizer-safe
+# (tests/test_correctness_gate.py::test_no_canonicalizer_hostile_output_
+# columns), so front-loading the unusual output types is no longer a
+# blast-radius risk the way it was in r1.
 from . import pipeline  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
@@ -39,5 +44,53 @@ try:
     from . import streaming  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+
+# Driver-visible order: names listed here register first (in this order);
+# everything else follows in original module order. Unknown names are
+# ignored so a renamed query can't break import.
+_PRIORITY = [
+    # -- never driver-checked in r1/r2 (VERDICT.md "What's missing" #1) --
+    "streaming_tumbling_hourly",
+    "streaming_sliding_1h_30m",
+    "streaming_session_windows",
+    "streaming_watermark_late_drop",
+    "streaming_stateful_running_totals",
+    "streaming_interval_join_purchase_signup",
+    "streaming_static_enrich_nation",
+    "streaming_kmv_daily_distinct",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs",
+    "asof_join_purchase_to_view",
+    "range_join_purchase_after_signup",
+    "sketch_cms_heavy_hitters",
+    "sketch_quantile_doc_lengths",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_near_pairs",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh_fast",
+    # -- r1 failures fixed in r2, never driver-confirmed --
+    "sketch_kmv_distinct_users",
+    "pipeline_pickled_objects",
+    "pipeline_task_async_enrich",
+    # -- new round-3 queries --
+    "ann_ivf_kmeans_topk",
+    "pipeline_each_audit_count",
+    "pipeline_to_iterable_roundtrip",
+]
+
+
+def _reorder() -> None:
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    for n, q in REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = q
+    # preserve object identity — other modules hold references to REGISTRY
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder()
 
 __all__ = ["REGISTRY", "Query", "register", "tables"]

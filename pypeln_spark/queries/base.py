@@ -74,11 +74,17 @@ def _ship_package(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
-    """Read one testdata table; normalizes the events table's
-    TIMESTAMP(NANOS) column (which Spark's parquet reader rejects) to a
-    regular microsecond timestamp via the nanosAsLong escape hatch +
-    integer DIV (ns values ~1.7e18 overflow double mantissa — never divide
-    these as floats)."""
+    """Read one testdata table; normalizes the events table's ts column to a
+    regular (UTC-instant) microsecond TIMESTAMP whatever the generator
+    wrote:
+
+    - TIMESTAMP(NANOS) parquet (r1/r2 testdata) — Spark's reader rejects it
+      outright, so the nanosAsLong escape hatch + integer DIV (ns values
+      ~1.7e18 overflow double mantissa — never divide these as floats);
+    - timestamp[us] WITHOUT isAdjustedToUTC (r3 testdata) — Spark infers
+      TIMESTAMP_NTZ, which watermarks/event-time ops refuse; session TZ is
+      pinned UTC (ensure_session_defaults), so cast("timestamp") maps each
+      naive value to the identical UTC instant DuckDB sees."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -86,6 +92,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -57,6 +57,10 @@ def events_stream(spark: SparkSession, sf_dir: str, path: tp.Optional[str] = Non
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # naive-µs parquet (no isAdjustedToUTC) infers NTZ, which
+        # watermarks refuse; session TZ is UTC so the cast is instant-exact
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
