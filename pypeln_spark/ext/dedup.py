@@ -51,6 +51,42 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
+_PIPELINE_CACHES: list = []
+
+
+def retire_pipeline_caches() -> None:
+    """Unpersist frames cached by PREVIOUS pipeline invocations.
+
+    The persist points inside minhash/ngram pipelines are load-bearing for
+    that run (each cache has 2-4 consumers), but nothing can unpersist them
+    before the caller has consumed the lazily-evaluated result — so in a
+    session that runs many pipelines back-to-back (the driver's 86-query
+    correctness sweep, bench.py, a real notebook) caches from finished
+    invocations pile up until the storage pool evicts under pressure.
+    Measured locally: repeated sf0.1 LSH runs go 6s → 45s on an 8g heap once
+    eviction thrash starts. Each pipeline entry point therefore retires the
+    prior invocation's caches: at most one pipeline's working set is live at
+    a time, which is also the right checkpoint discipline on a cluster.
+    Re-executing an OLD result DataFrame afterwards silently recomputes
+    instead of reading cache — correct, just cold."""
+    while _PIPELINE_CACHES:
+        df = _PIPELINE_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # session already stopped, plan gone — harmless
+            pass
+
+
+def pool_persist(df: DataFrame, level=None) -> DataFrame:
+    """persist() + enroll in the invocation-scoped cache pool (see
+    retire_pipeline_caches)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _PIPELINE_CACHES.append(df)
+    return df
+
+
 QUADRATIC_GUARD_ROWS = 1_000_000
 
 
@@ -347,15 +383,15 @@ def minhash_lsh_dedup(
     MEMORY_AND_DISK is the production choice: spills instead of OOM, and at
     cluster scale these are the steps real dedup pipelines checkpoint to
     storage anyway. Both caches are tiny relative to input: shingles ∝ text
-    length, signatures are n_hashes longs per doc."""
-    from pyspark import StorageLevel
-
+    length, signatures are n_hashes longs per doc. Caches from the PREVIOUS
+    pipeline invocation are retired on entry (retire_pipeline_caches)."""
+    retire_pipeline_caches()
     if impl == "numpy":
         both = shingle_sigs_np(spread(df), text_col, id_col, k, n_hashes)
         if persist:
             # ONE persist covers all four consumers (band join both sides +
             # verify join both sides) — the single-pass stage's other win
-            both = both.persist(StorageLevel.MEMORY_AND_DISK)
+            both = pool_persist(both)
             both.count()
         doc_sh = both.select(id_col, "sh_arr")
         wide = both.select(id_col, "sig")
@@ -364,11 +400,11 @@ def minhash_lsh_dedup(
         if persist:
             # eager materialization: downstream consumers racing to fill the
             # cache within one action would each recompute the projection
-            doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
+            doc_sh = pool_persist(doc_sh)
             doc_sh.count()
         wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
         if persist:
-            wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+            wide = pool_persist(wide)
             wide.count()
     cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
@@ -385,10 +421,9 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard ≥ threshold. Candidates via the
     inverted shingle index (any shared shingle) — the quadratic baseline;
     refuses >10⁶ docs unless ``allow_large`` (see guard_quadratic)."""
-    from pyspark import StorageLevel
-
     guard_quadratic(df, "ngram_jaccard_pairs", allow_large)
-    doc_sh = shingle_arrays(spread(df), text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    retire_pipeline_caches()
+    doc_sh = pool_persist(shingle_arrays(spread(df), text_col, id_col, k))
     doc_sh.count()  # eager — see minhash_lsh_dedup
     sh = doc_sh.select(id_col, F.explode("sh_arr").alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("s"))
@@ -524,4 +559,9 @@ def connected_components(
         if not changed:
             break
     edges.unpersist()
+    # the final labels cache outlives this call (the caller consumes the
+    # returned frame later) — enroll it so the NEXT pipeline retires it.
+    # No retire on entry here: CC chains onto a live LSH pipeline whose
+    # caches must survive until edges materializes.
+    _PIPELINE_CACHES.append(pinned)
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
