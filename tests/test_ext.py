@@ -320,3 +320,33 @@ def test_bottomk_quantiles_partition_invariant_and_exact_small(spark, sf_dir):
             vals[max(1, math.ceil(0.9 * m)) - 1],
         )
         assert got[lang] == exp
+
+
+def test_bottom_k_update_bounded_and_exact():
+    """The streaming-state kernel: O(k) result from any stream — equal to
+    sorted(distinct)[:k] — and NULL/NaN skipped like Catalyst."""
+    from pypeln_spark.ext.sketch import bottom_k_update
+
+    vals = [(i * 7919) % 1000 for i in range(5000)]  # heavy duplication
+    cur: list = []
+    for chunk_start in range(0, len(vals), 613):  # uneven chunks
+        cur = bottom_k_update(cur, vals[chunk_start : chunk_start + 613], k=16)
+        assert len(cur) <= 16
+        assert cur == sorted(cur)
+    assert cur == sorted(set(vals))[:16]
+    # nulls / NaNs are dropped, not hashed as strings (ADVICE r2)
+    assert bottom_k_update([], [None, float("nan"), 5, 3], k=8) == [3, 5]
+
+
+def test_kmv_sketch_bounded_skips_nulls(spark):
+    """NULL values must not enter the bounded sketch (they'd hash as 'None'
+    while the collect_set path drops them — the paths would diverge)."""
+    from pypeln_spark.ext import sketch as K
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("a", None)], "g string, v string"
+    )
+    bounded = K.kmv_sketch_bounded(df, ["g"], "v", k=8).collect()
+    plain = K.kmv_sketch(df, ["g"], "v", k=8).collect()
+    assert [(r.g, r.kmin) for r in bounded] == [(r.g, r.kmin) for r in plain]
+    assert len(bounded[0].kmin) == 2

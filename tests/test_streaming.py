@@ -195,3 +195,40 @@ def test_rate_source_unbounded_stream(spark):
     out = spark.sql("SELECT * FROM rate_out")
     assert out.count() > 0
     assert set(out.columns) == {"window", "n"}
+
+
+def test_kmv_stateful_stream_bounded_state_across_batches(spark, sf_dir):
+    """The bounded-state streaming KMV: state carried across microbatches,
+    every per-trigger emission bounded at k values, and the final
+    (max-version) sketch identical to the batch kmv_sketch over all data."""
+    from pypeln_spark.ext import sketch as K
+    from pypeln_spark.ext.hashing import h31
+
+    k = 8
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.count() // 2
+    b1 = ev.filter(F.col("event_id") < half)
+    b2 = ev.filter(F.col("event_id") >= half)
+
+    def build(stream):
+        keyed = stream.select(
+            "event_type", h31(F.col("user_id").cast("string")).alias("_h")
+        )
+        return K.kmv_stateful_stream(keyed, ["event_type"], k=k)
+
+    out = ST.staged_replay(spark, [b1, b2], build, output_mode="update")
+    rows = out.collect()
+    # two triggers → two versions per group, EVERY emission bounded at k
+    assert {r.version for r in rows} == {1, 2}
+    assert all(r.n <= k and len(r.kmin_csv.split(",")) <= k for r in rows)
+    final = {r.event_type: r.kmin_csv for r in rows if r.version == 2}
+    want = {
+        r.event_type: ",".join(str(h) for h in r.kmin)
+        for r in K.kmv_sketch(ev, ["event_type"], "user_id", k=k).collect()
+    }
+    assert final == want
+    # monotone improvement: v1 sketch ⊇-prefix property — v2's kth min ≤ v1's
+    v1 = {r.event_type: [int(x) for x in r.kmin_csv.split(",")] for r in rows if r.version == 1}
+    for et, km2 in ((et, [int(x) for x in csv.split(",")]) for et, csv in final.items()):
+        if et in v1 and len(v1[et]) == k and len(km2) == k:
+            assert km2[-1] <= v1[et][-1]
