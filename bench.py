@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "text_quality_scores",
     "text_fingerprint",
     "asof_join_purchase_to_view",

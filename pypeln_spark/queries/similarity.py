@@ -157,6 +157,92 @@ def ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE)
 
 
+def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> tuple[str, str]:
+    """DuckDB CTE chain replaying ext/similarity.kmeans_centroids exactly:
+    frozen-hash seed draw, per-iteration cosine assignment (tiebreak cid),
+    per-dimension decimal-exact mean update. Returns (cte_sql, final_name)."""
+    h = sql_h31("CAST(vec_id AS VARCHAR)")
+    cte = f"""
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn
+      FROM n ORDER BY {h}, vec_id LIMIT {n_cells}
+    )"""
+    prev = "seeds"
+    for it in range(1, iters + 1):
+        cte += f""",
+    asg{it} AS (
+      SELECT x.vec_id, x.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC, c.cid) AS rk
+      FROM n x JOIN {prev} c ON TRUE
+    ),
+    dim{it} AS (
+      SELECT cid, i,
+             CAST(SUM(CAST(v[CAST(i AS INT)] AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM asg{it}, (SELECT unnest(range(1, {dim + 1})) AS i)
+      WHERE rk = 1
+      GROUP BY cid, i
+    ),
+    cvec{it} AS (
+      SELECT cid, list(mv ORDER BY i) AS cv FROM dim{it} GROUP BY cid
+    ),
+    cent{it} AS (
+      SELECT cid, cv, sqrt({_dot('cv', 'cv')}) AS cn FROM cvec{it}
+    )"""
+        prev = f"cent{it}"
+    return cte, prev
+
+
+KMEANS_ITERS = 2
+KMEANS_NPROBE = 2
+
+_KM_CTE, _KM_FINAL = _kmeans_ctes(N_CELLS, KMEANS_ITERS, DIM)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    {_KM_CTE},
+    ascore AS (
+      SELECT x.vec_id, x.v, x.nrm, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_dot("x.v", "c.cv")} / (x.nrm * c.cn) DESC, c.cid) AS crank
+      FROM n x JOIN {_KM_FINAL} c ON TRUE
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM ascore WHERE crank = 1),
+    probes AS (SELECT vec_id, v, nrm, cid FROM ascore
+               WHERE crank <= {KMEANS_NPROBE} AND vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM probes q JOIN cells c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {K}
+    """,
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with the TRAINED spherical k-means quantizer (better cell
+    balance/recall than the frozen 'first' quantizer) — still fully
+    engine-reproducible: frozen-hash seed draw, decimal-exact centroid
+    updates, fixed iteration count, so the oracle replays quantizer
+    TRAINING, assignment, probing, and ranking end to end."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk(
+        emb, queries, k=K, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
+        quantizer="kmeans", kmeans_iters=KMEANS_ITERS,
+    )
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
