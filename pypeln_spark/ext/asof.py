@@ -15,13 +15,16 @@ Two lowerings:
   merge_asof — simpler to reason about, but materializes each key group in
   one python worker; only sane when no key is huge.
 
-Ties: if several right rows share (key, ts), the row whose payload struct
-sorts largest wins deterministically — and it wins AS A WHOLE ROW: the
-matched right row's payload travels through the window as ONE struct, so
-its columns can never mix across different right rows and its legitimate
-NULLs are preserved (merge_asof / ASOF JOIN semantics). Callers wanting
-DuckDB-identical results should still dedup the right side first — DuckDB
-ASOF tie behavior is unspecified.
+Ties: if several right rows share (key, ts), the row whose ORDERABLE
+payload columns sort largest wins deterministically — and it wins AS A
+WHOLE ROW: the matched right row's payload travels through the window as
+ONE struct, so its columns can never mix across different right rows and
+its legitimate NULLs are preserved (merge_asof / ASOF JOIN semantics).
+Non-orderable right columns (MapType anywhere in the nesting) are carried
+but excluded from the tiebreak — rows identical on every orderable column
+remain nondeterministic in those. Callers wanting DuckDB-identical results
+should still dedup the right side first — DuckDB ASOF tie behavior is
+unspecified.
 """
 
 from __future__ import annotations
@@ -29,6 +32,18 @@ from __future__ import annotations
 import typing as tp
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Catalyst can sort values of this type (MapType can't —
+    anywhere in the nesting)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -57,12 +72,24 @@ def asof_join(
         [T.StructField("_rts", right.schema[right_ts].dataType)]
         + [T.StructField(f"_r_{c}", right.schema[c].dataType) for c in right_cols]
     )
+    # Tiebreak sorts a struct of ONLY the orderable right columns (ADVICE
+    # r2: ordering by the whole payload fails analysis when a right column
+    # is a MapType); the FULL payload still travels through last(). Ties
+    # among right rows identical on every orderable column stay
+    # nondeterministic in their non-orderable columns — unavoidable without
+    # an order, and documented in the module docstring.
+    tb_cols = [c for c in right_cols if _orderable(right.schema[c].dataType)]
+    tb_type = T.StructType(
+        [T.StructField("_rts", right.schema[right_ts].dataType)]
+        + [T.StructField(f"_r_{c}", right.schema[c].dataType) for c in tb_cols]
+    )
     lhs = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lpayload"),
         F.lit(None).cast(rp_type).alias("_rpayload"),
+        F.lit(None).cast(tb_type).alias("_rtiebreak"),
     )
     rhs = right.select(
         F.col(on).alias("_k"),
@@ -73,12 +100,17 @@ def asof_join(
             F.col(right_ts).alias("_rts"),
             *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         ).alias("_rpayload"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"_r_{c}") for c in tb_cols],
+        ).alias("_rtiebreak"),
     )
     # right rows sort before left rows at equal ts (side 0 < 1) → inclusive ≤;
-    # the struct tiebreak makes same-(key, ts) right rows deterministic
+    # the orderable-struct tiebreak makes same-(key, ts) right rows
+    # deterministic (up to non-orderable columns)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rpayload").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rtiebreak").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

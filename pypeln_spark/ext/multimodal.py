@@ -76,14 +76,26 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
 
 
 def _decode_image(media: bytes, fake: bool) -> np.ndarray:
-    if not fake:
+    """Grayscale pixel array from encoded bytes. fake=True is the
+    deterministic stub the md5 oracle replays; fake=False uses PIL when
+    installed (any PIL-readable format, converted to 8-bit gray) and raises
+    NotImplementedError otherwise — the container this ships in has no
+    codecs, so the REAL path is feature-gated, not assumed."""
+    if fake:
+        # deterministic fake: derive a tiny 4x4 gray image from the bytes
+        arr = np.frombuffer(media[:16], dtype=np.uint8)
+        return np.tile(arr.reshape(4, 4), (1, 1))
+    try:
+        from PIL import Image
+    except ImportError as e:
         raise NotImplementedError(
-            "image decode needs PIL/opencv — not in this container; "
+            "image decode needs PIL (pillow) — not in this container; "
             "pass fake=True for the deterministic stub"
-        )
-    # deterministic fake: derive a tiny 4x4 gray image from the bytes
-    arr = np.frombuffer(media[:16], dtype=np.uint8)
-    return np.tile(arr.reshape(4, 4), (1, 1))
+        ) from e
+    import io
+
+    with Image.open(io.BytesIO(media)) as img:
+        return np.asarray(img.convert("L"))
 
 
 def extract_features(

@@ -53,7 +53,14 @@ def _drain(iterable: tp.Any) -> tp.List[tp.Any]:
 class PumpSink:
     """A persistent memory-sink query over a pump-fed (or any) streaming
     DataFrame: feed → process() → read, repeatedly, under ONE checkpoint so
-    each micro-batch is consumed exactly once across calls."""
+    each micro-batch is consumed exactly once across calls.
+
+    TEST/DEMO SINK ONLY: the memory sink in append mode accumulates every
+    output row in driver memory for the life of the query, so a genuinely
+    long-running unbounded stream grows without bound here. Long-running
+    consumers should drain through ``streaming.run_foreach_batch`` (bounded
+    per-batch driver exposure, exactly-once per epoch) or a file sink —
+    the pump's bounded-driver-memory story covers the SOURCE side only."""
 
     def __init__(self, df: DataFrame, output_mode: str = "append"):
         self.spark = df.sparkSession
@@ -88,8 +95,12 @@ class IterablePump:
     contract (process/api/from_iterable.py:22-28).
 
     The element type comes from ``returns`` or is inferred from the FIRST
-    chunk (later chunks must conform — the schema is part of the stream);
-    non-conforming payloads ride the pickled BinaryType fallback.
+    chunk — the schema is part of the stream, so every later chunk must
+    conform to it. Only when inference finds NO common type for the first
+    chunk does the whole stream ride the pickled BinaryType fallback
+    (pickled-ness is fixed at construction); a later chunk that breaks a
+    non-pickled schema raises a schema-mismatch ValueError from feed()
+    naming the offending chunk, it does NOT fall back.
     """
 
     def __init__(
@@ -143,7 +154,17 @@ class IterablePump:
         idx = pa.array([[i] for i in range(self._i, self._i + len(values))],
                        type=pa.list_(pa.int64()))
         payload = [infer.dumps(v) for v in values] if self.pickled else values
-        vals = pa.array(payload, type=to_arrow_type(self.value_type))
+        try:
+            vals = pa.array(payload, type=to_arrow_type(self.value_type))
+        except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+            raise ValueError(
+                f"from_iterable pump: chunk {self._n} (elements "
+                f"{self._i}..{self._i + len(values) - 1}) does not conform to "
+                f"the stream's element type {self.value_type.simpleString()}, "
+                "which was fixed by `returns`/first-chunk inference — a "
+                "streaming schema cannot change mid-stream. Pass returns=... "
+                "for a wider type, or pre-convert elements."
+            ) from e
         tbl = pa.table({INDEX_COL: idx, VALUE_COL: vals})
         tmp = os.path.join(self.dir, f".tmp-{self._n}.parquet")
         pq.write_table(tbl, tmp)

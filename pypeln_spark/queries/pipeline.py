@@ -227,3 +227,60 @@ def multimodal_asset_feature_stats(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_intensity"),
     )
+
+
+@register(
+    "pipeline_each_audit_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_audited,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def pipeline_each_audit_count(spark, sf_dir):
+    """pl.each + pl.run driver surface (reference ops:
+    pypeln/process/api/each.py:18-141, run.py:9-22): the side-effect sink
+    audits every element into Spark accumulators (count + key checksum),
+    run=True drains it eagerly, and the RESULT is the accumulator values —
+    which the oracle recomputes relationally, proving the side effect ran
+    exactly once per element. Accumulator caveat at scale: updates inside
+    transformations replay under task retry; local deterministic execution
+    (and the oracle equality itself) pins exactly-once here."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    sc = spark.sparkContext
+    n_acc = sc.accumulator(0)
+    sum_acc = sc.accumulator(0)
+    scalar = Stage(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            F.col("o_orderkey").alias(VALUE_COL)
+        )
+    )
+
+    def audit(k):
+        n_acc.add(1)
+        sum_acc.add(int(k))
+
+    pl.each(audit, scalar, run=True)
+    return spark.createDataFrame(
+        [(int(n_acc.value), int(sum_acc.value))],
+        "n_audited long, key_checksum long",
+    )
+
+
+@register(
+    "pipeline_to_iterable_roundtrip",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+)
+def pipeline_to_iterable_roundtrip(spark, sf_dir):
+    """pl.to_iterable driver surface (reference:
+    pypeln/process/api/to_iterable.py:26-53): pull a table stage through
+    the bounded-memory iterator sink (maxsize>0 → toLocalIterator, one
+    partition at a time) and rebuild a DataFrame from the yielded dicts —
+    the oracle is the table itself, so every yielded row is value-checked.
+    Deliberately a small dimension table: the iterator sink is by
+    definition a driver-side consumption point."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    rows = list(
+        pl.to_iterable(pl.to_stage(nation.select("n_nationkey", "n_name")), maxsize=1)
+    )
+    return spark.createDataFrame(rows, "n_nationkey long, n_name string")

@@ -81,7 +81,14 @@ class _stream_partitions:
     7.9s → 2.5s going 32 → 8). The partition count is captured into the
     query's checkpoint at start, so this must wrap .start(); batch queries
     in the same session are untouched. Size it to key cardinality ×
-    throughput on a real cluster (env PYPELN_SPARK_STREAM_PARTITIONS)."""
+    throughput on a real cluster (env PYPELN_SPARK_STREAM_PARTITIONS).
+
+    NOT THREAD-SAFE (ADVICE r2): this mutates session-global
+    spark.sql.shuffle.partitions around query start, so a concurrent batch
+    query or second stream starting inside the window sees the reduced
+    count, and nested use restores the inner value. Fine for the
+    single-threaded driver/bench harness this serves; concurrent starters
+    should clone the config scope via spark.newSession() instead."""
 
     def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark

@@ -395,3 +395,50 @@ def test_ivf_kmeans_recall_on_clustered_vectors(spark):
     first = recall(S.ivf_topk(emb, q, k=5, n_cells=n_clusters, nprobe=2))
     assert km >= 0.9, f"kmeans IVF recall {km} < 0.9 on clustered data"
     assert km > first, f"kmeans ({km}) should beat first-quantizer ({first}) here"
+
+
+def test_multimodal_real_decode_when_pil_available(spark):
+    """The feature-gated REAL decode path: when PIL is installed,
+    extract_features(fake_decode=False) decodes actual encoded images and
+    the mean intensity equals numpy's mean over the gray pixels. Skipped
+    (not failed) in codec-less containers — the stub contract is unchanged."""
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL")
+    import io
+
+    import numpy as _np
+    from PIL import Image
+
+    from pypeln_spark.ext import multimodal as M
+    from pyspark.sql import types as T
+
+    rows, want = [], {}
+    for i in range(4):
+        px = _np.arange(64, dtype=_np.uint8).reshape(8, 8) * (i + 1) % 256
+        buf = io.BytesIO()
+        Image.fromarray(px, mode="L").save(buf, format="PNG")
+        rows.append((i, "image", bytearray(buf.getvalue()),
+                     (8, 8, 0, 1, "png")))
+        want[i] = float(px.astype(_np.float32).ravel()[:16].mean())
+    df = spark.createDataFrame(rows, schema=M.ASSET_SCHEMA)
+    got = {r.asset_id: r.mean_intensity
+           for r in M.extract_features(df, fake_decode=False).collect()}
+    assert got == want
+
+
+def test_multimodal_real_decode_raises_without_pil():
+    """Without PIL the real path must fail loudly at the decode call, not
+    silently fall back to the fake."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext.multimodal import _decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL installed — covered by the real-decode test")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        _decode_image(b"\x89PNG not really", fake=False)

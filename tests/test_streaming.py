@@ -232,3 +232,35 @@ def test_kmv_stateful_stream_bounded_state_across_batches(spark, sf_dir):
     for et, km2 in ((et, [int(x) for x in csv.split(",")]) for et, csv in final.items()):
         if et in v1 and len(v1[et]) == k and len(km2) == k:
             assert km2[-1] <= v1[et][-1]
+
+
+def test_asof_join_carries_maptype_right_column(spark):
+    """A MapType right column must be CARRIED (whole-row payload) even
+    though it can't participate in the tiebreak ordering — r2's whole-
+    struct orderBy failed analysis here (ADVICE r2)."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, {"a": "x"}), (1, 20, {"b": "y"})],
+        "k long, ts long, props map<string,string>",
+    )
+    out = A.asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    got = {(r.k, r.ts): (r.ts_right, dict(r.props_right)) for r in out.collect()}
+    assert got == {(1, 10): (5, {"a": "x"}), (1, 25): (20, {"b": "y"})}
+
+
+def test_pump_feed_rejects_schema_breaking_chunk(spark):
+    """A later chunk that can't convert to the stream's fixed element type
+    must raise a clear schema-mismatch error from feed(), not a raw
+    pyarrow traceback (ADVICE r2) — pickled-ness is fixed at construction."""
+    import itertools
+
+    import pytest as _pytest
+
+    from pypeln_spark.operators.from_iterable import IterablePump
+
+    mixed = itertools.chain([1, 2, 3], ["not-a-long"], [4])
+    pump = IterablePump(spark, mixed, chunk_size=3)  # first chunk: longs
+    with _pytest.raises(ValueError, match="does not conform"):
+        pump.feed()
