@@ -1,14 +1,18 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "runs": N, "agg": "median", "sf": ...}.
 
-Each query is executed once for warm-up-free wall-clock honesty? No — JVM
-and code paths are shared, so we run one tiny warm-up action first (session
-+ codegen spin-up), then time each query end-to-end including its terminal
-action (collect-to-driver of the final, already-reduced result, or a noop
-write for wide outputs).
-"""
+Timing protocol: one tiny warm-up action (session + codegen spin-up) plus a
+sf0.001 warm-up pass of every headline shape, then each query runs
+$PYPELN_SPARK_BENCH_RUNS times (default 3) end-to-end — plan build through
+terminal noop-sink write (full compute of every output row, zero driver
+transfer) — and reports the per-query MEDIAN. Medians because the host VM
+shows multi-second hypervisor scheduling spikes (measured: identical
+back-to-back LSH runs ranging 3.2s → 45s before cache discipline, still
+±50% after); a single draw benchmarks the hypervisor, the median
+benchmarks the engine. The aggregation is declared in the output line so
+rounds measured under different protocols aren't silently compared."""
 
 from __future__ import annotations
 
@@ -39,6 +43,7 @@ HEADLINE = [
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "embedding_near_dup_lsh",
     "text_quality_scores",
     "text_fingerprint",
     "asof_join_purchase_to_view",
@@ -51,6 +56,7 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "sketch_quantile_doc_lengths",
     "dedup_minhash_clusters",
+    "streaming_kmv_daily_distinct",
 ]
 
 
@@ -73,19 +79,26 @@ def main() -> None:
             except Exception as e:  # never let warm-up kill the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    runs = max(1, int(os.environ.get("PYPELN_SPARK_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        df = q.fn(spark, SF_DIR)
-        # noop sink: full compute of every output row/column, zero driver
-        # transfer — count() would let Catalyst prune pure projections
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = q.fn(spark, SF_DIR)
+            # noop sink: full compute of every output row/column, zero driver
+            # transfer — count() would let Catalyst prune pure projections
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s (median of {[round(s, 3) for s in samples]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,6 +108,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "agg": "median",
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

@@ -305,6 +305,44 @@ def ivf_topk(
     )
 
 
+def near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """The BUCKETED production twin of near_dup_pairs: candidate pairs are
+    limited to vectors sharing an LSH hyperplane bucket (self-equi-join on
+    the n_planes-bit key — shuffle ∝ vectors, never all-pairs), then exact
+    cosine verifies each candidate. Recall-lossy by design: a qualifying
+    pair split by any plane is missed — the miss probability per plane is
+    angle/π, so high-threshold (near-parallel) pairs survive with high
+    probability and fewer planes trade precision-cost for recall. The
+    oracle replays the identical deterministic plane family, so bucket
+    assignment AND the recall loss itself are value-checked. Output:
+    (id_a < id_b, cos ≥ threshold)."""
+    n = lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim)
+    a = n.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
+        F.col("_norm").alias("na"), "bucket",
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

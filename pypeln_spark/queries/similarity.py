@@ -257,3 +257,23 @@ def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact, id_a < id_b)."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     return S.near_dup_pairs(emb, threshold=NEAR_DUP_T)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH {_E_CTE},
+    bktd AS (SELECT vec_id, v, nrm, CAST({_BUCKET} AS BIGINT) AS bucket FROM n)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+    FROM bktd a JOIN bktd b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_dot("a.v", "b.v")} / (a.nrm * b.nrm) >= {NEAR_DUP_T}
+    """,
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    """The bucketed PRODUCTION twin of embedding_near_dup_pairs: same-LSH-
+    bucket candidates + exact cosine verify — shuffle ∝ vectors instead of
+    the guarded all-pairs baseline. The oracle replays the identical plane
+    family, so the recall loss vs the exact baseline is itself verified."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return S.near_dup_lsh(emb, threshold=NEAR_DUP_T, n_planes=N_PLANES, dim=DIM)

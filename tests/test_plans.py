@@ -142,3 +142,22 @@ def test_cms_estimate_broadcasts_sketch(spark):
     p = plan_of(spark, "sketch_cms_heavy_hitters")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, f"sketch join fell back to SMJ\n{p}"
+
+
+def test_near_dup_lsh_is_equi_join_not_nested_loop(spark):
+    """The bucketed near-dup production twin must join on the LSH bucket
+    key — a cartesian/nested-loop here means the 'twin' quietly degraded
+    into the quadratic baseline it exists to replace."""
+    p = plan_of(spark, "embedding_near_dup_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bucket" in p
+
+
+def test_ivf_kmeans_centroid_update_is_partial_aggregate(spark):
+    """k-means training shuffles only (cell, dim) keyed partial means —
+    key cardinality n_cells x dim regardless of corpus size. A plan
+    without partial aggregation would shuffle every member vector."""
+    p = plan_of(spark, "ann_ivf_kmeans_topk")
+    assert "partial" in p.lower(), p[:2000]
+    assert "CartesianProduct" not in p
