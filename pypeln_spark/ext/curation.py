@@ -48,6 +48,35 @@ def sample_by_hash(
     return df.filter(sample_key(F.col(key_col), salt, denom) < int(rate * denom))
 
 
+def train_val_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.0,
+    salt: str = "split",
+    denom: int = 10000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val(/test) assignment from ONE pass, zero
+    shuffle: the same stable hash windowing as sample_by_hash, so (a) the
+    split is reproducible across runs, engines, and re-partitioning —
+    df.randomSplit is none of those — (b) membership is a pure projection
+    any engine can replay, and (c) a document keeps its split when the
+    corpus grows (new docs don't reshuffle old assignments — the property
+    that keeps eval sets stable across corpus versions). Windows:
+    val = [0, val_frac), test = [val_frac, val_frac+test_frac), train =
+    the rest."""
+    k = sample_key(F.col(key_col), salt, denom)
+    val_hi = int(val_frac * denom)
+    test_hi = val_hi + int(test_frac * denom)
+    split = (
+        F.when(k < val_hi, F.lit("val"))
+        .when(k < test_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, split)
+
+
 def stratified_topn(
     df: DataFrame,
     strata: tp.Sequence[str],

@@ -75,6 +75,52 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals, one narrow projection per doc:
+
+    - ``dup_token_frac``   = 1 − |distinct tokens| / |tokens|
+    - ``dup_2gram_frac``   = 1 − |distinct 2-grams| / |2-grams|
+    - ``dup_3gram_frac``   = 1 − |distinct 3-grams| / |3-grams|
+
+    High values flag boilerplate/spam (repeated lines, keyword stuffing) —
+    the standard cheap repetition filters from the Gopher/MassiveText
+    quality pipeline. All via array HOFs on the token array (no explode,
+    no shuffle — O(doc length) per row, codegen-speed at any scale);
+    n-grams join tokens with a space, fractions are NULL-free doubles
+    (single-token docs have zero n-grams → fraction 0.0)."""
+    toks = tokenize(F.col(text_col))
+
+    def ngrams(n: int) -> Column:
+        # guard: sequence(0, -1) DESCENDS in Spark, it isn't empty — docs
+        # shorter than n tokens must yield zero n-grams explicitly
+        return F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        )
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n.cast("double")
+        )
+
+    return spread(df).select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        dup_frac(toks).alias("dup_token_frac"),
+        dup_frac(ngrams(2)).alias("dup_2gram_frac"),
+        dup_frac(ngrams(3)).alias("dup_3gram_frac"),
+    )
+
+
 def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit ratio per language + argmax prediction (deterministic
     tiebreak: language list order en>de>fr>es, then 'und')."""

@@ -79,6 +79,8 @@ _PRIORITY = [
     "embedding_near_dup_lsh",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
+    "text_repetition_stats",
+    "curation_train_val_split",
 ]
 
 

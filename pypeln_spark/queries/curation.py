@@ -170,3 +170,40 @@ def curation_chunk_tokens(spark, sf_dir):
     _index convention (SURVEY §2.1 flat_map)."""
     (docs,) = tables(spark, sf_dir, "documents")
     return X.chunk_tokens(docs, chunk_size=CHUNK)
+
+
+_SPLIT_KEY = sql_h31("concat('split:', CAST(doc_id AS VARCHAR))")
+VAL_FRAC, TEST_FRAC = 0.1, 0.05
+_SPLIT_DENOM = 10000
+
+
+@register(
+    "curation_train_val_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN ({_SPLIT_KEY}) % {_SPLIT_DENOM} < {int(VAL_FRAC * _SPLIT_DENOM)}
+                    THEN 'val'
+                  WHEN ({_SPLIT_KEY}) % {_SPLIT_DENOM}
+                       < {int(VAL_FRAC * _SPLIT_DENOM) + int(TEST_FRAC * _SPLIT_DENOM)}
+                    THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def curation_train_val_split(spark, sf_dir):
+    """Deterministic hash-windowed train/val/test split (ext/curation.
+    train_val_split): reproducible across engines/partitionings — unlike
+    randomSplit — and stable under corpus growth (new docs never reshuffle
+    old assignments). Verified via per-(split, lang) counts and char
+    totals, which pin every document's assignment."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    assigned = C.train_val_split(docs, val_frac=VAL_FRAC, test_frac=TEST_FRAC)
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )

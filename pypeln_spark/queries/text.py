@@ -153,3 +153,45 @@ def text_length_histogram(spark, sf_dir):
             "max_chars": F.max("n_chars"),
         },
     ).df
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) < 2 THEN []
+                  ELSE list_transform(range(1, len(toks)),
+                       i -> concat(toks[CAST(i AS INT)], ' ', toks[CAST(i+1 AS INT)]))
+             END AS g2,
+             CASE WHEN len(toks) < 3 THEN []
+                  ELSE list_transform(range(1, len(toks) - 1),
+                       i -> concat(toks[CAST(i AS INT)], ' ', toks[CAST(i+1 AS INT)],
+                                   ' ', toks[CAST(i+2 AS INT)]))
+             END AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) END AS dup_token_frac,
+           CASE WHEN len(g2) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                         / CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+           CASE WHEN len(g3) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                         / CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac
+    FROM g
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (ext/text.repetition_stats):
+    duplicate token/2-gram/3-gram fractions per document, computed by array
+    HOFs with no explode/shuffle — boilerplate and keyword-stuffing filters
+    at codegen speed."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.repetition_stats(docs)

@@ -442,3 +442,38 @@ def test_multimodal_real_decode_raises_without_pil():
         pass
     with _pytest.raises(NotImplementedError, match="PIL"):
         _decode_image(b"\x89PNG not really", fake=False)
+
+
+def test_train_val_split_stable_and_exhaustive(spark, sf_dir):
+    """Split assignment is a pure function of (salt, key): growing the
+    corpus must not move any existing document, and the three windows
+    partition the corpus exactly."""
+    from pypeln_spark.ext import curation as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = docs.filter("doc_id < 100")
+    a = {r.doc_id: r.split for r in
+         C.train_val_split(small, val_frac=0.2, test_frac=0.1).collect()}
+    b = {r.doc_id: r.split for r in
+         C.train_val_split(docs, val_frac=0.2, test_frac=0.1).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never reshuffles
+    assert set(b.values()) <= {"train", "val", "test"}
+    assert len(b) == docs.count()  # exhaustive, no row dropped
+
+
+def test_repetition_stats_edge_cases(spark):
+    """Single-token and fully-repeated docs: no descending-sequence bug,
+    exact fractions."""
+    from pypeln_spark.ext import text as X
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "a a a a"), (3, "x y x y")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.dup_token_frac, r.dup_2gram_frac)
+           for r in X.repetition_stats(df).collect()}
+    assert got[1] == (1, 0.0, 0.0)  # 1 token, no 2-grams
+    # 'a a' x3 -> 1 distinct of 3; spelled 1 - 1/3 exactly as computed
+    # (2.0/3.0 differs from 1.0 - 1.0/3.0 by one ulp)
+    assert got[2] == (4, 0.75, 1.0 - 1.0 / 3.0)
+    assert got[3][1] == 0.5  # x,y twice each
