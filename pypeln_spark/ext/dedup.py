@@ -26,7 +26,6 @@ reproducible cross-engine; the DuckDB oracles replay the identical pipeline.
 
 from __future__ import annotations
 
-import functools
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -473,18 +472,29 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming (< 4).
 
     Pigeonhole: 32 bits in 4 bytes — ≤3 differing bits leave ≥1 byte equal,
-    so an equi-join per byte finds every such pair without O(n²)."""
-    byte = lambda c, b: F.expr(f"shiftright({c}, {8 * b}) & 255")
-    pieces = []
-    for b in range(4):
-        a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-                      byte("simhash", b).alias("k"))
-        bb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-                       byte("simhash", b).alias("k"))
-        pieces.append(a.join(bb, "k").filter(F.col("id_a") < F.col("id_b")))
-    cands = functools.reduce(
-        lambda x, y: x.unionByName(y), [p.select("id_a", "id_b", "sh_a", "sh_b") for p in pieces]
-    ).distinct()
+    so matching on any (band, byte-value) key finds every such pair without
+    O(n²). Lowering: ONE explode to 4 keyed rows per doc (key = band*256 +
+    byte so bands never cross-match) and ONE self-equi-join — the earlier
+    4-joins-unioned form scanned the fingerprint projection 8×; the
+    fingerprint fold is also persisted (pool) since both join sides read
+    it. Shuffle ∝ 4·docs either way; candidate set identical."""
+    retire_pipeline_caches()
+    fp = pool_persist(fp)
+    keys = F.array(
+        *[
+            (F.lit(b * 256) + F.expr(f"shiftright(simhash, {8 * b}) & 255")).cast("long")
+            for b in range(4)
+        ]
+    )
+    e = fp.select(F.col(id_col), F.col("simhash"), F.explode(keys).alias("k"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "k")
+    bb = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "k")
+    cands = (
+        a.join(bb, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
     return (
         cands.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
@@ -521,9 +531,19 @@ def connected_components(
     workloads don't need it."""
     from pyspark import StorageLevel
 
+    # symmetrize via ONE explode, not a self-union: unionByName duplicates
+    # the whole upstream subtree, so a lazy `pairs` fed straight from the
+    # LSH pipeline would run band-join + verify TWICE in the first job
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
