@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import spread
+from .dedup import pool_persist, retire_pipeline_caches, spread
 from .hashing import P31
 
 # decimal(30,12) — NOT (38,12): Spark's decimal addition widens precision by
@@ -190,6 +190,7 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Spherical k-means quantizer, engine-reproducible by construction:
 
@@ -210,10 +211,12 @@ def kmeans_centroids(
     the corpus + a groupBy on (cid, dim) whose key cardinality is
     n_cells × dim — partial aggregation collapses the shuffle to a constant
     regardless of corpus size. Returns (id_col, _v, _norm) ready to feed
-    ivf_assign."""
+    ivf_assign. Pass ``normed`` (a with_norms frame over the same corpus,
+    ideally persisted) to reuse an existing normalization — the iterations
+    are unrolled into one lazy plan that scans it once per round."""
     from .hashing import h31
 
-    n = with_norms(spread(emb), vec_col)
+    n = normed if normed is not None else pool_persist(with_norms(spread(emb), vec_col))
     cents = (
         n.withColumn("_h", h31(F.col(id_col).cast("string")))
         .orderBy(F.col("_h").asc(), F.col(id_col).asc())
@@ -276,10 +279,21 @@ def ivf_topk(
     id — zero training cost, the simplest engine-reproducible choice);
     "kmeans" = trained spherical k-means (kmeans_centroids — better cell
     balance and recall, still engine-reproducible via frozen-hash init +
-    decimal-exact updates, so it keeps a full SQL oracle too)."""
+    decimal-exact updates, so it keeps a full SQL oracle too).
+
+    The normalized corpus frame is SHARED with k-means training (normed=)
+    so the two build identical subtrees Spark can plan once — but it is
+    deliberately NOT persisted: measured at sf0.1, an eager materialization
+    barrier costs more than recomputing the norm fold per consumer stage
+    (1.0s → 1.6s end-to-end), and at scale the fold is a narrow
+    scan-speed projection while a cache of every vector is real storage
+    pressure. Persist only pays when the upstream scan itself is the
+    bottleneck."""
     corpus = with_norms(spread(emb), vec_col)
     if quantizer == "kmeans":
-        cents = kmeans_centroids(emb, n_cells, kmeans_iters, id_col, vec_col)
+        cents = kmeans_centroids(
+            emb, n_cells, kmeans_iters, id_col, vec_col, normed=corpus
+        )
     else:
         cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
     cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col).select(
@@ -322,8 +336,13 @@ def near_dup_lsh(
     probability and fewer planes trade precision-cost for recall. The
     oracle replays the identical deterministic plane family, so bucket
     assignment AND the recall loss itself are value-checked. Output:
-    (id_a < id_b, cos ≥ threshold)."""
-    n = lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim)
+    (id_a < id_b, cos ≥ threshold). The bucketed frame persists (pool):
+    both self-join sides read it, and the plane-dot fold is the expensive
+    projection."""
+    retire_pipeline_caches()
+    n = pool_persist(
+        lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim)
+    )
     a = n.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
         F.col("_norm").alias("na"), "bucket",
