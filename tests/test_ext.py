@@ -477,3 +477,24 @@ def test_repetition_stats_edge_cases(spark):
     # (2.0/3.0 differs from 1.0 - 1.0/3.0 by one ulp)
     assert got[2] == (4, 0.75, 1.0 - 1.0 / 3.0)
     assert got[3][1] == 0.5  # x,y twice each
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=40), max_size=120),
+    k=st.integers(min_value=1, max_value=12),
+    cut=st.integers(min_value=0, max_value=120),
+)
+def test_bottom_k_update_matches_model_property(vals, k, cut):
+    """Property: feeding any stream in any two chunks == sorted(set)[:k],
+    and intermediate state never exceeds k (the streaming-KMV bound)."""
+    from pypeln_spark.ext.sketch import bottom_k_update
+
+    cut = min(cut, len(vals))
+    mid = bottom_k_update([], vals[:cut], k)
+    assert len(mid) <= k and mid == sorted(set(vals[:cut]))[:k]
+    final = bottom_k_update(mid, vals[cut:], k)
+    assert final == sorted(set(vals))[:k]

@@ -264,3 +264,52 @@ def test_pump_feed_rejects_schema_breaking_chunk(spark):
     pump = IterablePump(spark, mixed, chunk_size=3)  # first chunk: longs
     with _pytest.raises(ValueError, match="does not conform"):
         pump.feed()
+
+
+from hypothesis import given, settings, strategies as st
+
+_ASOF_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=50),   # ts
+        st.integers(min_value=-100, max_value=100),  # payload
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(lrows=_ASOF_ROWS, rrows=_ASOF_ROWS)
+def test_asof_join_matches_pandas_model_property(spark, lrows, rrows):
+    """Property: union+window asof == pandas merge_asof on arbitrary
+    key/ts/payload data (right side deduped on (key, ts) — tie order is
+    the documented caveat)."""
+    import pandas as pd
+
+    # dedup right on (key, ts) to make the model's tie behavior defined
+    rmap = {(k, t): v for k, t, v in rrows}
+    rrows_d = [(k, t, v) for (k, t), v in rmap.items()]
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in lrows] or [(99, 0, 0)], "k long, ts long, lv long"
+    )
+    right = spark.createDataFrame(
+        rrows_d or [(98, 0, 0)], "k long, ts long, rv long"
+    )
+    got = {
+        (r.k, r.ts, r.lv): (r.ts_right, r.rv_right)
+        for r in A.asof_join(left, right, on="k", how="left").collect()
+    }
+    lp = left.toPandas().sort_values(["ts", "k", "lv"]).reset_index(drop=True)
+    rp = (
+        right.toPandas()
+        .rename(columns={"ts": "ts_right", "rv": "rv_right"})
+        .sort_values("ts_right")
+        .reset_index(drop=True)
+    )
+    want_df = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="ts_right", by="k", direction="backward"
+    )
+    for row in want_df.itertuples(index=False):
+        w_ts = None if pd.isna(row.ts_right) else int(row.ts_right)
+        w_rv = None if pd.isna(row.rv_right) else int(row.rv_right)
+        assert got[(row.k, row.ts, row.lv)] == (w_ts, w_rv), (row, got)
