@@ -135,9 +135,18 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
-    One equi-join on bucket instead of a cross join — the 100 TB shape."""
+    One equi-join on bucket instead of a cross join — the 100 TB shape.
+
+    ``probe_hamming=1`` enables multi-probe: each query also searches every
+    bucket whose signature differs in one plane (n_planes+1 probes). A
+    plane's sign flips exactly for the near-boundary vectors single-bucket
+    LSH loses, so recall rises steeply while the probe fan-out — and with
+    it candidate volume — stays a small constant factor; the corpus side
+    is untouched (still one bucket per vector, the side that matters at
+    scale). The classic multi-probe LSH trade."""
     c = lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
         F.col("_norm").alias("cn"), "bucket",
@@ -146,6 +155,17 @@ def ann_lsh_topk(
         F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
         F.col("_norm").alias("qn"), "bucket",
     )
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).alias(f"_p{p}")
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", "qn", F.explode(probes).alias("bucket")
+        )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -76,6 +76,7 @@ _PRIORITY = [
     "pipeline_task_async_enrich",
     # -- new round-3 queries --
     "ann_ivf_kmeans_topk",
+    "ann_lsh_multiprobe_topk",
     "embedding_near_dup_lsh",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",

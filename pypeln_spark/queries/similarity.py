@@ -109,6 +109,48 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     return S.ann_lsh_topk(emb, queries, k=K, n_planes=N_PLANES, dim=DIM)
 
 
+_PROBE_LIST = "[" + ",".join(str(x) for x in [0] + [1 << p for p in range(N_PLANES)]) + "]"
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    bktd AS (SELECT vec_id, v, nrm, CAST({_BUCKET} AS BIGINT) AS bucket FROM n),
+    probes AS (
+      SELECT vec_id, v, nrm, xor(bucket, pb) AS bucket
+      FROM bktd, (SELECT unnest({_PROBE_LIST}) AS pb)
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM probes q JOIN bktd c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {K}
+    """,
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN: each query also searches the n_planes buckets
+    one sign-flip away — recall recovers the near-boundary neighbors
+    single-bucket LSH loses, at a constant probe fan-out on the (small)
+    query side only; the corpus side stays one bucket per vector. Oracle
+    replays probing exactly, so the probe set and its recall are
+    value-checked."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ann_lsh_topk(
+        emb, queries, k=K, n_planes=N_PLANES, dim=DIM, probe_hamming=1
+    )
+
+
 N_CELLS = 16
 NPROBE = 2
 

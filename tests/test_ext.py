@@ -498,3 +498,24 @@ def test_bottom_k_update_matches_model_property(vals, k, cut):
     assert len(mid) <= k and mid == sorted(set(vals[:cut]))[:k]
     final = bottom_k_update(mid, vals[cut:], k)
     assert final == sorted(set(vals))[:k]
+
+
+def test_multiprobe_lsh_supersets_single_bucket(spark, sf_dir):
+    """Probing Hamming-1 buckets can only ADD candidates: the multi-probe
+    result for every query must contain the single-bucket result's
+    candidate set (rank-k cutoffs aside, compare at the candidate level by
+    re-running with large k)."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    kk = 10**6  # no cutoff: compare full candidate sets
+    single = {(r.query_id, r.neighbor_id)
+              for r in S.ann_lsh_topk(emb, q, k=kk, n_planes=6, dim=64).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in S.ann_lsh_topk(emb, q, k=kk, n_planes=6, dim=64,
+                                     probe_hamming=1).collect()}
+    assert single <= multi
+    assert len(multi) > len(single)  # probes actually add candidates here
