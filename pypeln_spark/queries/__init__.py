@@ -78,6 +78,7 @@ _PRIORITY = [
     "ann_ivf_kmeans_topk",
     "ann_lsh_multiprobe_topk",
     "embedding_near_dup_lsh",
+    "streaming_dedup_events",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
     "text_repetition_stats",

@@ -432,3 +432,33 @@ def streaming_kmv_daily_distinct(spark, sf_dir):
         "kmin_csv",
         est.alias("est_distinct"),
     )
+
+
+@register(
+    "streaming_dedup_events",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_unique, {dsum_expr('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_events(spark, sf_dir):
+    """Stateful streaming deduplication: the events stream UNIONED WITH
+    ITSELF (so every event arrives at least twice) is deduplicated on
+    event_id with dropDuplicatesWithinWatermark — the bounded-state form:
+    the dedup state for an event expires once the watermark passes its
+    event time, so state is O(events within the watermark horizon), not
+    O(all events ever) (plain dropDuplicates). Per-type counts over the
+    deduped stream must equal the batch table exactly — each duplicate
+    admitted or dropped wrongly shifts a count. Aggregation runs batch-side
+    on the sink because chaining a second stateful aggregate after
+    within-watermark dedup in one query needs end-to-end append mode,
+    which complete-mode counts can't use."""
+    ev = ST.events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = ST.run_to_memory(deduped, output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"), dsum("value").alias("total_value")
+    )

@@ -313,3 +313,19 @@ def test_asof_join_matches_pandas_model_property(spark, lrows, rrows):
         w_ts = None if pd.isna(row.ts_right) else int(row.ts_right)
         w_rv = None if pd.isna(row.rv_right) else int(row.rv_right)
         assert got[(row.k, row.ts, row.lv)] == (w_ts, w_rv), (row, got)
+
+
+def test_streaming_dedup_across_batches(spark, sf_dir):
+    """dropDuplicatesWithinWatermark must suppress a duplicate arriving in
+    a LATER microbatch: replaying the same events twice as two batches
+    yields each event exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def build(stream):
+        return stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    out = ST.staged_replay(spark, [ev, ev], build, output_mode="append")
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
