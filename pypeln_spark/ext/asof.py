@@ -55,12 +55,23 @@ def asof_join(
     right_cols: tp.Optional[tp.List[str]] = None,
     suffix: str = "_right",
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join via union+window.
+    """As-of join via union+window.
+
+    ``direction="backward"`` (default): greatest right_ts ≤ left_ts —
+    pandas merge_asof backward / DuckDB ``ASOF ... ON l.ts >= r.ts``.
+    ``direction="forward"``: smallest right_ts ≥ left_ts — merge_asof
+    forward / DuckDB ``ON l.ts <= r.ts``. Same single-shuffle lowering:
+    forward just traverses the window in descending event time, so
+    "last right row seen" flips from newest-at-or-before to
+    oldest-at-or-after.
 
     Output: every left column, plus ``<right_ts><suffix>`` and each
     requested right column as ``<col><suffix>``; unmatched left rows are
     dropped (how='inner') or kept with nulls (how='left')."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     # The matched right row rides the window as ONE struct — carrying each
@@ -105,12 +116,13 @@ def asof_join(
             *[F.col(c).alias(f"_r_{c}") for c in tb_cols],
         ).alias("_rtiebreak"),
     )
-    # right rows sort before left rows at equal ts (side 0 < 1) → inclusive ≤;
-    # the orderable-struct tiebreak makes same-(key, ts) right rows
-    # deterministic (up to non-orderable columns)
+    # right rows sort before left rows at equal ts (side 0 < 1) → the match
+    # is inclusive in both directions; the orderable-struct tiebreak makes
+    # same-(key, ts) right rows deterministic (up to non-orderable columns)
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rtiebreak").asc())
+        .orderBy(t_order, F.col("_side").asc(), F.col("_rtiebreak").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

@@ -79,6 +79,7 @@ _PRIORITY = [
     "ann_lsh_multiprobe_topk",
     "embedding_near_dup_lsh",
     "streaming_dedup_events",
+    "asof_join_view_to_next_purchase",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
     "text_repetition_stats",

@@ -462,3 +462,48 @@ def streaming_dedup_events(spark, sf_dir):
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique"), dsum("value").alias("total_value")
     )
+
+
+@register(
+    "asof_join_view_to_next_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    views AS (SELECT event_id AS view_id, user_id, ts FROM events
+              WHERE event_type = 'view')
+    SELECT v.view_id, v.user_id, v.ts AS view_ts,
+           p.ts AS purchase_ts, p.purchase_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+    FROM views v
+    ASOF JOIN purchases p ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join_view_to_next_purchase(spark, sf_dir):
+    """FORWARD as-of join: each view matched to the user's next purchase
+    at-or-after it (the attribution / conversion-lag shape). Same
+    single-shuffle union+window lowering as backward, traversed in
+    descending event time; DuckDB replays it natively via
+    ``ASOF JOIN ... ON l.ts <= r.ts``."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    j = A.asof_join(
+        views, purchases, on="user_id", right_cols=["purchase_id"],
+        direction="forward",
+    )
+    return j.select(
+        "view_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("purchase_id_right").alias("purchase_id"),
+        (F.col("ts_right").cast("long") - F.col("ts").cast("long")).alias("gap_s"),
+    )

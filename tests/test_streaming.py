@@ -329,3 +329,39 @@ def test_streaming_dedup_across_batches(spark, sf_dir):
     out = ST.staged_replay(spark, [ev, ev], build, output_mode="append")
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+@settings(max_examples=5, deadline=None)
+@given(lrows=_ASOF_ROWS, rrows=_ASOF_ROWS)
+def test_asof_join_forward_matches_pandas_model_property(spark, lrows, rrows):
+    """Property: direction='forward' == pandas merge_asof(direction='forward')."""
+    import pandas as pd
+
+    rmap = {(k, t): v for k, t, v in rrows}
+    rrows_d = [(k, t, v) for (k, t), v in rmap.items()]
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in lrows] or [(99, 0, 0)], "k long, ts long, lv long"
+    )
+    right = spark.createDataFrame(
+        rrows_d or [(98, 0, 0)], "k long, ts long, rv long"
+    )
+    got = {
+        (r.k, r.ts, r.lv): (r.ts_right, r.rv_right)
+        for r in A.asof_join(
+            left, right, on="k", how="left", direction="forward"
+        ).collect()
+    }
+    lp = left.toPandas().sort_values(["ts", "k", "lv"]).reset_index(drop=True)
+    rp = (
+        right.toPandas()
+        .rename(columns={"ts": "ts_right", "rv": "rv_right"})
+        .sort_values("ts_right")
+        .reset_index(drop=True)
+    )
+    want_df = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="ts_right", by="k", direction="forward"
+    )
+    for row in want_df.itertuples(index=False):
+        w_ts = None if pd.isna(row.ts_right) else int(row.ts_right)
+        w_rv = None if pd.isna(row.rv_right) else int(row.rv_right)
+        assert got[(row.k, row.ts, row.lv)] == (w_ts, w_rv), (row, got)
