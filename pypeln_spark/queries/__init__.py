@@ -80,6 +80,7 @@ _PRIORITY = [
     "embedding_near_dup_lsh",
     "streaming_dedup_events",
     "asof_join_view_to_next_purchase",
+    "streaming_cms_daily_heavy_hitters",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
     "text_repetition_stats",

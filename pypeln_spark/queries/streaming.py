@@ -507,3 +507,106 @@ def asof_join_view_to_next_purchase(spark, sf_dir):
         F.col("purchase_id_right").alias("purchase_id"),
         (F.col("ts_right").cast("long") - F.col("ts").cast("long")).alias("gap_s"),
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_params_sql() -> str:
+    from pypeln_spark.ext.hashing import MINHASH_PARAMS
+
+    return ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS[:_CMS_D])
+    )
+
+
+@register(
+    "streaming_cms_daily_heavy_hitters",
+    oracle=f"""
+    WITH p(j, pa, pb) AS (VALUES {{params}}),
+    hh AS (
+      SELECT date_trunc('day', ts) AS day, user_id,
+             {{h}} AS h
+      FROM events
+    ),
+    bk AS (
+      SELECT day, user_id, j,
+             ((CAST(pa AS BIGINT) * h + pb) % 2147483647) % {_CMS_W} AS b
+      FROM hh CROSS JOIN p
+    ),
+    c AS (
+      SELECT day, j, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bk GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT day, user_id, n_true FROM (
+        SELECT day, user_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+               ROW_NUMBER() OVER (PARTITION BY day
+                 ORDER BY COUNT(*) DESC, user_id) AS rn
+        FROM hh GROUP BY 1, 2
+      ) WHERE rn <= 3
+    ),
+    tb AS (
+      SELECT DISTINCT t.day, t.user_id, t.n_true, bk.j, bk.b
+      FROM t JOIN bk ON t.day = bk.day AND t.user_id = bk.user_id
+    )
+    SELECT tb.day AS window_start, tb.user_id, tb.n_true,
+           CAST(MIN(c.cnt) AS BIGINT) AS n_est
+    FROM tb JOIN c ON tb.day = c.day AND tb.j = c.j AND tb.b = c.b
+    GROUP BY 1, 2, 3
+    """.format(params=_cms_params_sql(),
+               h="(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647)"),
+)
+def streaming_cms_daily_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch as BOUNDED streaming state (the linear-sketch
+    counterpart to streaming_kmv_daily_distinct's bottom-k state): the
+    stream explodes each event into its d row-bucket keys and a windowed
+    complete-mode count maintains the counters — streaming state is
+    EXACTLY the sketch, ≤ days × d × w counter rows regardless of event
+    volume, because CMS is linear and counter addition is the micro-batch
+    merge. Heavy-hitter estimates (exact top-3 per day, from the batch
+    table, with their CMS point estimates from the STREAMED counters)
+    value-check the whole path cross-engine."""
+    from pyspark.sql import Window
+
+    from pypeln_spark.ext.sketch import _cms_buckets
+
+    ev = ST.events_stream(spark, sf_dir)
+    rows = ev.withColumn("_bk", _cms_buckets("user_id", _CMS_D, _CMS_W)).select(
+        F.window("ts", "1 day").alias("win"),
+        F.posexplode("_bk").alias("_j", "_b"),
+    )
+    counters = rows.groupBy("win", "_j", "_b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sink = ST.run_to_memory(counters, output_mode="complete")
+    streamed = sink.select(
+        F.col("win.start").alias("day"), "_j", "_b", "cnt"
+    )
+
+    evb = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    top = (
+        evb.groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("day").orderBy(F.desc("n_true"), F.asc("user_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    tb = top.withColumn("_bk", _cms_buckets("user_id", _CMS_D, _CMS_W)).select(
+        "day", "user_id", "n_true", F.posexplode("_bk").alias("_j", "_b")
+    )
+    return (
+        tb.join(F.broadcast(streamed), ["day", "_j", "_b"])
+        .groupBy("day", "user_id", "n_true")
+        .agg(F.min("cnt").alias("n_est"))
+        .select(
+            F.col("day").alias("window_start"), "user_id", "n_true", "n_est"
+        )
+    )
