@@ -121,6 +121,40 @@ def repetition_stats(
     )
 
 
+# conservative, RE2-and-Java-portable patterns so the oracle can replay
+# them: real pipelines extend this table (SSNs, IP addresses, keys...)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style PII redaction as one narrow projection: each pattern is
+    replaced with a typed token ('<EMAIL>', '<PHONE>'), and per-pattern
+    match counts ride along so downstream filters can drop PII-heavy docs
+    without rescanning. Patterns are deliberately in the RE2 ∩ Java-regex
+    dialect so DuckDB replays them byte-for-byte — extend PII_PATTERNS for
+    production (keeping portability if cross-engine auditing matters).
+    Output: (id, scrubbed text, n_<kind> per pattern, n_pii total)."""
+    t = F.col(text_col)
+    out_cols = [F.col(id_col)]
+    scrubbed = t
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    out_cols.append(scrubbed.alias(text_col))
+    out_cols += counts
+    out = spread(df).select(*out_cols)
+    total = sum((F.col(f"n_{k}") for k in PII_PATTERNS), F.lit(0).cast("long"))
+    return out.withColumn("n_pii", total.cast("long"))
+
+
 def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit ratio per language + argmax prediction (deterministic
     tiebreak: language list order en>de>fr>es, then 'und')."""

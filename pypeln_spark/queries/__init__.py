@@ -81,6 +81,7 @@ _PRIORITY = [
     "streaming_dedup_events",
     "asof_join_view_to_next_purchase",
     "streaming_cms_daily_heavy_hitters",
+    "text_pii_scrub",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
     "text_repetition_stats",

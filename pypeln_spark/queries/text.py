@@ -195,3 +195,31 @@ def text_repetition_stats(spark, sf_dir):
     at codegen speed."""
     (docs,) = tables(spark, sf_dir, "documents")
     return X.repetition_stats(docs)
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b', '<PHONE>', 'g') AS text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+            len(regexp_extract_all(text,
+             '\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b')) AS BIGINT) AS n_pii
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (ext/text.scrub_pii): emails/phones replaced with
+    typed tokens + per-pattern counts, one narrow projection. The patterns
+    live in the RE2 ∩ Java-regex dialect so the oracle replays the
+    redaction itself byte-for-byte — scrubbed text is part of the hash."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.scrub_pii(docs)

@@ -519,3 +519,21 @@ def test_multiprobe_lsh_supersets_single_bucket(spark, sf_dir):
                                      probe_hamming=1).collect()}
     assert single <= multi
     assert len(multi) > len(single)  # probes actually add candidates here
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from pypeln_spark.ext import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or call 555-123-4567 ok"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.co and 123-456-7890 999-888-7777"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.scrub_pii(df).collect()}
+    assert got[1].text == "mail me at <EMAIL> or call <PHONE> ok"
+    assert (got[1].n_email, got[1].n_phone, got[1].n_pii) == (1, 1, 2)
+    assert got[2].text == "no pii here" and got[2].n_pii == 0
+    assert got[3].n_email == 2 and got[3].n_phone == 2 and got[3].n_pii == 4
