@@ -84,6 +84,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
+    "pipeline_to_async_iterable_roundtrip",
     "text_repetition_stats",
     "curation_train_val_split",
 ]

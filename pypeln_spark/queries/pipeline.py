@@ -284,3 +284,29 @@ def pipeline_to_iterable_roundtrip(spark, sf_dir):
         pl.to_iterable(pl.to_stage(nation.select("n_nationkey", "n_name")), maxsize=1)
     )
     return spark.createDataFrame(rows, "n_nationkey long, n_name string")
+
+
+@register(
+    "pipeline_to_async_iterable_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def pipeline_to_async_iterable_roundtrip(spark, sf_dir):
+    """pl.to_async_iterable driver surface (reference:
+    pypeln/task/api/to_iterable.py:78-111): consume a table stage through
+    the async iterator sink — partitions pulled in an executor thread so
+    the event loop stays responsive — and rebuild a DataFrame from the
+    yielded dicts; the oracle is the table itself. Completes driver-row
+    coverage for all 10 reference operators."""
+    import asyncio
+
+    (region,) = tables(spark, sf_dir, "region")
+    stage = pl.to_stage(region.select("r_regionkey", "r_name"))
+
+    async def drain():
+        out = []
+        async for row in pl.to_async_iterable(stage, maxsize=1):
+            out.append(row)
+        return out
+
+    rows = asyncio.new_event_loop().run_until_complete(drain())
+    return spark.createDataFrame(rows, "r_regionkey long, r_name string")
