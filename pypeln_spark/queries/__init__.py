@@ -82,6 +82,7 @@ _PRIORITY = [
     "asof_join_view_to_next_purchase",
     "streaming_cms_daily_heavy_hitters",
     "text_pii_scrub",
+    "streaming_doc_quality_counts",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
     "pipeline_to_async_iterable_roundtrip",

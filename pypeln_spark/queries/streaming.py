@@ -610,3 +610,52 @@ def streaming_cms_daily_heavy_hitters(spark, sf_dir):
             F.col("day").alias("window_start"), "user_id", "n_true", "n_est"
         )
     )
+
+
+@register(
+    "streaming_doc_quality_counts",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                  AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS stopword_ratio
+      FROM documents
+    )
+    SELECT CASE WHEN n_tokens >= 20 AND stopword_ratio >= 0.02
+                THEN 'keep' ELSE 'drop' END AS verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM q GROUP BY 1
+    """,
+)
+def streaming_doc_quality_counts(spark, sf_dir):
+    """The ext text-quality operators composed onto a STREAM: documents
+    arrive as a file-source stream, ext/text.quality_scores runs unchanged
+    (its projections are streaming-safe Catalyst — spread() is a no-op on
+    streams), and a complete-mode aggregate tallies keep/drop verdicts.
+    Shows the curation layer is source-agnostic: the same operator
+    DataFrame→DataFrame functions serve batch corpora and live feeds."""
+    import os
+
+    from pypeln_spark.ext import text as X
+
+    docs = ST.read_stream_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    scored = X.quality_scores(docs)
+    verdict = F.when(
+        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.02), F.lit("keep")
+    ).otherwise(F.lit("drop"))
+    agg = (
+        scored.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    out = ST.run_to_memory(agg, output_mode="complete")
+    return out.select("verdict", "n_docs", "total_tokens")
