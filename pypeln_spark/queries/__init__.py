@@ -83,6 +83,7 @@ _PRIORITY = [
     "streaming_cms_daily_heavy_hitters",
     "text_pii_scrub",
     "streaming_doc_quality_counts",
+    "dedup_minhash_clusters_star",
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
     "pipeline_to_async_iterable_roundtrip",

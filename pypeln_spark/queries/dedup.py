@@ -12,7 +12,7 @@ from __future__ import annotations
 from pypeln_spark.ext import dedup as D
 from pypeln_spark.ext.hashing import MINHASH_PARAMS, sql_h31, sql_shingles
 
-from .base import register, tables
+from .base import REGISTRY, register, tables
 
 JACCARD_THRESHOLD = 0.5
 N_HASHES = 32
@@ -271,3 +271,24 @@ def dedup_minhash_clusters(spark, sf_dir):
         impl="numpy",  # same md5 family → same oracle; see shingle_sigs_np
     )
     return D.connected_components(pairs)
+
+
+# same fixpoint, same oracle: label propagation and large/small-star both
+# converge to (doc_id, min reachable id)
+_CLUSTERS_ORACLE = REGISTRY["dedup_minhash_clusters"].oracle
+
+
+@register("dedup_minhash_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dedup_minhash_clusters_star(spark, sf_dir):
+    """The O(log n)-round clustering path: identical near-dup pair input,
+    components via alternating large-star/small-star
+    (ext/dedup.connected_components_star) instead of min-label
+    propagation — the variant that survives adversarial high-diameter dup
+    graphs. Same canonical labeling, so it shares
+    dedup_minhash_clusters' recursive-CTE oracle verbatim."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+        impl="numpy",
+    )
+    return D.connected_components_star(pairs)

@@ -537,3 +537,57 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (got[1].n_email, got[1].n_phone, got[1].n_pii) == (1, 1, 2)
     assert got[2].text == "no pii here" and got[2].n_pii == 0
     assert got[3].n_email == 2 and got[3].n_phone == 2 and got[3].n_pii == 4
+
+
+def test_connected_components_star_equals_label_prop(spark):
+    """large-star/small-star must produce identical components to min-label
+    propagation — including on a LONG CHAIN, the adversarial high-diameter
+    topology it exists for (label-prop needs O(n) rounds there; the star
+    rounds are O(log n))."""
+    from pypeln_spark.ext import dedup as D
+
+    chain = [(i, i + 1) for i in range(40)]               # diameter 40
+    extra = [(100, 101), (200, 201), (201, 202), (200, 202)]
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    star = {(r.doc_id, r.cluster_id)
+            for r in D.connected_components_star(pairs).collect()}
+    prop = {(r.doc_id, r.cluster_id)
+            for r in D.connected_components(pairs, max_iter=60).collect()}
+    assert star == prop
+    assert ({c for _, c in star} == {0, 100, 200})
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+    )
+)
+def test_connected_components_star_property(spark, raw):
+    """Property: on arbitrary small graphs, star CC == a pure-Python
+    union-find model."""
+    from pypeln_spark.ext import dedup as D
+
+    pairs_list = [(a, b) for a, b in raw if a != b]
+    if not pairs_list:
+        return
+    pairs = spark.createDataFrame(pairs_list, "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in D.connected_components_star(pairs).collect()}
+    # union-find model
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {(n, min(members)) for members in comp.values() for n in members}
+    assert got == want
