@@ -319,6 +319,144 @@ def cms_estimate(
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog over the md5 hex string — the cross-engine-reproducible HLL.
+#
+# Engine-native HLLs (Spark approx_count_distinct, DuckDB approx_distinct)
+# share no spec, so their outputs can never be value-checked against each
+# other. This one derives everything from the md5 hex characters, which ARE
+# identical everywhere:
+#   bucket = first 2 hex chars            (m = 256 registers, b = 8 bits)
+#   rem    = next 13 hex chars            (52 independent hash bits)
+#   rho    = 1 + #leading zero BITS of rem (1..53; all-zero rem -> 53)
+# rho comes from string ops (ltrim of '0' + a 16-way CASE on the first
+# non-zero hex digit), register merge is max(), and the harmonic sum
+# Z = sum_j 2^(-M_j) is carried as the EXACT integer S = sum_j 2^(53-M_j)
+# (M_j=0 for empty registers; S <= 256*2^53 = 2^61 fits int64 and is
+# associative/partition-invariant, unlike a float sum). The only floats are
+# one final division (IEEE-exact on both engines) and the linear-counting
+# table, which is precomputed in Python ONCE and embedded as the same
+# literal array on both sides — so ln() never runs inside either engine.
+# ---------------------------------------------------------------------------
+
+HLL_B = 8  # register-index bits -> m = 256
+HLL_M = 1 << HLL_B
+HLL_REM_HEX = 13  # hex chars of rho material -> max rho = 52 + 1
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# numerator of the raw estimate: alpha * m^2 * 2^53 (S carries the 2^53 scale)
+HLL_RAW_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+# linear-counting estimates m*ln(m/V) for V = 1..m, computed once here and
+# embedded as literals in BOTH the Spark plan and the DuckDB oracle — the
+# same float is parsed on each side, so engine libm differences cannot leak
+import math as _math
+
+HLL_LIN_TABLE = [HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: tp.Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group HLL distinct-count: (group..., hll_sum_pow, empty_buckets,
+    est_distinct). Classic Flajolet HLL with the small-range linear-counting
+    correction; every output is deterministic cross-engine (see banner).
+
+    Scale shape: ONE groupBy over (group, bucket) — key cardinality bounded
+    at |groups|*256 whatever the input size, so map-side partial max()
+    collapses the shuffle to ~|groups|*256 rows; the final per-group merge
+    touches <=256 rows per group. This is the truly-bounded-state distinct
+    sketch (cf. kmv_sketch's O(distinct) aggregation buffers): partial state
+    is <=256 longs per group per partition, exactly how an HLL behaves on a
+    1000-executor cluster."""
+    v = F.col(value_col).cast("string")
+    hexs = F.md5(v)
+    bucket = F.conv(F.substring(hexs, 1, 2), 16, 10).cast("long")
+    stripped = F.regexp_replace(F.substring(hexs, 3, HLL_REM_HEX), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(stripped == "", F.lit(53)).otherwise(
+        (F.lit(HLL_REM_HEX) - F.length(stripped)) * 4 + 1 + extra
+    )
+    regs = (
+        df.filter(v.isNotNull())
+        .select(*group_cols, bucket.alias("_bkt"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.max("_rho").alias("_r"))
+    )
+    # integer harmonic sum: present buckets contribute 2^(53-r), the
+    # (m - present) empty buckets contribute 2^53 each
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - _r AS INT))")
+    merged = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    s = (
+        F.col("_s_present")
+        + (F.lit(HLL_M) - F.col("_n_present")) * F.lit(1 << 53)
+    ).alias("hll_sum_pow")
+    empty = (F.lit(HLL_M) - F.col("_n_present")).cast("long").alias("empty_buckets")
+    out = merged.select(*group_cols, s, empty)
+    raw = F.lit(HLL_RAW_NUM) / F.col("hll_sum_pow").cast("double")
+    lin = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LIN_TABLE]),
+        F.col("empty_buckets").cast("int"),
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("empty_buckets") > 0), lin
+    ).otherwise(raw)
+    return out.withColumn("est_distinct", est)
+
+
+def sql_hll_sketch(
+    table_expr: str, group_expr: str, value_expr: str, group_alias: str = "g"
+) -> str:
+    """DuckDB spelling of hll_sketch — generated from the SAME constants
+    (HLL_RAW_NUM, HLL_LIN_TABLE) so the two can never drift. Returns a
+    SELECT with columns ({group_alias}, hll_sum_pow, empty_buckets,
+    est_distinct)."""
+    stripped = f"regexp_replace(substr(md5(CAST({value_expr} AS VARCHAR)), 3, {HLL_REM_HEX}), '^0+', '')"
+    rho = (
+        f"(CASE WHEN {stripped} = '' THEN 53 ELSE "
+        f"({HLL_REM_HEX} - length({stripped})) * 4 + 1 + "
+        f"(CASE substr({stripped}, 1, 1) "
+        f"WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        f"WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        f"ELSE 0 END) END)"
+    )
+    bucket = (
+        f"CAST(concat('0x', substr(md5(CAST({value_expr} AS VARCHAR)), 1, 2)) AS BIGINT)"
+    )
+    lin_list = ", ".join(repr(x) for x in HLL_LIN_TABLE)
+    return f"""
+    WITH _hregs AS (
+      SELECT {group_expr} AS {group_alias}, {bucket} AS _bkt, MAX({rho}) AS _r
+      FROM {table_expr} WHERE {value_expr} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    _hmerged AS (
+      SELECT {group_alias},
+             CAST(SUM((CAST(1 AS BIGINT) << (53 - _r)))
+               + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+               AS hll_sum_pow,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS empty_buckets
+      FROM _hregs GROUP BY 1
+    )
+    SELECT {group_alias}, hll_sum_pow, empty_buckets,
+           CASE WHEN ({HLL_RAW_NUM!r} / CAST(hll_sum_pow AS DOUBLE)) <= {2.5 * HLL_M!r}
+                 AND empty_buckets > 0
+                THEN list_extract([{lin_list}], CAST(empty_buckets AS INT))
+                ELSE {HLL_RAW_NUM!r} / CAST(hll_sum_pow AS DOUBLE)
+           END AS est_distinct
+    FROM _hmerged
+    """
+
+
 def bottomk_quantiles(
     df: DataFrame,
     group_cols: tp.Sequence[str],

@@ -188,6 +188,129 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return spread(df).select(id_col, fp.alias("fingerprint"))
 
 
+def _tf(toks: Column, term: str) -> Column:
+    """Term frequency in a token array — factory (not an inline lambda) so
+    each term binds its own literal; a default-arg lambda would change the
+    HOF's visible arity and make Spark pass the element index into it."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tp.Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword search: top-k documents for a fixed bag of query terms.
+    Output (id, tf_<term>..., score) ordered by (score DESC, id ASC).
+
+    Determinism contract (what makes the oracle possible): tf/dl/df/N are
+    exact integers; avgdl is ONE division of an integer sum; idf uses the
+    log-free rational variant (N - df + 0.5)/(df + 0.5) — monotone in df
+    like the Robertson idf but with no ln(), because libm is the one
+    operation IEEE doesn't pin down across engines. Every remaining op is
+    a correctly-rounded IEEE-754 multiply/divide/add evaluated in the same
+    association on both engines, so scores are bit-identical.
+
+    Scale shape: per-doc tf's are one codegen'd projection (no explode, no
+    per-term shuffle); the corpus stats (N, sum dl, df per term) are a
+    single global aggregate whose one-row result broadcasts back; top-k is
+    TakeOrderedAndProject. At 100 TB: one scan + one scalar-sized exchange
+    + one top-k — no inverted index needed until the query SET is large."""
+    toks = tokenize(F.col(text_col))
+    proj = spread(df).select(
+        id_col,
+        F.size(toks).cast("long").alias("_dl"),
+        *[_tf(toks, t).alias(f"tf_{t}") for t in terms],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"_df_{t}")
+            for t in terms
+        ],
+    )
+    joined = proj.join(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    # length normalization shared by every term: k1 * ((1 - b) + b * dl/avgdl)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+    )
+    score = None
+    for t in terms:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = (
+            (F.col("_n") - F.col(f"_df_{t}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"_df_{t}").cast("double") + F.lit(0.5))
+        term_score = idf * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+        score = term_score if score is None else score + term_score
+    hit = None
+    for t in terms:
+        h = F.col(f"tf_{t}") > 0
+        hit = h if hit is None else hit | h
+    return (
+        joined.withColumn("score", score)
+        .filter(hit)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, *[f"tf_{t}" for t in terms], "score")
+    )
+
+
+def sql_bm25_topk(
+    terms: tp.Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of bm25_topk over the `documents` view — arithmetic text
+    kept in the same association as the Column tree above (Python's
+    left-assoc `+` chain == the SQL `+` chain)."""
+    toks = "string_split(text, ' ')"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    norm = (
+        f"({k1!r} * ({1.0 - b!r} + {b!r} * "
+        f"(CAST(_dl AS DOUBLE) / (CAST(_sumdl AS DOUBLE) / CAST(_n AS DOUBLE)))))"
+    )
+    term_scores = [
+        f"(((CAST(_n - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf_{t} AS DOUBLE) + {norm})))"
+        for t in terms
+    ]
+    score = term_scores[0]
+    for ts in term_scores[1:]:
+        score = f"({score} + {ts})"
+    hit = " OR ".join(f"tf_{t} > 0" for t in terms)
+    return f"""
+    WITH _proj AS (
+      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS _dl, {tf_cols}
+      FROM documents
+    ),
+    _stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS _n, CAST(SUM(_dl) AS BIGINT) AS _sumdl,
+             {df_cols}
+      FROM _proj
+    )
+    SELECT doc_id, {", ".join(f"tf_{t}" for t in terms)}, {score} AS score
+    FROM _proj CROSS JOIN _stats
+    WHERE {hit}
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
 def chunk_tokens(
     df: DataFrame,
     chunk_size: int = 64,

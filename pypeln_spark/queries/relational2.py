@@ -580,6 +580,44 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
     return K.cms_estimate(sk, top, ["event_type"], "user_id", d=_CMS_D, w=_CMS_W)
 
 
+def _hll_oracle() -> str:
+    from pypeln_spark.ext.sketch import sql_hll_sketch
+
+    inner = sql_hll_sketch("events", "event_type", "user_id", group_alias="event_type")
+    return f"""
+    WITH hll AS ({inner}),
+    ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT hll.event_type, hll.hll_sum_pow, hll.empty_buckets,
+           hll.est_distinct, ex.n_exact
+    FROM hll JOIN ex USING (event_type)
+    """
+
+
+@register("sketch_hll_distinct_users", oracle=_hll_oracle())
+def sketch_hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct users per event_type — the bounded-state distinct
+    sketch (256 registers/group vs KMV's O(distinct) buffers), value-checked
+    cross-engine because rho/registers derive from md5 hex chars and the
+    harmonic sum is carried as an exact integer (ext/sketch.py banner). The
+    linear-counting branch reads a Python-precomputed ln table embedded as
+    the same literals in both plans, so libm never runs engine-side.
+
+    Scale: one groupBy over (group, bucket) — map-side partial max() bounds
+    the shuffle at |groups|*256 rows regardless of input; this is the shape
+    you'd run on 100 TB where KMV's collect_set buffers would spill."""
+    from pypeln_spark.ext import sketch as K
+
+    (events,) = tables(spark, sf_dir, "events")
+    sk = K.hll_sketch(events, ["event_type"], "user_id")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "hll_sum_pow", "empty_buckets", "est_distinct", "n_exact"
+    )
+
+
 @register(
     "sketch_quantile_doc_lengths",
     oracle=f"""

@@ -197,6 +197,23 @@ def text_repetition_stats(spark, sf_dir):
     return X.repetition_stats(docs)
 
 
+_BM25_TERMS = ("spark", "window", "join")
+
+
+@register(
+    "search_bm25_topk",
+    oracle=X.sql_bm25_topk(_BM25_TERMS, k=20),
+)
+def search_bm25_topk(spark, sf_dir):
+    """BM25 keyword search (ext/text.bm25_topk): top-20 documents for the
+    fixed query {spark, window, join}, scores bit-identical to the oracle —
+    integer tf/dl/df stats, one-division avgdl, log-free rational idf, and
+    an identically-associated IEEE expression tree on both engines. Plan:
+    one scan projection + a one-row broadcast stats aggregate + TakeOrdered."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
 @register(
     "text_pii_scrub",
     oracle="""
