@@ -77,6 +77,24 @@ def train_val_split(
     return df.withColumn(split_col, split)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+    denom: int = 10000,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row with probability
+    ``weight`` (an INTEGER column scaled to [0, denom] — callers build it
+    with integer arithmetic so both engines agree exactly). Same stable
+    hash-window trick as sample_by_hash: keep iff sample_key < weight, so
+    inclusion is a pure integer comparison — reproducible across runs,
+    engines, and partitionings, and pushable to the scan. The standard
+    quality-weighted downsampling step (keep high-quality docs at a higher
+    rate) without a single float or RNG."""
+    return df.filter(sample_key(F.col(key_col), salt, denom) < weight)
+
+
 def stratified_topn(
     df: DataFrame,
     strata: tp.Sequence[str],

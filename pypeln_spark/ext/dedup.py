@@ -409,6 +409,74 @@ def minhash_lsh_dedup(
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
 
 
+def span_dedup(
+    df: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide repeated-span accounting: split every document into
+    non-overlapping ``window``-token chunks, hash each chunk (frozen h31
+    family), and keep only the FIRST occurrence of each chunk corpus-wide
+    (first = smallest (doc_id, chunk index)). Output one row per doc:
+    (id, n_chunks, n_kept, kept_frac) — the fixed-window approximation of
+    exact-substring dedup (Lee et al.'s suffix-array pass), which is what
+    production pipelines run when the suffix array doesn't fit.
+
+    Scale shape: chunking is a narrow posexplode (rows ∝ tokens/window, no
+    shuffle); first-occurrence selection is ONE hash-partitioned window over
+    chunk_hash (high-cardinality key → even partitions, tiny groups); the
+    per-doc rollup shuffles on doc_id. Nothing is quadratic and no text
+    leaves the chunking projection — only (hash, doc, idx) triples shuffle,
+    so bytes on the wire ∝ 24B per chunk whatever the document sizes."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.floor((F.size(toks) + F.lit(window - 1)) / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.array_join(F.slice(toks, c * window + 1, window), " "),
+    )
+    rows = spread(df).select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk")
+    ).select(id_col, "chunk_idx", h31(F.col("_chunk")).alias("_h"))
+    rn = F.row_number().over(
+        Window.partitionBy("_h").orderBy(F.col(id_col), F.col("chunk_idx"))
+    )
+    marked = rows.withColumn("_keep", (rn == 1).cast("long"))
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_keep").alias("n_kept"),
+    )
+    kept_frac = F.col("n_kept").cast("double") / F.col("n_chunks").cast("double")
+    return out.withColumn("kept_frac", kept_frac)
+
+
+def sql_span_dedup(window: int = 16) -> str:
+    """DuckDB twin of span_dedup over the `documents` view."""
+    from .hashing import sql_h31
+
+    toks = "string_split(text, ' ')"
+    return f"""
+    WITH _t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    _c AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+             {sql_h31(f"array_to_string(list_slice(toks, u.i*{window}+1, u.i*{window}+{window}), ' ')")} AS _h
+      FROM _t, UNNEST(range(0, (len(toks) + {window - 1}) // {window})) AS u(i)
+    ),
+    _m AS (
+      SELECT doc_id, CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY _h ORDER BY doc_id, chunk_idx) = 1
+             THEN 1 ELSE 0 END AS _keep
+      FROM _c
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(_keep) AS BIGINT) AS n_kept,
+           CAST(SUM(_keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+    FROM _m GROUP BY doc_id
+    """
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -413,6 +413,15 @@ def hll_sketch(
     return out.withColumn("est_distinct", est)
 
 
+def _dlit(x: float) -> str:
+    """Spell a Python float as a DuckDB DOUBLE literal. A bare decimal
+    literal ('15.457410813160315') parses as DECIMAL there, and unifying a
+    256-element list to one decimal scale rounds the last ulp away from the
+    Spark plan's true double — an exponent suffix forces DOUBLE parsing."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
 def sql_hll_sketch(
     table_expr: str, group_expr: str, value_expr: str, group_alias: str = "g"
 ) -> str:
@@ -432,7 +441,7 @@ def sql_hll_sketch(
     bucket = (
         f"CAST(concat('0x', substr(md5(CAST({value_expr} AS VARCHAR)), 1, 2)) AS BIGINT)"
     )
-    lin_list = ", ".join(repr(x) for x in HLL_LIN_TABLE)
+    lin_list = ", ".join(_dlit(x) for x in HLL_LIN_TABLE)
     return f"""
     WITH _hregs AS (
       SELECT {group_expr} AS {group_alias}, {bucket} AS _bkt, MAX({rho}) AS _r
@@ -448,10 +457,10 @@ def sql_hll_sketch(
       FROM _hregs GROUP BY 1
     )
     SELECT {group_alias}, hll_sum_pow, empty_buckets,
-           CASE WHEN ({HLL_RAW_NUM!r} / CAST(hll_sum_pow AS DOUBLE)) <= {2.5 * HLL_M!r}
+           CASE WHEN ({_dlit(HLL_RAW_NUM)} / CAST(hll_sum_pow AS DOUBLE)) <= {_dlit(2.5 * HLL_M)}
                  AND empty_buckets > 0
                 THEN list_extract([{lin_list}], CAST(empty_buckets AS INT))
-                ELSE {HLL_RAW_NUM!r} / CAST(hll_sum_pow AS DOUBLE)
+                ELSE {_dlit(HLL_RAW_NUM)} / CAST(hll_sum_pow AS DOUBLE)
            END AS est_distinct
     FROM _hmerged
     """

@@ -270,6 +270,8 @@ def sql_bm25_topk(
     """DuckDB twin of bm25_topk over the `documents` view — arithmetic text
     kept in the same association as the Column tree above (Python's
     left-assoc `+` chain == the SQL `+` chain)."""
+    from .sketch import _dlit
+
     toks = "string_split(text, ' ')"
     tf_cols = ", ".join(
         f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
@@ -280,12 +282,12 @@ def sql_bm25_topk(
         for t in terms
     )
     norm = (
-        f"({k1!r} * ({1.0 - b!r} + {b!r} * "
+        f"({_dlit(k1)} * ({_dlit(1.0 - b)} + {_dlit(b)} * "
         f"(CAST(_dl AS DOUBLE) / (CAST(_sumdl AS DOUBLE) / CAST(_n AS DOUBLE)))))"
     )
     term_scores = [
-        f"(((CAST(_n - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
-        f" * ((CAST(tf_{t} AS DOUBLE) * {k1 + 1.0!r})"
+        f"(((CAST(_n - df_{t} AS DOUBLE) + 0.5e0) / (CAST(df_{t} AS DOUBLE) + 0.5e0))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * {_dlit(k1 + 1.0)})"
         f" / (CAST(tf_{t} AS DOUBLE) + {norm})))"
         for t in terms
     ]

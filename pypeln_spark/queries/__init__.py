@@ -18,6 +18,10 @@ from .base import REGISTRY, Query, register, tables
 # r1/r2 (all streaming, ANN/embedding, asof/range join, sketch CMS/quantiles,
 # simhash pairs, minhash clusters/fast) plus the three r1 failures whose
 # fixes landed in r2 but were re-verified only by the local DuckDB gate.
+# Round 4: no r3 driver correctness file was recorded, so the r3 front is
+# KEPT (those rows are still the least-evidenced) and the new r4 queries
+# are appended inside the 50-window; the remaining tail slots fall to
+# pipeline-module queries that were driver-green in r1/r2.
 # Every output schema is contract-tested canonicalizer-safe
 # (tests/test_correctness_gate.py::test_no_canonicalizer_hostile_output_
 # columns), so front-loading the unusual output types is no longer a
@@ -89,6 +93,12 @@ _PRIORITY = [
     "pipeline_to_async_iterable_roundtrip",
     "text_repetition_stats",
     "curation_train_val_split",
+    # -- new round-4 queries --
+    "sketch_hll_distinct_users",
+    "search_bm25_topk",
+    "dedup_span_chunks",
+    "curation_weighted_sample",
+    "text_top_tokens",
 ]
 
 

@@ -207,3 +207,24 @@ def curation_train_val_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
     )
+
+
+_WSAMPLE_KEY = sql_h31("concat('wsample:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE {_WSAMPLE_KEY} % 10000 < LEAST(n_chars, 400) * 25
+    """,
+)
+def curation_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (ext/curation.weighted_sample):
+    keep probability scales with document length, capped at 1.0
+    (least(n_chars,400)*25 out of 10000) — all integer arithmetic, so both
+    engines agree on every row. A pure filter: pushes to the scan, no RNG,
+    no partition-layout dependence, same doc kept on every run."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(400)) * F.lit(25)
+    return C.weighted_sample(docs, w).select("doc_id", "source", "n_chars")

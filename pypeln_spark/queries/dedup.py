@@ -292,3 +292,16 @@ def dedup_minhash_clusters_star(spark, sf_dir):
         impl="numpy",
     )
     return D.connected_components_star(pairs)
+
+
+@register("dedup_span_chunks", oracle=D.sql_span_dedup(window=16))
+def dedup_span_chunks(spark, sf_dir):
+    """Repeated-span accounting (ext/dedup.span_dedup): every doc split into
+    non-overlapping 16-token chunks, each chunk kept only at its first
+    corpus-wide occurrence — the fixed-window stand-in for suffix-array
+    exact-substring dedup. Only (hash, doc, idx) triples ever shuffle
+    (~24 B/chunk); first-occurrence pick is one window over the
+    high-cardinality chunk hash, so partitions stay even at any corpus
+    size."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.span_dedup(docs, window=16)

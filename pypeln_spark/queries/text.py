@@ -240,3 +240,33 @@ def text_pii_scrub(spark, sf_dir):
     redaction itself byte-for-byte — scrubbed text is part of the hash."""
     (docs,) = tables(spark, sf_dir, "documents")
     return X.scrub_pii(docs)
+
+
+@register(
+    "text_top_tokens",
+    oracle=f"""
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, UNNEST({TOKS}) AS u(t)
+    WHERE t <> ''
+    GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def text_top_tokens(spark, sf_dir):
+    """Global vocabulary head: top-50 tokens by corpus frequency with a
+    total (count DESC, token ASC) order. Explode → count is the canonical
+    map-side-combinable aggregate (partial counts per partition collapse
+    the shuffle to |vocab| rows); the limit runs as TakeOrderedAndProject,
+    so no global sort ever materializes. The quick signal for tokenizer /
+    vocab drift checks over a new corpus snapshot."""
+    from pyspark.sql import functions as F
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = X.tokenize(F.col("text"))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

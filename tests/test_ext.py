@@ -591,3 +591,101 @@ def test_connected_components_star_property(spark, raw):
         comp.setdefault(find(n), []).append(n)
     want = {(n, min(members)) for members in comp.values() for n in members}
     assert got == want
+
+
+def test_hll_sketch_partition_invariant_and_sane(spark, sf_dir):
+    """HLL registers/estimate must not depend on partitioning (the integer
+    harmonic sum is associative), and the estimate should land within the
+    ~1.04/sqrt(256) = 6.5% HLL error band (3 sigma ≈ 20%) of exact."""
+    from pypeln_spark.ext import sketch as K
+    from pypeln_spark.queries.base import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    a = K.hll_sketch(events, ["event_type"], "user_id").orderBy("event_type").collect()
+    b = (
+        K.hll_sketch(events.repartition(7, "user_id"), ["event_type"], "user_id")
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in a:
+        assert r.est_distinct == pytest.approx(exact[r.event_type], rel=0.20)
+
+
+def test_hll_rho_matches_python_model(spark):
+    """The hex-string rho extraction must equal a bit-level Python HLL on
+    the same md5 hashes — catches any off-by-one in the CASE ladder. A
+    single-value sketch has exactly one occupied register, so its integer
+    harmonic sum S = 2^(53-rho) + 255*2^53 recovers rho exactly."""
+    import hashlib
+
+    from pypeln_spark.ext import sketch as K
+
+    vals = [str(i) for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r.v: r.hll_sum_pow for r in K.hll_sketch(df, ["v"], "v").collect()
+    }
+    base = 255 * (1 << 53)
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        rem = int(h[2 : 2 + K.HLL_REM_HEX], 16)
+        bits = K.HLL_REM_HEX * 4
+        rho = 53 if rem == 0 else bits - rem.bit_length() + 1
+        assert got[v] == (1 << (53 - rho)) + base, (v, rho)
+
+
+def test_bm25_topk_scores_monotone_and_deterministic(spark, sf_dir):
+    from pypeln_spark.ext import text as X
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.bm25_topk(docs, ("spark", "join"), k=10).collect()
+    assert 0 < len(out) <= 10
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.tf_spark > 0 or r.tf_join > 0 for r in out)
+    again = X.bm25_topk(docs.repartition(5), ("spark", "join"), k=10).collect()
+    assert [r.asDict() for r in out] == [r.asDict() for r in again]
+
+
+def test_span_dedup_conservation_and_first_wins(spark):
+    """n_kept sums to the number of distinct chunk hashes; a corpus of two
+    identical docs keeps every chunk exactly once, attributed to the lower
+    doc_id."""
+    from pypeln_spark.ext import dedup as D
+
+    text = " ".join(f"w{i}" for i in range(64))  # 4 chunks of 16
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "unique tokens only here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in D.span_dedup(df, window=16).collect()}
+    assert rows[1].n_chunks == 4 and rows[1].n_kept == 4
+    assert rows[2].n_chunks == 4 and rows[2].n_kept == 0
+    assert rows[3].n_chunks == 1 and rows[3].n_kept == 1
+    assert rows[2].kept_frac == 0.0
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
+    """Same rows kept across runs/partitionings; weight=denom keeps all,
+    weight=0 keeps none."""
+    from pypeln_spark.ext import curation as C
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(400)) * F.lit(25)
+    kept1 = {r.doc_id for r in C.weighted_sample(docs, w).select("doc_id").collect()}
+    kept2 = {
+        r.doc_id
+        for r in C.weighted_sample(docs.repartition(9), w).select("doc_id").collect()
+    }
+    assert kept1 == kept2
+    assert C.weighted_sample(docs, F.lit(10000)).count() == docs.count()
+    assert C.weighted_sample(docs, F.lit(0)).count() == 0
