@@ -34,7 +34,18 @@ from .operators import (
     to_iterable,
 )
 from . import shared
-from .io import load_tables, read_csv, read_json, read_parquet, write_parquet
+from .io import (
+    load_tables,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+    write_csv,
+    write_jsonl,
+    write_orc,
+    write_parquet,
+)
 from .session import get_spark
 from .stage import Stage, to_stage
 from .utils import Partial, PipelineException, StageStatus, WorkerInfo
@@ -65,7 +76,12 @@ __all__ = [
     "read_parquet",
     "read_csv",
     "read_json",
+    "read_orc",
+    "read_text",
     "write_parquet",
+    "write_orc",
+    "write_jsonl",
+    "write_csv",
     "load_tables",
     "Partial",
     "PipelineException",

@@ -115,6 +115,112 @@ def stratified_topn(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 32,
+    n_buckets: int = 256,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard position:
+    (key, shard, pos) with pos a 1-based dense position in a stable
+    pseudo-random order — the manifest that turns a corpus into N shuffled
+    training shards reproducibly (same corpus → same shards → same order,
+    on any engine, any partitioning).
+
+    Scale shape (the point): a naive ROW_NUMBER() OVER (PARTITION BY shard)
+    funnels each shard — billions of rows at 100 TB — through ONE task.
+    Instead positions are enumerated two-level: rows order by (bucket, key
+    hash, id) inside (shard, bucket) sub-groups (n_shards × n_buckets
+    fine-grained window partitions), and a tiny (shards × buckets) count
+    relation prefix-sums into per-bucket offsets that broadcast back. The
+    result is IDENTICAL to the single-window spelling — which is exactly
+    how the DuckDB oracle replays it — but no task ever sees more than a
+    bucket's worth of rows."""
+    from pyspark.sql import Window
+
+    h = h31(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    rows = df.select(
+        key_col,
+        h.alias("_hk"),
+        (h % F.lit(n_shards)).alias("shard"),
+        ((h / F.lit(n_shards)).cast("long") % F.lit(n_buckets)).alias("_bkt"),
+    )
+    counts = rows.groupBy("shard", "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    off_w = (
+        Window.partitionBy("shard")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(off_w), F.lit(0))
+    ).drop("_c")
+    rn = F.row_number().over(
+        Window.partitionBy("shard", "_bkt").orderBy("_hk", F.col(key_col))
+    )
+    return (
+        rows.join(F.broadcast(offsets), ["shard", "_bkt"])
+        .withColumn("pos", (F.col("_off") + rn).cast("long"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def sql_shard_manifest(
+    key_expr: str = "doc_id",
+    n_shards: int = 32,
+    n_buckets: int = 256,
+    salt: str = "shard",
+) -> str:
+    """DuckDB twin of shard_manifest over the `documents` view — spelled as
+    the equivalent single window per shard ordered by (bucket, hash, key)."""
+    from .hashing import sql_h31
+
+    h = sql_h31(f"concat('{salt}:', CAST({key_expr} AS VARCHAR))")
+    return f"""
+    WITH _r AS (
+      SELECT {key_expr}, {h} AS _hk,
+             {h} % {n_shards} AS shard,
+             ({h} // {n_shards}) % {n_buckets} AS _bkt
+      FROM documents
+    )
+    SELECT {key_expr}, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY _bkt, _hk, {key_expr}) AS BIGINT) AS pos
+    FROM _r
+    """
+
+
+def pack_sequences(
+    manifest: DataFrame,
+    tokens_col: str = "n_tokens",
+    budget: int = 512,
+) -> DataFrame:
+    """Greedy streaming sequence packing: walk each shard in manifest order
+    and assign every document to training sequence floor(tokens_so_far /
+    budget) — the deterministic contiguous-fill packing used to build
+    fixed-length training batches. Input needs (shard, pos, tokens_col);
+    output adds (cum_before, seq_id). Integer-only, so any engine replays
+    it exactly.
+
+    Scale: ONE running-sum window per shard. Unlike enumeration, the prefix
+    sum genuinely needs the shard's order, but the state per task is one
+    long — at 100 TB you'd run the same two-level offset trick as
+    shard_manifest (per-bucket token-sum offsets then within-bucket running
+    sums); kept single-window here because the input is a manifest (id +
+    3 ints/row), ~1000× smaller than the corpus."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return manifest.withColumn("cum_before", cum).withColumn(
+        "seq_id", F.floor(F.col("cum_before") / F.lit(budget)).cast("long")
+    )
+
+
 def word_ngram_hashes(c: Column, n: int = 8) -> Column:
     """Distinct hashes of word n-grams (space-joined token windows). Texts
     shorter than n tokens contribute their whole token sequence as one gram

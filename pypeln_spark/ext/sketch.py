@@ -370,7 +370,20 @@ def hll_sketch(
     is <=256 longs per group per partition, exactly how an HLL behaves on a
     1000-executor cluster."""
     v = F.col(value_col).cast("string")
-    hexs = F.md5(v)
+    bucket, rho = hll_bucket_rho(v)
+    regs = (
+        df.filter(v.isNotNull())
+        .select(*group_cols, bucket.alias("_bkt"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.max("_rho").alias("_r"))
+    )
+    return hll_finalize(regs, group_cols)
+
+
+def hll_bucket_rho(value: F.Column) -> tp.Tuple[F.Column, F.Column]:
+    """(bucket, rho) for one value — the per-row piece of hll_sketch, shared
+    with the streaming register maintenance path."""
+    hexs = F.md5(value.cast("string"))
     bucket = F.conv(F.substring(hexs, 1, 2), 16, 10).cast("long")
     stripped = F.regexp_replace(F.substring(hexs, 3, HLL_REM_HEX), "^0+", "")
     first = F.substring(stripped, 1, 1)
@@ -383,12 +396,14 @@ def hll_sketch(
     rho = F.when(stripped == "", F.lit(53)).otherwise(
         (F.lit(HLL_REM_HEX) - F.length(stripped)) * 4 + 1 + extra
     )
-    regs = (
-        df.filter(v.isNotNull())
-        .select(*group_cols, bucket.alias("_bkt"), rho.alias("_rho"))
-        .groupBy(*group_cols, "_bkt")
-        .agg(F.max("_rho").alias("_r"))
-    )
+    return bucket, rho
+
+
+def hll_finalize(regs: DataFrame, group_cols: tp.Sequence[str]) -> DataFrame:
+    """Merge a register relation (group..., _bkt, _r) into per-group
+    (hll_sum_pow, empty_buckets, est_distinct). Registers are mergeable by
+    max(), so this accepts partial registers from ANY source — the batch
+    groupBy above or a streamed register table."""
     # integer harmonic sum: present buckets contribute 2^(53-r), the
     # (m - present) empty buckets contribute 2^53 each
     term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - _r AS INT))")
@@ -423,12 +438,22 @@ def _dlit(x: float) -> str:
 
 
 def sql_hll_sketch(
-    table_expr: str, group_expr: str, value_expr: str, group_alias: str = "g"
+    table_expr: str,
+    group_expr: tp.Union[str, tp.Sequence[str]],
+    value_expr: str,
+    group_alias: tp.Union[str, tp.Sequence[str]] = "g",
 ) -> str:
     """DuckDB spelling of hll_sketch — generated from the SAME constants
     (HLL_RAW_NUM, HLL_LIN_TABLE) so the two can never drift. Returns a
-    SELECT with columns ({group_alias}, hll_sum_pow, empty_buckets,
-    est_distinct)."""
+    SELECT with columns ({group_alias...}, hll_sum_pow, empty_buckets,
+    est_distinct). group_expr/group_alias may be parallel lists for
+    multi-column grouping (e.g. the streaming daily windows)."""
+    if isinstance(group_expr, str):
+        group_expr, group_alias = [group_expr], [group_alias]  # type: ignore[list-item]
+    g_sel = ", ".join(f"{e} AS {a}" for e, a in zip(group_expr, group_alias))
+    g_names = ", ".join(group_alias)
+    g_nums = ", ".join(str(i + 1) for i in range(len(group_expr) + 1))
+    g_merge_nums = ", ".join(str(i + 1) for i in range(len(group_expr)))
     stripped = f"regexp_replace(substr(md5(CAST({value_expr} AS VARCHAR)), 3, {HLL_REM_HEX}), '^0+', '')"
     rho = (
         f"(CASE WHEN {stripped} = '' THEN 53 ELSE "
@@ -444,19 +469,19 @@ def sql_hll_sketch(
     lin_list = ", ".join(_dlit(x) for x in HLL_LIN_TABLE)
     return f"""
     WITH _hregs AS (
-      SELECT {group_expr} AS {group_alias}, {bucket} AS _bkt, MAX({rho}) AS _r
+      SELECT {g_sel}, {bucket} AS _bkt, MAX({rho}) AS _r
       FROM {table_expr} WHERE {value_expr} IS NOT NULL
-      GROUP BY 1, 2
+      GROUP BY {g_nums}
     ),
     _hmerged AS (
-      SELECT {group_alias},
+      SELECT {g_names},
              CAST(SUM((CAST(1 AS BIGINT) << (53 - _r)))
                + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
                AS hll_sum_pow,
              CAST({HLL_M} - COUNT(*) AS BIGINT) AS empty_buckets
-      FROM _hregs GROUP BY 1
+      FROM _hregs GROUP BY {g_merge_nums}
     )
-    SELECT {group_alias}, hll_sum_pow, empty_buckets,
+    SELECT {g_names}, hll_sum_pow, empty_buckets,
            CASE WHEN ({_dlit(HLL_RAW_NUM)} / CAST(hll_sum_pow AS DOUBLE)) <= {_dlit(2.5 * HLL_M)}
                  AND empty_buckets > 0
                 THEN list_extract([{lin_list}], CAST(empty_buckets AS INT))

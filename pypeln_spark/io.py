@@ -58,6 +58,21 @@ def read_json(
     return Stage(reader.json(path))
 
 
+def read_orc(path: str, spark: tp.Optional[SparkSession] = None) -> Stage:
+    """ORC scan — same pushdown/pruning story as parquet (both columnar
+    formats ride Spark's DataSource v2 filters)."""
+    return Stage(_spark(spark).read.orc(path))
+
+
+def read_text(
+    path: str, spark: tp.Optional[SparkSession] = None, whole: bool = False
+) -> Stage:
+    """Raw text source: one row per line (`value: string`) — the entry
+    format for line-delimited corpora. ``whole=True`` reads one row per
+    FILE (wholetext), the per-document layout small crawls arrive in."""
+    return Stage(_spark(spark).read.text(path, wholetext=whole))
+
+
 def load_tables(
     sf_dir: str, spark: tp.Optional[SparkSession] = None, register_views: bool = True
 ) -> tp.Dict[str, DataFrame]:
@@ -76,9 +91,31 @@ def load_tables(
     return out
 
 
-def write_parquet(stage_or_df, path: str, mode: str = "overwrite", partition_by=None):
+def _writer(stage_or_df, mode: str, partition_by):
     df = stage_or_df.df if isinstance(stage_or_df, Stage) else stage_or_df
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    return w
+
+
+def write_parquet(stage_or_df, path: str, mode: str = "overwrite", partition_by=None):
+    _writer(stage_or_df, mode, partition_by).parquet(path)
+
+
+def write_orc(stage_or_df, path: str, mode: str = "overwrite", partition_by=None):
+    _writer(stage_or_df, mode, partition_by).orc(path)
+
+
+def write_jsonl(stage_or_df, path: str, mode: str = "overwrite", partition_by=None):
+    """Line-delimited JSON — the interchange format most LLM-data tooling
+    speaks. Spark's json writer is jsonl by construction (one object per
+    line per part file)."""
+    _writer(stage_or_df, mode, partition_by).json(path)
+
+
+def write_csv(
+    stage_or_df, path: str, mode: str = "overwrite", partition_by=None, **options
+):
+    options.setdefault("header", True)
+    _writer(stage_or_df, mode, partition_by).options(**options).csv(path)

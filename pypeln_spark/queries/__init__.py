@@ -99,6 +99,9 @@ _PRIORITY = [
     "dedup_span_chunks",
     "curation_weighted_sample",
     "text_top_tokens",
+    "streaming_hll_daily_distinct",
+    "curation_shard_manifest",
+    "curation_pack_sequences",
 ]
 
 

@@ -228,3 +228,58 @@ def curation_weighted_sample(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
     w = F.least(F.col("n_chars"), F.lit(400)) * F.lit(25)
     return C.weighted_sample(docs, w).select("doc_id", "source", "n_chars")
+
+
+@register("curation_shard_manifest", oracle=C.sql_shard_manifest("doc_id", 32, 256))
+def curation_shard_manifest(spark, sf_dir):
+    """Deterministic training-shard manifest (ext/curation.shard_manifest):
+    every document gets a stable (shard, position) under a pseudo-random
+    but reproducible order. Spark runs the scalable two-level enumeration
+    (fine-grained (shard, bucket) windows + broadcast prefix offsets); the
+    oracle replays the equivalent one-window-per-shard spelling — identical
+    output, which is the test that the scalable path IS the semantics."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return C.shard_manifest(docs, "doc_id", n_shards=32, n_buckets=256)
+
+
+_PACK_TOKENS = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH _m AS ({C.sql_shard_manifest("doc_id", 32, 256)}),
+    _t AS (
+      SELECT _m.doc_id, _m.shard, _m.pos, {_PACK_TOKENS} AS n_tokens
+      FROM _m JOIN documents USING (doc_id)
+    )
+    SELECT doc_id, shard, pos, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT)
+             AS seq_id
+    FROM _t
+    """,
+)
+def curation_pack_sequences(spark, sf_dir):
+    """Greedy fixed-budget sequence packing (ext/curation.pack_sequences)
+    over the shard manifest: documents fill 512-token training sequences in
+    manifest order, seq_id = floor(tokens-before / 512). Integer-only
+    running sums — the deterministic batch-construction step after
+    sharding."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    m = C.shard_manifest(docs, "doc_id", n_shards=32, n_buckets=256)
+    toks = m.join(
+        docs.select(
+            "doc_id",
+            F.size(X.tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    return C.pack_sequences(toks, "n_tokens", budget=512).select(
+        "doc_id", "shard", "pos", "n_tokens", "cum_before", "seq_id"
+    )

@@ -659,3 +659,46 @@ def streaming_doc_quality_counts(spark, sf_dir):
     )
     out = ST.run_to_memory(agg, output_mode="complete")
     return out.select("verdict", "n_docs", "total_tokens")
+
+
+def _streaming_hll_oracle() -> str:
+    from pypeln_spark.ext.sketch import sql_hll_sketch
+
+    return sql_hll_sketch(
+        "events",
+        ["date_trunc('day', ts)", "event_type"],
+        "user_id",
+        ["window_start", "event_type"],
+    )
+
+
+@register("streaming_hll_daily_distinct", oracle=_streaming_hll_oracle())
+def streaming_hll_daily_distinct(spark, sf_dir):
+    """HyperLogLog as streaming state — the third bounded-state streaming
+    sketch alongside KMV (bottom-k via applyInPandasWithState) and CMS
+    (windowed counters): registers ARE a windowed max() aggregate, so
+    Structured Streaming maintains them natively with state bounded at
+    days × groups × 256 rows no matter the event volume, and the register
+    merge across micro-batches is the same max() that merges partitions in
+    batch (mergeability is the whole point of HLL). The batch-side finalize
+    (ext/sketch.hll_finalize) turns the STREAMED register table into
+    estimates value-checked cross-engine — same md5-hex register family as
+    sketch_hll_distinct_users, so the oracle replays everything."""
+    from pypeln_spark.ext.sketch import hll_bucket_rho, hll_finalize
+
+    ev = ST.events_stream(spark, sf_dir)
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    keyed = ev.filter(F.col("user_id").isNotNull()).select(
+        F.window("ts", "1 day").alias("win"),
+        "event_type",
+        bucket.alias("_bkt"),
+        rho.alias("_rho"),
+    )
+    regs = keyed.groupBy("win", "event_type", "_bkt").agg(
+        F.max("_rho").alias("_r")
+    )
+    sink = ST.run_to_memory(regs, output_mode="complete")
+    streamed = sink.select(
+        F.col("win.start").alias("window_start"), "event_type", "_bkt", "_r"
+    )
+    return hll_finalize(streamed, ["window_start", "event_type"])

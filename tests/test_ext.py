@@ -689,3 +689,59 @@ def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
     assert kept1 == kept2
     assert C.weighted_sample(docs, F.lit(10000)).count() == docs.count()
     assert C.weighted_sample(docs, F.lit(0)).count() == 0
+
+
+def test_shard_manifest_two_level_equals_single_window(spark, sf_dir):
+    """The scalable (shard, bucket)-window + prefix-offset enumeration must
+    equal the naive one-window-per-shard spelling — the invariant that lets
+    the oracle replay the simple form while Spark runs the scalable one."""
+    from pyspark.sql import Window
+
+    from pypeln_spark.ext import curation as C
+    from pypeln_spark.ext.hashing import h31
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in C.shard_manifest(docs, "doc_id", n_shards=8, n_buckets=16).collect()
+    }
+    h = h31(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    naive = docs.select(
+        "doc_id",
+        h.alias("_hk"),
+        (h % 8).alias("shard"),
+        ((h / 8).cast("long") % 16).alias("_bkt"),
+    ).withColumn(
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("_bkt", "_hk", "doc_id"))
+        .cast("long"),
+    )
+    want = {r.doc_id: (r.shard, r.pos) for r in naive.collect()}
+    assert got == want
+    # positions are a dense 1..n permutation within every shard
+    from collections import defaultdict
+
+    per_shard = defaultdict(list)
+    for s, p in got.values():
+        per_shard[s].append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    """seq_id is nondecreasing in pos, starts at 0, and every boundary
+    crossing happens exactly when cum_before crosses a budget multiple."""
+    from pypeln_spark.ext import curation as C
+
+    rows = [(i, 0, i + 1, 100) for i in range(10)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(
+        rows, "doc_id long, shard long, pos long, n_tokens long"
+    )
+    out = sorted(
+        C.pack_sequences(df, "n_tokens", budget=256).collect(),
+        key=lambda r: r.pos,
+    )
+    assert [r.cum_before for r in out] == [100 * i for i in range(10)]
+    assert [r.seq_id for r in out] == [(100 * i) // 256 for i in range(10)]

@@ -1,0 +1,87 @@
+"""IO round-trips: every reader/writer pair preserves rows, and columnar
+formats keep the pushdown story (the reference has no connectors at all —
+SURVEY.md §2.2 — so this surface is pure Spark-native addition)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import pypeln_spark as pl
+
+
+@pytest.fixture()
+def small_df(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_roundtrip_and_pushdown(spark, small_df, tmp_path):
+    p = str(tmp_path / "nation_orc")
+    pl.write_orc(small_df, p)
+    back = pl.read_orc(p, spark)
+    assert _rows(back.df) == _rows(small_df)
+    q = back.df.filter(F.col("n_nationkey") == 3).select("n_name")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: []" not in plan  # the equality filter reached the scan
+
+
+def test_jsonl_roundtrip_is_line_delimited(spark, small_df, tmp_path):
+    import glob
+    import json
+
+    p = str(tmp_path / "nation_jsonl")
+    pl.write_jsonl(small_df, p)
+    # every part file is one JSON object per line (the jsonl contract)
+    lines = []
+    for f in glob.glob(f"{p}/part-*"):
+        with open(f) as fh:
+            lines += [json.loads(l) for l in fh if l.strip()]
+    assert len(lines) == small_df.count()
+    back = pl.read_json(p, spark)
+    assert sorted(r["n_name"] for r in lines) == sorted(
+        r.n_name for r in back.df.collect()
+    )
+
+
+def test_csv_roundtrip_with_header(spark, small_df, tmp_path):
+    p = str(tmp_path / "nation_csv")
+    pl.write_csv(small_df, p)
+    back = pl.read_csv(p, spark, inferSchema=True)
+    assert _rows(back.df.select("n_nationkey", "n_name", "n_regionkey")) == _rows(
+        small_df
+    )
+
+
+def test_read_text_lines_and_wholetext(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("only line\n")
+    lines = pl.read_text(str(d), spark)
+    assert sorted(r.value for r in lines.df.collect()) == [
+        "line one",
+        "line two",
+        "only line",
+    ]
+    whole = pl.read_text(str(d), spark, whole=True)
+    vals = sorted(r.value for r in whole.df.collect())
+    assert vals == ["line one\nline two\n", "only line\n"]
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """partitionBy layout must let Catalyst prune directories — the scan of
+    one partition value reads only that directory."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "docs_by_lang")
+    pl.write_parquet(docs, p, partition_by=["lang"])
+    back = spark.read.parquet(p)
+    one = back.filter(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert one.count() == docs.filter(F.col("lang") == "en").count()
