@@ -329,7 +329,21 @@ def jaccard_pairs_from_candidates(
     """Exact Jaccard for candidate pairs: join each side's shingle ARRAY onto
     the pair row, one vectorized array_intersect per pair. Two hash joins on
     doc ids; zero per-shingle shuffle. Integer sizes → double division:
-    deterministic."""
+    deterministic.
+
+    The explicit repartition on the pair side is load-bearing: AQE sizes the
+    candidate shuffle by the bytes it WRITES (skinny (id_a, id_b) rows) and
+    coalesces it to a couple of partitions — but the join then widens every
+    row with two shingle arrays and the array_intersect compute lands on
+    those few cores. Hashing pairs across defaultParallelism first keeps the
+    verify stage compute-bound-parallel (measured 2× end-to-end at sf0.1);
+    the extra shuffle moves only the skinny pair rows. On a big cluster the
+    same reasoning holds — defaultParallelism tracks total cores, and a
+    genuinely large pair table just keeps its AQE partitioning (repartition
+    to ≥ cores is never a coalesce of real volume)."""
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
+    )
     a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"))
     b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
