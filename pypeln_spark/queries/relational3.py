@@ -1,0 +1,296 @@
+"""TPC-H-shaped analytical pack, adapted to the testdata star schema.
+
+Eight classic decision-support shapes (Q4/Q10/Q13/Q14/Q17/Q18/Q19/Q22
+analogues — the schema has no partsupp/comment/phone columns, so predicates
+are re-targeted to the columns that exist; the JOIN/AGG/subquery structure
+each query exists to exercise is preserved). Every float reduction uses the
+decimal-cast convention (functions.dsum/davg) so the DuckDB hash-compare is
+bit-exact; every top-k orders by a unique tiebreak so rank boundaries agree.
+
+Scale notes ride each query: what broadcasts, what shuffles, what the plan
+must look like when lineitem is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from pypeln_spark import relational as R
+from pypeln_spark.functions import dsum, dsum_expr
+
+from .base import register, tables
+
+
+@register(
+    "q4_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_checking(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
+    (shipped >30 days after ordering), then a tiny group count. Scale: the
+    semi join shuffles both sides on l_orderkey ONCE and emits at most one
+    row per order; the date filter prunes the orders scan first."""
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q10_returned_item_ranking",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_ranking(spark, sf_dir):
+    """TPC-H Q10 shape: which customers returned the most revenue last
+    quarter. Scale: lineitem (the 100 TB side) is filtered to 'R' rows at
+    the scan, joins shuffle on orderkey once, nation broadcasts, and the
+    final TakeOrderedAndProject(20) never materializes a global sort."""
+    cust, orders, li, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    aggd = joined.groupBy("c_custkey", "c_name", "n_name", "c_acctbal").agg(
+        dsum(revenue).alias("revenue")
+    )
+    return R.top_k(aggd, 20, by=[F.col("revenue").desc(), F.col("c_custkey").asc()])
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: order-count histogram over a LEFT join (customers
+    with zero orders must survive into the c_count=0 bucket). Scale: one
+    shuffle on custkey for the outer join + first count; the second
+    aggregation's key space is tiny (distinct counts)."""
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    o = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT 100.0 * {dsum_expr(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )} / {dsum_expr('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join — the
+    promo share of one month's revenue. Scale: the month filter prunes the
+    lineitem scan, part broadcasts (or shuffles on partkey at extreme part
+    counts), and both sums collapse map-side to one row."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    month = li.filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo_rev) / dsum(rev)).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH branded AS (
+      SELECT l_extendedprice, l_quantity,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (PARTITION BY l_partkey)
+                  AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS DOUBLE) AS avg_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'
+    )
+    SELECT {dsum_expr('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM branded WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand —
+    the classic correlated-AVG subquery, expressed as a window mean (the
+    one-shuffle formulation; the correlated form would scan lineitem twice).
+    The per-part mean goes through the decimal-sum/count spelling on both
+    engines so the 0.5×avg comparison boundary is bit-identical. Scale:
+    brand filter → broadcast part join → one shuffle on l_partkey."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    branded = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#23")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        branded.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {dsum_expr('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {dsum_expr('l_quantity')} > 180.0
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to customer — the GROUP-BY-then-join-back pattern. Scale:
+    the quantity rollup is the only lineitem-sized shuffle; its survivors
+    (a tiny fraction) drive the remaining joins, and the top-100 runs as
+    TakeOrderedAndProject."""
+    li, orders, cust = tables(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180.0)
+    )
+    joined = big.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        cust, F.col("c_custkey") == F.col("o_custkey")
+    )
+    return R.top_k(
+        joined.select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        ),
+        100,
+        by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: an OR-of-ANDs mixing both join sides — the
+    predicate-pushdown stress test. Catalyst splits the disjunction into
+    per-side implied filters (l_quantity ∈ [1,30], p_size ∈ [1,15],
+    brand ∈ {{...}}) that DO push to both scans; the residual OR evaluates
+    after the broadcast join."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(dsum(rev).alias("revenue"))
+
+
+@register(
+    "q22_dormant_customers",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS numcust, {dsum_expr('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT {dsum_expr('c_acctbal')} / CAST(COUNT(*) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance-above-average customers with no
+    recent orders — scalar subquery + NOT EXISTS anti-join + group. Scale:
+    the average is one scalar broadcast; the anti join shuffles on custkey
+    against the date-pruned orders slice only."""
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    # scalar subquery as a broadcast single-row join (no driver-side
+    # collect — the plan stays one lazy DAG end to end)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1)).cast("double")).alias("_avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        cust.join(F.broadcast(avg_bal), F.lit(True))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
