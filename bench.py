@@ -48,6 +48,10 @@ HEADLINE = [
     "text_fingerprint",
     "asof_join_purchase_to_view",
     "range_join_purchase_after_signup",
+    "q10_returned_item_ranking",
+    "q18_large_volume_customers",
+    "text_tfidf_top_terms",
+    "semantic_dedup_pairs",
     "streaming_tumbling_hourly",
     "streaming_interval_join_purchase_signup",
     "curation_pipeline_survivors",

@@ -404,3 +404,50 @@ def near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup, cluster-bucketed: train the spherical k-means
+    quantizer (kmeans_centroids — engine-reproducible), assign every vector
+    to its nearest cell, and emit near-dup pairs (cos ≥ threshold) WITHIN
+    cells only. Output (id_a, id_b, cell_id, cos).
+
+    The third member of the near-dup family: exact all-pairs
+    (near_dup_pairs, the guarded quadratic oracle baseline), hyperplane-LSH
+    buckets (near_dup_lsh — data-independent buckets), and this one —
+    DATA-ADAPTIVE buckets that follow the corpus's actual cluster
+    structure, the shape semantic-dedup pipelines (SemDeDup-style) run at
+    scale. Recall loss = pairs straddling a cell boundary; like the LSH
+    twin, the loss itself is oracle-verified because training, assignment
+    and pairing all replay in SQL.
+
+    Scale: training is iters × (broadcast-assign + constant-size update);
+    the pair join is an equi-join on cell id — shuffle ∝ corpus, compute ∝
+    Σ cell² instead of n² (balanced cells ⇒ n²/n_cells)."""
+    corpus = with_norms(spread(emb), vec_col)
+    cents = kmeans_centroids(emb, n_cells, iters, id_col, vec_col, normed=corpus)
+    cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col)
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
+        F.col("_norm").alias("na"), F.col("cid").alias("cell_id"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"), F.col("cid").alias("cell_id"),
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cell_id", "cos")
+    )

@@ -537,3 +537,59 @@ def bottomk_quantiles(
             F.element_at("_vals", rank.cast("int")),
         )
     return out.drop("_kmin", "_vals")
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m: int = 8192,
+    kh: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over a value column: ONE row holding the sorted
+    array of set bit positions. Bit j for value v: ((a_j·h31(v)+b_j) mod
+    P31) mod m, over the frozen MINHASH_PARAMS family — fully replayable in
+    SQL, like every sketch here.
+
+    Scale shape: the set-bit table is a distinct over ≤ kh rows per input
+    row, partial-aggregated map-side down to ≤ m values per partition, so
+    the shuffle is bounded by m × partitions whatever the input size; the
+    final collect_list array is ≤ m ints (m=8192 → 64 KB) — always
+    broadcastable. This is the classic pre-filter for anti-joins against a
+    huge build side (decontamination block-lists, seen-before URL sets):
+    ship the 64 KB filter instead of shuffling the probe side."""
+    h = h31(F.col(value_col).cast("string"))
+    positions = F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(P31)) % F.lit(m)
+            for a, b in MINHASH_PARAMS[:kh]
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("bit"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("bit")).alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    probe: DataFrame,
+    bits: DataFrame,
+    value_col: str,
+    m: int = 8192,
+    kh: int = 3,
+) -> DataFrame:
+    """Probe a Bloom filter: adds ``maybe_member`` (true ⇔ ALL kh bit
+    positions of the probe value are set — false positives possible, false
+    negatives impossible). The one-row bits frame broadcasts; the probe
+    side is a narrow projection (no shuffle, no join key)."""
+    h = h31(F.col(value_col).cast("string"))
+    positions = F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(P31)) % F.lit(m)
+            for a, b in MINHASH_PARAMS[:kh]
+        ]
+    )
+    return probe.join(F.broadcast(bits)).withColumn(
+        "maybe_member",
+        F.forall(positions, lambda p: F.array_contains(F.col("bits"), p)),
+    )

@@ -336,3 +336,81 @@ def chunk_tokens(
     ).withColumn(
         "n_chunk_tokens", F.size(tokenize(F.col("chunk_text"))).cast("long")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword-extraction /
+    document-representation step. Output (id, term, tf, df, score, rank).
+
+    Determinism contract: tf and df are exact integers; idf is the log-free
+    rational (N+1)/(df+1) (same reasoning as bm25_topk — ln() is the one
+    op IEEE doesn't pin across engines); score = tf × idf is one IEEE
+    multiply of one IEEE division, associated identically in the oracle.
+    Rank ties break on term ASC, so boundaries agree.
+
+    Scale shape: explode → (doc, term) partial-aggregated count (shuffle ∝
+    distinct doc-term pairs, combiner collapses repeats map-side); df via
+    ONE window over term (high-cardinality key → even partitions — a
+    groupBy+join would be a second shuffle of the same frame); N broadcasts
+    as a one-row aggregate; top-k per doc is one window over doc_id. Three
+    data shuffles total, none carrying text longer than a term."""
+    from pyspark.sql import Window
+
+    dt = (
+        spread(df)
+        .select(id_col, F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    wt = Window.partitionBy("term")
+    wd = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    scored = (
+        dt.withColumn("df", F.count(F.lit(1)).over(wt))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("_n").cast("double") + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
+            ),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wd).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def sql_tfidf_top_terms(k: int = 3) -> str:
+    """DuckDB twin of tfidf_top_terms over the `documents` view — identical
+    integer counts, identical float association."""
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*) AS _n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             COUNT(*) OVER (PARTITION BY term) AS df,
+             CAST(tf AS DOUBLE) *
+               ((CAST(_n AS DOUBLE) + 1.0) /
+                (CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) + 1.0)) AS score
+      FROM dt CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT doc_id, term, tf, df, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """

@@ -283,3 +283,40 @@ def curation_pack_sequences(spark, sf_dir):
     return C.pack_sequences(toks, "n_tokens", budget=512).select(
         "doc_id", "shard", "pos", "n_tokens", "cum_before", "seq_id"
     )
+
+
+@register(
+    "curation_source_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per)
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share
+    FROM per CROSS JOIN tot
+    """,
+)
+def curation_source_mix(spark, sf_dir):
+    """Corpus-composition report: per (source, lang) document and token
+    counts plus each cell's share of all tokens — the mixture table every
+    pretraining data recipe starts from (and the denominator for sampling
+    weights). Scale: one scan computing token counts in the projection,
+    one partial-aggregated groupBy on a tiny key space, and a one-row
+    total broadcast back — no shuffle carries text."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    per = (
+        docs.select("source", "lang", toks.alias("_t"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.join(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "token_share"
+        ),
+    )

@@ -668,3 +668,89 @@ def sketch_quantile_doc_lengths(spark, sf_dir):
     )
     exact = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     return sk.join(exact, "lang")
+
+
+BLOOM_M, BLOOM_KH = 8192, 3
+_BLOOM_PARAMS = ", ".join(f"({a}, {b})" for a, b in MINHASH_PARAMS[:BLOOM_KH])
+_BLOOM_KEY_FILTER = "l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01'"
+
+
+@register(
+    "sketch_bloom_filter_probe",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE {_BLOOM_KEY_FILTER}
+    ),
+    kh AS (SELECT l_partkey, {sql_h31("CAST(l_partkey AS VARCHAR)")} AS h FROM keys),
+    bparams(a, b) AS (VALUES {_BLOOM_PARAMS}),
+    bits AS (
+      SELECT DISTINCT ((a * h + b) % 2147483647) % {BLOOM_M} AS bit
+      FROM kh CROSS JOIN bparams
+    ),
+    ph AS (SELECT p_partkey, {sql_h31("CAST(p_partkey AS VARCHAR)")} AS h FROM part),
+    ppos AS (
+      SELECT p_partkey, ((a * h + b) % 2147483647) % {BLOOM_M} AS bit
+      FROM ph CROSS JOIN bparams
+    ),
+    maybe AS (
+      SELECT p_partkey FROM ppos JOIN bits USING (bit)
+      GROUP BY p_partkey HAVING COUNT(*) = {BLOOM_KH}
+    )
+    SELECT CAST({BLOOM_M} AS BIGINT) AS m,
+           CAST({BLOOM_KH} AS BIGINT) AS n_hashes,
+           (SELECT COUNT(*) FROM keys) AS n_keys,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           (SELECT COUNT(*) FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM keys)) AS n_true_members,
+           (SELECT COUNT(*) FROM maybe) AS n_maybe_members,
+           (SELECT COUNT(*) FROM maybe) -
+           (SELECT COUNT(*) FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM keys)) AS n_false_positives
+    """,
+)
+def sketch_bloom_filter_probe(spark, sf_dir):
+    """Bloom-filter membership sketch (ext/sketch.bloom_build /
+    bloom_maybe_contains): build an m=8192-bit, 3-hash filter over the
+    part keys returned in 1998, probe the whole part table, and report the
+    exact false-positive tally against true membership. The frozen hash
+    family makes the filter — and each individual probe verdict — fully
+    replayable in SQL. Scale: the bit set is ≤ m ints (64 KB broadcast)
+    regardless of build-side size; probing is a narrow scan-speed
+    projection — the classic pre-filter that spares an anti-join shuffle."""
+    from pypeln_spark.ext import sketch as K
+
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    keys = (
+        li.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_shipdate") >= "1998-01-01")
+        )
+        .select("l_partkey")
+        .distinct()
+    )
+    bits = K.bloom_build(keys, "l_partkey", m=BLOOM_M, kh=BLOOM_KH)
+    probed = K.bloom_maybe_contains(part, bits, "p_partkey", m=BLOOM_M, kh=BLOOM_KH)
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    n_bits = bits.select(F.size("bits").cast("long").alias("n_bits_set"))
+    n_true = (
+        part.join(keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true_members"))
+    )
+    n_maybe = probed.agg(
+        F.sum(F.col("maybe_member").cast("long")).alias("n_maybe_members")
+    )
+    return (
+        n_keys.join(F.broadcast(n_bits))
+        .join(F.broadcast(n_true))
+        .join(F.broadcast(n_maybe))
+        .select(
+            F.lit(BLOOM_M).cast("long").alias("m"),
+            F.lit(BLOOM_KH).cast("long").alias("n_hashes"),
+            "n_keys",
+            "n_bits_set",
+            "n_true_members",
+            "n_maybe_members",
+            (F.col("n_maybe_members") - F.col("n_true_members")).alias(
+                "n_false_positives"
+            ),
+        )
+    )

@@ -319,3 +319,33 @@ def embedding_near_dup_lsh(spark, sf_dir):
     family, so the recall loss vs the exact baseline is itself verified."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     return S.near_dup_lsh(emb, threshold=NEAR_DUP_T, n_planes=N_PLANES, dim=DIM)
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=f"""
+    WITH {_E_CTE},
+    {_KM_CTE},
+    ascore AS (
+      SELECT x.vec_id, x.v, x.nrm, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_dot("x.v", "c.cv")} / (x.nrm * c.cn) DESC, c.cid) AS crank
+      FROM n x JOIN {_KM_FINAL} c ON TRUE
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM ascore WHERE crank = 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cell_id,
+           {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+    FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_dot("a.v", "b.v")} / (a.nrm * b.nrm) >= {NEAR_DUP_T}
+    """,
+)
+def semantic_dedup_pairs(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: k-means cells as data-adaptive
+    near-dup buckets (ext/similarity.semantic_near_dup). Training,
+    assignment, and the within-cell pair scan all replay in SQL, so the
+    oracle verifies the recall trade itself — which boundary-straddling
+    pairs the bucketing loses vs embedding_near_dup_pairs."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return S.semantic_near_dup(
+        emb, threshold=NEAR_DUP_T, n_cells=N_CELLS, iters=KMEANS_ITERS
+    )

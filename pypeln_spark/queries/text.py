@@ -270,3 +270,15 @@ def text_top_tokens(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+@register("text_tfidf_top_terms", oracle=X.sql_tfidf_top_terms(k=3))
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 TF-IDF terms
+    (ext/text.tfidf_top_terms). The idf is the log-free rational
+    (N+1)/(df+1) so scores — and therefore rank boundaries — are
+    bit-identical cross-engine; document frequency comes from one window
+    over the high-cardinality term key instead of a second groupBy+join
+    shuffle."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, k=3)

@@ -745,3 +745,101 @@ def test_pack_sequences_contiguous_fill(spark):
     )
     assert [r.cum_before for r in out] == [100 * i for i in range(10)]
     assert [r.seq_id for r in out] == [(100 * i) // 256 for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    """Every inserted value must probe positive (the Bloom guarantee), and
+    the bit set stays within m whatever the input."""
+    from pypeln_spark.ext import sketch as K
+
+    vals = spark.range(0, 500).select(F.col("id").alias("v"))
+    bits = K.bloom_build(vals, "v", m=1024, kh=3)
+    nbits = bits.select(F.size("bits")).first()[0]
+    assert 0 < nbits <= 1024
+    probed = K.bloom_maybe_contains(vals, bits, "v", m=1024, kh=3)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    """Non-members probe mostly negative at the classic fp-rate scale:
+    n=500, m=8192, k=3 → theoretical fp ≈ (1-e^{-kn/m})^k ≈ 0.3%; assert
+    an order-of-magnitude bound, not the exact constant."""
+    from pypeln_spark.ext import sketch as K
+
+    members = spark.range(0, 500).select(F.col("id").alias("v"))
+    others = spark.range(10_000, 12_000).select(F.col("id").alias("v"))
+    bits = K.bloom_build(members, "v", m=8192, kh=3)
+    fp = (
+        K.bloom_maybe_contains(others, bits, "v", m=8192, kh=3)
+        .filter(F.col("maybe_member"))
+        .count()
+    )
+    assert fp / 2000.0 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    """A term unique to one doc must outrank the corpus-wide filler term."""
+    from pypeln_spark.ext import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "common zebra"), (2, "common yak"), (3, "common")],
+        ["doc_id", "text"],
+    )
+    out = X.tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    assert rows[(1, 1)].term == "zebra"
+    assert rows[(2, 1)].term == "yak"
+    # df is exact: 'common' appears in all 3 docs
+    assert rows[(1, 2)].term == "common" and rows[(1, 2)].df == 3
+    # rank never exceeds k and per-doc ranks are dense from 1
+    assert all(r.rank in (1, 2) for r in rows.values())
+
+
+def test_tfidf_k_bound_and_tie_break(spark):
+    from pypeln_spark.ext import text as X
+
+    docs = spark.createDataFrame([(1, "b a c"), (2, "z z")], ["doc_id", "text"])
+    out = X.tfidf_top_terms(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: three equal-score terms → alphabetical tiebreak
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["a", "b", "c"]
+    assert len(by_doc[2]) == 1  # only one distinct term → fewer than k rows
+
+
+# ---------------------------------------------------------------------------
+# Semantic (k-means-cell) near-dup
+# ---------------------------------------------------------------------------
+
+def test_semantic_near_dup_subset_of_exact(spark):
+    """Cell-bucketed pairs ⊆ exact all-pairs, with identical cosines —
+    bucketing may lose boundary pairs but can never invent or re-score
+    one."""
+    from pypeln_spark.ext import similarity as S
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 8)
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + rng.randn(8) * 0.05  # 4 tight clusters
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    sem = S.semantic_near_dup(emb, threshold=0.9, n_cells=4, iters=2).collect()
+    assert len(sem) > 0
+    for r in sem:
+        assert (r.id_a, r.id_b) in exact
+        assert r.cos == exact[(r.id_a, r.id_b)]
