@@ -294,3 +294,175 @@ def q22_dormant_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS t_v FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t_c
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click' AND e.ts > tv.t_v
+      GROUP BY e.user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t_p
+      FROM events e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t_c
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM tv) AS n_viewed,
+           (SELECT COUNT(*) FROM tc) AS n_clicked_after,
+           (SELECT COUNT(*) FROM tp) AS n_purchased_after,
+           CAST((SELECT COUNT(*) FROM tc) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM tv) AS DOUBLE) AS click_rate,
+           CAST((SELECT COUNT(*) FROM tp) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM tc) AS DOUBLE) AS purchase_rate
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel: users whose first view precedes a click precedes a
+    purchase (strict event-time order, not mere co-occurrence). Each stage
+    is one filtered aggregate joined to the previous stage's first-passage
+    time — all three shuffles key on user_id, so at scale they land in the
+    same hash partitioning and AQE elides the re-exchange. Counts are
+    exact integers; rates one IEEE division each."""
+    (events,) = tables(spark, sf_dir, "events")
+    tv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    tc = (
+        events.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    tp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    nv = tv.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = tc.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    np_ = tp.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (
+        nv.join(F.broadcast(nc))
+        .join(F.broadcast(np_))
+        .select(
+            "n_viewed",
+            "n_clicked_after",
+            "n_purchased_after",
+            (
+                F.col("n_clicked_after").cast("double")
+                / F.col("n_viewed").cast("double")
+            ).alias("click_rate"),
+            (
+                F.col("n_purchased_after").cast("double")
+                / F.col("n_clicked_after").cast("double")
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT CAST(f.cohort_date AS VARCHAR) AS cohort_date,
+           CAST(date_diff('day', f.cohort_date, a.active_date) AS BIGINT)
+             AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_date, day_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users grouped by first-seen date, activity
+    counted per (cohort, day-offset) cell — the table every DAU/retention
+    curve reads from. Scale: first-seen and distinct-activity are both
+    user-keyed partial aggregates; the cohort join shuffles on user_id
+    once; the final cell grid is tiny (days × days)."""
+    (events,) = tables(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first_seen = events.groupBy("user_id").agg(F.min(day).alias("cohort_date"))
+    activity = events.select("user_id", day.alias("active_date")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            # DATE stringifies differently per engine in the hash compare
+            # (pandas normalizes DuckDB dates to midnight timestamps) —
+            # emit ISO strings, the canonicalizer-stable spelling
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("active_date", "cohort_date").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "full_outer_month_spenders",
+    oracle=f"""
+    WITH jan AS (
+      SELECT o_custkey, {dsum_expr('o_totalprice')} AS jan_spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-02-01'
+      GROUP BY o_custkey
+    ),
+    feb AS (
+      SELECT o_custkey, {dsum_expr('o_totalprice')} AS feb_spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-02-01'
+        AND o_orderdate < TIMESTAMP '1996-03-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(jan.o_custkey, feb.o_custkey) AS custkey,
+           COALESCE(jan_spend, 0.0) AS jan_spend,
+           COALESCE(feb_spend, 0.0) AS feb_spend,
+           CASE WHEN jan.o_custkey IS NULL THEN 'feb_only'
+                WHEN feb.o_custkey IS NULL THEN 'jan_only'
+                ELSE 'both' END AS presence
+    FROM jan FULL OUTER JOIN feb ON jan.o_custkey = feb.o_custkey
+    """,
+)
+def full_outer_month_spenders(spark, sf_dir):
+    """FULL OUTER join (the one join type the rest of the registry doesn't
+    exercise): per-customer spend in two adjacent months, customers absent
+    from either side surviving with a zero. Scale: both aggregates and the
+    join share the custkey hash partitioning — one logical shuffle."""
+    (orders,) = tables(spark, sf_dir, "orders")
+
+    def month_spend(lo, hi, alias):
+        return (
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .groupBy(F.col("o_custkey").alias(f"_{alias}_key"))
+            .agg(dsum("o_totalprice").alias(f"{alias}_spend"))
+        )
+
+    jan = month_spend("1996-01-01", "1996-02-01", "jan")
+    feb = month_spend("1996-02-01", "1996-03-01", "feb")
+    joined = jan.join(feb, jan["_jan_key"] == feb["_feb_key"], "full_outer")
+    return joined.select(
+        F.coalesce("_jan_key", "_feb_key").alias("custkey"),
+        F.coalesce("jan_spend", F.lit(0.0)).alias("jan_spend"),
+        F.coalesce("feb_spend", F.lit(0.0)).alias("feb_spend"),
+        F.when(F.col("_jan_key").isNull(), "feb_only")
+        .when(F.col("_feb_key").isNull(), "jan_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
