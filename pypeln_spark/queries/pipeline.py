@@ -310,3 +310,42 @@ def pipeline_to_async_iterable_roundtrip(spark, sf_dir):
 
     rows = asyncio.new_event_loop().run_until_complete(drain())
     return spark.createDataFrame(rows, "r_regionkey long, r_name string")
+
+
+@register(
+    "pipeline_flat_map_udtf",
+    oracle="""
+    SELECT o_orderkey, CAST(i - 1 AS INT) AS part_idx,
+           parts[CAST(i AS INT)] AS part
+    FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+          FROM orders),
+         UNNEST(range(1, len(parts) + 1)) AS u(i)
+    """,
+)
+def pipeline_flat_map_udtf(spark, sf_dir):
+    """flat_map's 1→N contract through Spark 4's NATIVE Python UDTF surface
+    (the third lowering next to posexplode and the mapInPandas generator
+    harness): a @udtf class invoked via LATERAL, outer columns carried by
+    the lateral join. Same semantics as the reference's flat_map
+    (pypeln/process/api/flat_map.py:18-28) with part_idx playing the
+    appended hierarchical-index component. Scale: UDTFs run per-partition
+    in the Python worker like any UDF — narrow, no shuffle; prefer
+    posexplode when the expansion is expressible, this path when the
+    generator is genuinely opaque Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part_idx int, part string")
+    class SplitPriority:
+        def eval(self, priority: str):
+            for i, p in enumerate((priority or "").split("-")):
+                yield i, p
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_udtf_orders")
+    spark.udtf.register("split_priority", SplitPriority)
+    return spark.sql(
+        """
+        SELECT o_orderkey, s.part_idx, s.part
+        FROM _udtf_orders, LATERAL split_priority(o_orderpriority) s
+        """
+    )

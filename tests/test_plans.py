@@ -161,3 +161,30 @@ def test_ivf_kmeans_centroid_update_is_partial_aggregate(spark):
     p = plan_of(spark, "ann_ivf_kmeans_topk")
     assert "partial" in p.lower(), p[:2000]
     assert "CartesianProduct" not in p
+
+
+def test_lsh_verify_pairs_repartitioned_for_compute(spark):
+    """The candidate-pair side of the Jaccard verify must carry an explicit
+    hash repartition on id_a: AQE sizes that exchange by its written bytes
+    (skinny pairs) and would coalesce the array_intersect compute onto a
+    couple of cores once the join widens rows with shingle arrays
+    (SCALING.md round-4). Regression = the 2x win silently reverts."""
+    p = plan_of(spark, "dedup_minhash_lsh")
+    assert re.search(r"hashpartitioning\(id_a", p), p[:3000]
+
+
+def test_full_outer_join_shape(spark):
+    """Both month aggregates and the join share the custkey hash
+    partitioning — FULL OUTER must stay a hash/sort-merge join, never a
+    nested loop."""
+    p = plan_of(spark, "full_outer_month_spenders")
+    assert "FullOuter" in p, p[:2000]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_probe_is_narrow_broadcast(spark):
+    """Probing must broadcast the one-row bit set — a shuffle join here
+    would defeat the filter's purpose (sparing the probe side a shuffle)."""
+    p = plan_of(spark, "sketch_bloom_filter_probe")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p, p[:3000]
