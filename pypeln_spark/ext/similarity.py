@@ -189,13 +189,42 @@ def ivf_assign(
     """Assign each vector to its ``keep`` nearest centroid cells by cosine
     (deterministic tiebreak: centroid id). ``vecs``/``centroids`` are
     with_norms frames. The centroid side is broadcast — assignment is one
-    narrow pass over the corpus, the IVF build shape at any scale."""
+    narrow pass over the corpus, the IVF build shape at any scale.
+
+    keep=1 (the corpus-assignment hot path) lowers to an argmax aggregate —
+    max over (ccos, -cid, payload) structs — identical to the rank-1 row of
+    the window formulation (largest ccos, then SMALLEST cid on ties, and
+    (ccos, -cid) is unique per centroid so payload fields never tiebreak)
+    but partial-aggregated: the n_cells-wide crossjoin collapses map-side
+    to one row per vector BEFORE any exchange, where the window would
+    shuffle+sort all n_cells×|corpus| scored rows. keep>1 (query probing —
+    the small side) keeps the window."""
     c = centroids.select(
         F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
     )
     scored = vecs.join(F.broadcast(c), F.lit(True)).withColumn(
         "ccos", dot_decimal(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
     )
+    if keep == 1:
+        best = F.max(
+            F.struct(
+                F.col("ccos").alias("c"),
+                (-F.col("cid")).alias("nc"),
+                F.col("_v").alias("v"),
+                F.col("_norm").alias("n"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("_b")
+        return (
+            scored.groupBy(id_col)
+            .agg(best)
+            .select(
+                id_col,
+                F.col("_b.v").alias("_v"),
+                F.col("_b.n").alias("_norm"),
+                F.col("_b.cid").alias("cid"),
+            )
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -248,11 +277,21 @@ def kmeans_centroids(
         scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
             "ccos", dot_decimal(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
+        # argmax aggregate, not a window: identical rank-1 pick (see
+        # ivf_assign keep=1), but the n_cells-wide score rows collapse
+        # map-side before the exchange instead of shuffling to a sort
+        best = F.max(
+            F.struct(
+                F.col("ccos").alias("c"),
+                (-F.col("cid")).alias("nc"),
+                F.col("cid").alias("cid"),
+                F.col("_v").alias("v"),
+            )
+        ).alias("_b")
         assigned = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("cid", "_v")
+            scored.groupBy(id_col)
+            .agg(best)
+            .select(F.col("_b.cid").alias("cid"), F.col("_b.v").alias("_v"))
         )
         means = (
             assigned.select("cid", F.posexplode("_v").alias("_i", "_x"))
@@ -314,6 +353,13 @@ def ivf_topk(
         cents = kmeans_centroids(
             emb, n_cells, kmeans_iters, id_col, vec_col, normed=corpus
         )
+        # the trained centroids feed BOTH assignment passes (corpus cells +
+        # query probes); unpersisted, each consumer replays quantizer
+        # training end to end. n_cells rows — the cheapest persist in the
+        # engine (measured ~1.7× end-to-end at sf0.1).
+        retire_pipeline_caches()
+        cents = pool_persist(cents)
+        cents.count()
     else:
         cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
     cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col).select(
@@ -430,21 +476,44 @@ def semantic_near_dup(
 
     Scale: training is iters × (broadcast-assign + constant-size update);
     the pair join is an equi-join on cell id — shuffle ∝ corpus, compute ∝
-    Σ cell² instead of n² (balanced cells ⇒ n²/n_cells)."""
+    Σ cell² instead of n² (balanced cells ⇒ n²/n_cells).
+
+    Two measured plan decisions (same reasoning as the LSH verify stage,
+    SCALING.md round-4): the assigned-cells frame PERSISTS — it feeds both
+    self-join sides plus the candidate-verify joins, and unpersisted each
+    consumer replays quantizer training end to end (9.8s → ~2s at sf0.1);
+    and candidate pairs form as SKINNY (id, id) rows on the n_cells-keyed
+    join, get hash-repartitioned across the cluster, and only THEN pick up
+    their vectors by id — the cell join alone has ≤ n_cells distinct keys,
+    so leaving the cosine compute on it caps parallelism at n_cells however
+    big the cluster is."""
+    retire_pipeline_caches()
     corpus = with_norms(spread(emb), vec_col)
     cents = kmeans_centroids(emb, n_cells, iters, id_col, vec_col, normed=corpus)
-    cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col)
-    a = cells.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
-        F.col("_norm").alias("na"), F.col("cid").alias("cell_id"),
+    cells = pool_persist(ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col))
+    cells.count()  # eager: consumers racing one action would each recompute
+    skinny = cells.select(id_col, "cid")
+    pairs = (
+        skinny.withColumnRenamed(id_col, "id_a")
+        .join(
+            skinny.withColumnRenamed(id_col, "id_b").withColumnRenamed("cid", "_cid_b"),
+            F.col("cid") == F.col("_cid_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("cid").alias("cell_id"))
     )
-    b = cells.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
-        F.col("_norm").alias("nb"), F.col("cid").alias("cell_id"),
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
+    )
+    va = cells.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")
+    )
+    vb = cells.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb")
     )
     return (
-        a.join(b, "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cos", dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
