@@ -414,3 +414,60 @@ def sql_tfidf_top_terms(k: int = 3) -> str:
       FROM scored)
     WHERE rank <= {k}
     """
+
+
+def deletion_keys(c: Column) -> Column:
+    """FastSS deletion neighborhood: the string itself plus every
+    single-character deletion (distinct). Two strings within Levenshtein
+    distance 1 ALWAYS share at least one key (equal; substitution → both
+    drop the differing position; insert/delete → the shorter string IS a
+    deletion of the longer), so blocking on these keys is recall-LOSSLESS
+    for distance ≤ 1 — unlike LSH-style blocking there is nothing
+    probabilistic to lose. Keys per string = length+1: the explode is ∝
+    total characters, never quadratic."""
+    s = c
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length(s)),
+            lambda i: F.when(i == 0, s).otherwise(
+                F.concat(
+                    F.substring(s, F.lit(1), i - 1),
+                    F.substring(s, i + 1, F.length(s)),
+                )
+            ),
+        )
+    )
+
+
+def fuzzy_join_lev1(
+    df: DataFrame, name_col: str, id_col: str
+) -> DataFrame:
+    """Exact fuzzy self-join: all pairs with Levenshtein distance ≤ 1,
+    found via deletion-key blocking + levenshtein verify — no O(n²) pass.
+    Output (id_a, id_b, name_a, name_b, distance), id_a < id_b.
+
+    Scale: ONE explode (len+1 keyed rows per string), one self-equi-join
+    on the key (shuffle ∝ total characters), distinct, then the integer
+    levenshtein verify on candidates only. Same candidates-then-verify
+    architecture as MinHash-LSH, but with a lossless blocking scheme —
+    the pattern for entity-resolution joins at corpus scale."""
+    keyed = spread(df).select(
+        F.col(id_col), F.col(name_col).alias("_nm"),
+        F.explode(deletion_keys(F.col(name_col))).alias("_k"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("_nm").alias("name_a"), "_k"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("_nm").alias("name_b"), "_k"
+    )
+    return (
+        a.join(b, "_k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .withColumn(
+            "distance", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("distance") <= 1)
+    )

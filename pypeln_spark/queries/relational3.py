@@ -466,3 +466,148 @@ def full_outer_month_spenders(spark, sf_dir):
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "group_map_median_chars",
+    oracle="""
+    SELECT lang, CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def group_map_median_chars(spark, sf_dir):
+    """Grouped-map (applyInPandas) surface: per-language median document
+    length computed by an arbitrary pandas function over each whole group
+    (relational.group_map). Median of integers is sort + middle(-pair
+    mean) — exact halves, bit-identical to DuckDB's median. Scale: one
+    shuffle on lang; each group materializes as a pandas frame, so the
+    operator's bound is group size, not corpus size (documented
+    constraint)."""
+    import pandas as pd
+
+    (docs,) = tables(spark, sf_dir, "documents")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "median_chars": [float(pdf["n_chars"].median())],
+                "n_docs": [len(pdf)],
+            }
+        )
+
+    return R.group_map(
+        docs.select("lang", "n_chars"),
+        "lang",
+        stats,
+        "lang string, median_chars double, n_docs long",
+    ).df
+
+
+@register(
+    "group_agg_udaf_midrange",
+    oracle="""
+    SELECT p_brand,
+           (MIN(p_retailprice) + MAX(p_retailprice)) / 2.0 AS midrange_price,
+           COUNT(*) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+)
+def group_agg_udaf_midrange(spark, sf_dir):
+    """Pandas UDAF surface (GROUPED_AGG): per-brand midrange price from a
+    custom Python reduction (relational.group_agg) next to a built-in
+    count in the SAME agg — the composability group_map lacks. min/max
+    then one IEEE add/divide → bit-identical cross-engine. The reference
+    has no UDAF at all (SURVEY §2.2)."""
+    (part,) = tables(spark, sf_dir, "part")
+    out = R.group_agg(
+        part,
+        "p_brand",
+        {
+            "midrange_price": (
+                lambda s: (s.min() + s.max()) / 2.0,
+                "p_retailprice",
+                "double",
+            )
+        },
+    )
+    return out.df.join(
+        part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")), "p_brand"
+    )
+
+
+@register(
+    "fuzzy_join_supplier_names",
+    oracle="""
+    WITH k AS (
+      SELECT s_suppkey, s_name,
+             unnest(list_distinct(list_transform(range(0, len(s_name) + 1),
+               i -> CASE WHEN i = 0 THEN s_name
+                    ELSE substr(s_name, 1, CAST(i AS INT) - 1)
+                         || substr(s_name, CAST(i AS INT) + 1) END))) AS _k
+      FROM supplier
+    )
+    SELECT DISTINCT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS distance
+    FROM k a JOIN k b ON a._k = b._k AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def fuzzy_join_supplier_names(spark, sf_dir):
+    """Entity-resolution fuzzy join (ext/text.fuzzy_join_lev1): supplier
+    names within Levenshtein distance 1, via deletion-neighborhood
+    blocking — recall-LOSSLESS for distance ≤ 1 (unlike LSH blocking),
+    candidates ∝ key collisions, verify is an integer edit distance both
+    engines compute identically. The same candidates-then-verify
+    architecture as MinHash-LSH with a provably exact blocking scheme."""
+    from pypeln_spark.ext import text as X
+
+    (supp,) = tables(spark, sf_dir, "supplier")
+    return X.fuzzy_join_lev1(supp, "s_name", "s_suppkey")
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    )
+    SELECT g.user_id, g.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.hour = g.hour
+    """,
+)
+def events_gapfill_hourly(spark, sf_dir):
+    """Time-series gap filling: a dense hourly grid per user (first to last
+    active hour, zero-filled) — what resampling/rate queries and feature
+    windows need before they can assume regular spacing. Scale: the grid
+    generates from a 2-row-per-user span aggregate (sequence + explode, no
+    cross join against a calendar table); both the counts and the grid
+    shuffle on user_id, so the left join shares one partitioning."""
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
+    )

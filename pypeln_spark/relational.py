@@ -197,3 +197,48 @@ def sql(query: str, spark=None) -> Stage:
     from .io import _spark
 
     return Stage(_spark(spark).sql(query))
+
+def group_map(
+    stage: tp.Any,
+    by: tp.Union[str, tp.List[str]],
+    fn: tp.Callable,
+    schema: tp.Union[str, tp.Any],
+) -> Stage:
+    """Grouped-map over pandas frames (``applyInPandas``): ``fn(pdf) ->
+    pdf`` runs once per group with the whole group as one pandas
+    DataFrame — the escape hatch for per-group logic Catalyst can't
+    express (model fits, per-group resampling, custom rollups).
+
+    Scale contract: ONE shuffle on the group key, then Arrow-batched
+    per-group Python. Each group must fit one executor's memory — this is
+    the documented applyInPandas constraint, so key cardinality and group
+    size, not total data size, bound the operator. Prefer built-in
+    aggregates whenever they express the computation (10-100× cheaper)."""
+    by = [by] if isinstance(by, str) else list(by)
+    return Stage(_df(stage).groupBy(*by).applyInPandas(fn, schema))
+
+
+def group_agg(
+    stage: tp.Any,
+    by: tp.Union[str, tp.List[str]],
+    aggs: tp.Dict[str, tp.Tuple[tp.Callable, str, str]],
+) -> Stage:
+    """Pandas UDAF aggregate: ``aggs`` maps output name → (fn, input_col,
+    return_type) where ``fn(series) -> scalar`` runs as a GROUPED_AGG
+    pandas UDF (Arrow-vectorized partial batches). The reference has no
+    UDAF surface at all (SURVEY §2.2) — this is the beyond-reference
+    custom-aggregate path; unlike group_map it composes with other
+    aggregate expressions and never materializes whole groups as frames.
+
+    Note Spark evaluates a GROUPED_AGG UDF over the full group (no partial
+    merge contract on the Python side) — the shuffle still carries raw
+    rows for the UDF's input column, unlike built-in partial aggregates.
+    Use for genuinely custom reductions only."""
+    from pyspark.sql.functions import pandas_udf
+
+    by = [by] if isinstance(by, str) else list(by)
+    exprs = []
+    for name, (fn, col, rtype) in aggs.items():
+        u = pandas_udf(fn, rtype, F.PandasUDFType.GROUPED_AGG)
+        exprs.append(u(F.col(col)).alias(name))
+    return Stage(_df(stage).groupBy(*by).agg(*exprs))

@@ -843,3 +843,37 @@ def test_semantic_near_dup_subset_of_exact(spark):
     for r in sem:
         assert (r.id_a, r.id_b) in exact
         assert r.cos == exact[(r.id_a, r.id_b)]
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (lev<=1) join
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+def test_fuzzy_join_lev1_matches_brute_force(spark):
+    """Deletion-key blocking must find EXACTLY the lev<=1 pairs — the
+    blocking is recall-lossless by construction, and the verify discards
+    any distance-2 candidates that happen to share a key."""
+    from pypeln_spark.ext import text as X
+
+    names = ["abc", "abd", "ab", "abcd", "xyz", "", "a", "abc"]
+    df = spark.createDataFrame(list(enumerate(names)), ["nid", "nm"])
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in X.fuzzy_join_lev1(df, "nm", "nid").collect()
+    }
+    want = {
+        (i, j): _lev(names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    }
+    assert got == want
