@@ -103,6 +103,14 @@ _PRIORITY = [
     "streaming_hll_daily_distinct",
     "curation_shard_manifest",
     "curation_pack_sequences",
+    # -- new round-5 queries: fill the window's last 5 slots (the list
+    # above holds 45 names; without these the tail slots fall to
+    # pipeline queries that were already driver-green in r1/r2) --
+    "q10_returned_item_ranking",
+    "text_tfidf_top_terms",
+    "sketch_bloom_filter_probe",
+    "semantic_dedup_pairs",
+    "events_funnel_conversion",
 ]
 
 

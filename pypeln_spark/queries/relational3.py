@@ -611,3 +611,59 @@ def events_gapfill_hourly(spark, sf_dir):
     return grid.join(hourly, ["user_id", "hour"], "left").select(
         "user_id", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
     )
+
+
+@register(
+    "events_scd2_status_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END
+               AS chg
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grp AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ),
+    island_rows AS (
+      SELECT user_id, event_type AS status, CAST(island AS BIGINT) AS island,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM grp GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, status, island, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events
+    FROM island_rows
+    """,
+)
+def events_scd2_status_intervals(spark, sf_dir):
+    """SCD2 / gaps-and-islands: collapse each user's consecutive
+    same-status events into validity intervals (valid_from, valid_to =
+    next island's start, NULL while current) — the change-data-capture
+    shape dimension tables are versioned with. Three windows + one
+    aggregate, all partitioned on user_id: a single shuffle keying
+    everything, with (ts, event_id) as the total order so ties can't make
+    the islands engine-dependent."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.filter(F.col("user_id") < 30).withColumn(
+        "chg",
+        F.when(F.col("event_type") == F.lag("event_type").over(w), 0).otherwise(1),
+    )
+    grp = seq.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    islands = grp.groupBy(
+        "user_id", F.col("event_type").alias("status"), "island"
+    ).agg(F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events"))
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return islands.select(
+        "user_id", "status", "island", "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"), "n_events",
+    )
