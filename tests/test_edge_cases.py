@@ -81,3 +81,29 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     base = {tuple(r) for r in nation.collect()}
     assert {tuple(r) for r in from_csv.collect()} == base
     assert {tuple(r) for r in from_json.collect()} == base
+
+
+def test_new_ops_on_empty(spark, empty_docs, empty_emb):
+    """Round-5 operators on degenerate inputs: no crashes, sane outputs."""
+    from pypeln_spark.ext import sketch as K
+
+    assert X.tfidf_top_terms(empty_docs).count() == 0
+    assert X.fuzzy_join_lev1(empty_docs, "text", "doc_id").count() == 0
+    # empty build side -> a single empty bit set; every probe is negative
+    bits = K.bloom_build(empty_docs, "text", m=64, kh=2)
+    assert bits.select(F.size("bits")).first()[0] == 0
+    probe = spark.createDataFrame([("x",)], "v string")
+    probed = K.bloom_maybe_contains(probe, bits, "v", m=64, kh=2)
+    assert probed.filter(F.col("maybe_member")).count() == 0
+    # semantic near-dup needs >= 1 vector to seed centroids; empty -> empty
+    assert S.semantic_near_dup(empty_emb, n_cells=2, iters=1).count() == 0
+
+
+def test_tfidf_single_doc(spark):
+    one = spark.createDataFrame([(1, "a b a", "en", "s", 5)], schema=DOC_SCHEMA)
+    rows = X.tfidf_top_terms(one, k=5).collect()
+    # df == N == 1 for every term; tf decides the order
+    assert [(r.term, r.tf, r.df) for r in sorted(rows, key=lambda r: r.rank)] == [
+        ("a", 2, 1),
+        ("b", 1, 1),
+    ]
