@@ -667,3 +667,33 @@ def events_scd2_status_intervals(spark, sf_dir):
         "user_id", "status", "island", "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"), "n_events",
     )
+
+
+@register(
+    "window_distribution_gauntlet",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+           percent_rank() OVER w AS price_percent_rank,
+           cume_dist() OVER w AS price_cume_dist
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_gauntlet(spark, sf_dir):
+    """Distribution window functions — dense_rank / percent_rank /
+    cume_dist — the three the navigation gauntlet doesn't cover.
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single IEEE
+    divisions of exact integers, so both engines agree bitwise; the
+    (price, orderkey) order is total, so rank ties can't differ. One
+    shuffle on the partition key."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.filter(F.col("o_custkey") < 100).select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_percent_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )

@@ -877,3 +877,30 @@ def test_fuzzy_join_lev1_matches_brute_force(spark):
         if _lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+def test_fuzzy_join_lev1_hypothesis(spark):
+    """Property: over random short strings from a tiny alphabet (maximizing
+    collisions and near-misses), deletion-key blocking + verify equals the
+    brute-force lev<=1 pair set exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from pypeln_spark.ext import text as X
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.text(alphabet="ab", max_size=4), min_size=2, max_size=12))
+    def prop(names):
+        df = spark.createDataFrame(list(enumerate(names)), ["nid", "nm"])
+        got = {
+            (r.id_a, r.id_b): r.distance
+            for r in X.fuzzy_join_lev1(df, "nm", "nid").collect()
+        }
+        want = {
+            (i, j): _lev(names[i], names[j])
+            for i in range(len(names))
+            for j in range(i + 1, len(names))
+            if _lev(names[i], names[j]) <= 1
+        }
+        assert got == want
+
+    prop()
