@@ -702,3 +702,100 @@ def streaming_hll_daily_distinct(spark, sf_dir):
         F.col("win.start").alias("window_start"), "event_type", "_bkt", "_r"
     )
     return hll_finalize(streamed, ["window_start", "event_type"])
+
+
+@register(
+    "streaming_funnel_stages",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    tv AS (
+      SELECT user_id, MIN(ts) AS t_v FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t_c
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click' AND e.ts > tv.t_v
+      GROUP BY e.user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t_p
+      FROM events e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t_c
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id, tv.t_v AS first_view, tc.t_c AS first_click,
+           tp.t_p AS first_purchase,
+           CAST(CASE WHEN tp.t_p IS NOT NULL THEN 3
+                     WHEN tc.t_c IS NOT NULL THEN 2
+                     WHEN tv.t_v IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM users u
+    LEFT JOIN tv ON u.user_id = tv.user_id
+    LEFT JOIN tc ON u.user_id = tc.user_id
+    LEFT JOIN tp ON u.user_id = tp.user_id
+    """,
+)
+def streaming_funnel_stages(spark, sf_dir):
+    """Stateful streaming funnel: per-user first-passage tracking
+    (view → click → purchase, strict event-time order) as
+    applyInPandasWithState with EXACTLY three timestamps of state per
+    user — the live-funnel dashboard shape, with provably bounded
+    checkpoint state (24 bytes/user however many events stream through).
+
+    The incremental state machine processes each batch's events in
+    (ts, event_id) order; because first-passage times only ever move a
+    stage from unset→set in ts order, replaying time-ordered batches
+    reproduces the batch funnel exactly (the oracle) — the multi-batch
+    accumulation contract is exercised in tests/test_streaming.py.
+    Production caveat, documented: batches must be event-time-ordered per
+    user (pair with a watermark); a late event older than an already-set
+    stage cannot retract it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = ST.events_stream(spark, sf_dir)
+
+    def fn(key, pdfs, state: GroupState):
+        tv, tc, tp = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in pdfs:
+            for ts, et, eid in zip(
+                pdf["ts"], pdf["event_type"], pdf["event_id"]
+            ):
+                rows.append((ts.value, int(eid), et))  # ns since epoch
+        rows.sort()
+        for ts_ns, _eid, et in rows:
+            if et == "view" and tv == 0:
+                tv = ts_ns
+            elif et == "click" and tv > 0 and tc == 0 and ts_ns > tv:
+                tc = ts_ns
+            elif et == "purchase" and tc > 0 and tp == 0 and ts_ns > tc:
+                tp = ts_ns
+        state.update((tv, tc, tp))
+        stage = 3 if tp else 2 if tc else 1 if tv else 0
+
+        def to_ts(ns):
+            return pd.Timestamp(ns) if ns else pd.NaT
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_view": [to_ts(tv)],
+                "first_click": [to_ts(tc)],
+                "first_purchase": [to_ts(tp)],
+                "funnel_stage": [stage],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, first_view timestamp, first_click timestamp, "
+            "first_purchase timestamp, funnel_stage int"
+        ),
+        stateStructType="tv long, tc long, tp long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return ST.run_to_memory(out, output_mode="update")

@@ -365,3 +365,62 @@ def test_asof_join_forward_matches_pandas_model_property(spark, lrows, rrows):
         w_ts = None if pd.isna(row.ts_right) else int(row.ts_right)
         w_rv = None if pd.isna(row.rv_right) else int(row.rv_right)
         assert got[(row.k, row.ts, row.lv)] == (w_ts, w_rv), (row, got)
+
+
+def test_streaming_funnel_accumulates_across_time_ordered_batches(spark, sf_dir):
+    """Two time-ordered microbatches through the stateful funnel must land
+    on the same per-user stages as the batch funnel over all events — the
+    first-passage state machine's incremental==batch contract."""
+    from pypeln_spark.queries.streaming import streaming_funnel_stages  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pypeln_spark.queries import REGISTRY
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = "2024-01-15"  # events span 2024-01; a mid-month split is time-ordered
+    b1 = ev.filter(F.col("ts") <= mid)
+    b2 = ev.filter(F.col("ts") > mid)
+    assert b1.count() > 0 and b2.count() > 0
+
+    fn_query = REGISTRY["streaming_funnel_stages"].fn
+
+    # rebuild the same stateful query over a staged two-batch stream
+    import pandas as pd
+
+    def build(stream):
+        def fn(key, pdfs, state: GroupState):
+            tv, tc, tp = state.get if state.exists else (0, 0, 0)
+            rows = []
+            for pdf in pdfs:
+                for ts, et, eid in zip(pdf["ts"], pdf["event_type"], pdf["event_id"]):
+                    rows.append((ts.value, int(eid), et))
+            rows.sort()
+            for ts_ns, _eid, et in rows:
+                if et == "view" and tv == 0:
+                    tv = ts_ns
+                elif et == "click" and tv > 0 and tc == 0 and ts_ns > tv:
+                    tc = ts_ns
+                elif et == "purchase" and tc > 0 and tp == 0 and ts_ns > tc:
+                    tp = ts_ns
+            state.update((tv, tc, tp))
+            stage = 3 if tp else 2 if tc else 1 if tv else 0
+            yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+        return stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, funnel_stage int",
+            stateStructType="tv long, tc long, tp long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    out = ST.staged_replay(spark, [b1, b2], build, output_mode="update")
+    # last update per user wins — stages only progress
+    got = {
+        r.user_id: r.stage
+        for r in out.groupBy("user_id").agg(F.max("funnel_stage").alias("stage")).collect()
+    }
+    want = {
+        r.user_id: r.funnel_stage
+        for r in fn_query(spark, sf_dir).select("user_id", "funnel_stage").collect()
+    }
+    assert got == want
