@@ -56,6 +56,7 @@ def asof_join(
     suffix: str = "_right",
     how: str = "inner",
     direction: str = "backward",
+    tolerance: tp.Union[str, int, float, None] = None,
 ) -> DataFrame:
     """As-of join via union+window.
 
@@ -66,6 +67,13 @@ def asof_join(
     forward just traverses the window in descending event time, so
     "last right row seen" flips from newest-at-or-before to
     oldest-at-or-after.
+
+    ``tolerance`` bounds the match gap (pandas merge_asof tolerance): a
+    SQL interval string ("1 hour") for timestamp axes, or a number for
+    numeric axes. A match farther than the tolerance is treated as NO
+    match — nulled under how='left', dropped under how='inner'. Applied
+    as a post-carry predicate, so the lowering (one shuffle) is
+    unchanged.
 
     Output: every left column, plus ``<right_ts><suffix>`` and each
     requested right column as ``<col><suffix>``; unmatched left rows are
@@ -130,6 +138,20 @@ def asof_join(
         .withColumn("_m", F.last("_rpayload", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        bound = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        within = (
+            F.col("_m._rts") >= F.col("_t") - bound
+            if direction == "backward"
+            else F.col("_m._rts") <= F.col("_t") + bound
+        )
+        carried = carried.withColumn(
+            "_m", F.when(within, F.col("_m"))  # too-far match == no match
+        )
     out_cols = [F.col(f"_lpayload.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("_m._rts").alias(f"{right_ts}{suffix}"))
     out_cols += [F.col(f"_m._r_{c}").alias(f"{c}{suffix}") for c in right_cols]

@@ -799,3 +799,53 @@ def streaming_funnel_stages(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return ST.run_to_memory(out, output_mode="update")
+
+
+@register(
+    "asof_join_with_tolerance",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, MIN(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    purchases AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.ts END AS view_ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.view_id END
+             AS view_id
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_with_tolerance(spark, sf_dir):
+    """As-of join with a bounded match gap (pandas merge_asof tolerance):
+    each purchase matched to the most recent view, but only within 1 hour
+    — staler context is treated as no match (nulled, how='left'). Applied
+    as a post-carry predicate, so it costs nothing on top of the
+    single-shuffle union+window lowering; the oracle spells the same
+    semantics as ASOF LEFT JOIN + a gap CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts")
+    )
+    out = A.asof_join(
+        purchases,
+        views.select("user_id", "ts", "view_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_id"],
+        suffix="_v",
+        how="left",
+        tolerance="1 HOUR",
+    )
+    return out.select(
+        "purchase_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("ts_v").alias("view_ts"), F.col("view_id_v").alias("view_id"),
+    )

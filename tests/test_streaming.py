@@ -424,3 +424,34 @@ def test_streaming_funnel_accumulates_across_time_ordered_batches(spark, sf_dir)
         for r in fn_query(spark, sf_dir).select("user_id", "funnel_stage").collect()
     }
     assert got == want
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """tolerance semantics == pandas merge_asof(tolerance=...): matches
+    farther than the bound become non-matches (nulls under how='left')."""
+    left = spark.createDataFrame(
+        [(1, 100.0, "p1"), (1, 205.0, "p2"), (2, 50.0, "p3")],
+        "k long, ts double, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90.0, "v1"), (1, 110.0, "v2"), (2, 10.0, "v3")],
+        "k long, ts double, rlbl string",
+    )
+    got = {
+        r.lbl: r.rlbl_right
+        for r in A.asof_join(
+            left, right, on="k", right_cols=["rlbl"], how="left", tolerance=30.0
+        ).collect()
+    }
+    import pandas as pd
+
+    m = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("ts"),
+        on="ts", by="k", tolerance=30.0, direction="backward",
+    )
+    want = {
+        r.lbl: (r.rlbl if isinstance(r.rlbl, str) else None)
+        for r in m.itertuples()
+    }
+    assert got == want == {"p1": "v1", "p2": None, "p3": None}
