@@ -14,18 +14,17 @@ from .base import REGISTRY, Query, register, tables
 # _PRIORITY reorder below then decides the DRIVER-VISIBLE order. The driver
 # hash-checks the first 50 registered queries per round, so the front of the
 # registry is rotated each round toward the queries with the fewest driver
-# correctness rows. Round-3 front: the 20 queries never driver-checked in
-# r1/r2 (all streaming, ANN/embedding, asof/range join, sketch CMS/quantiles,
-# simhash pairs, minhash clusters/fast) plus the three r1 failures whose
-# fixes landed in r2 but were re-verified only by the local DuckDB gate.
-# Round 4: no r3 driver correctness file was recorded, so the r3 front is
-# KEPT (those rows are still the least-evidenced) and the new r4 queries
-# are appended inside the 50-window; the remaining tail slots fall to
-# pipeline-module queries that were driver-green in r1/r2.
+# correctness rows. Current front (for the next driver run): the 20 queries
+# never driver-checked in r1/r2 (all streaming, ANN/embedding, asof/range
+# join, sketch CMS/quantiles, simhash pairs, minhash clusters/fast), the
+# three r1 failures whose fixes have only local-gate evidence, and the
+# queries added since r2 — 47 of the 50 checked slots carry no prior green
+# driver row. Later additions (positions 51+) wait for the next rotation;
+# ALL registry entries are covered every session by the local DuckDB gate
+# (tests/test_correctness_gate.py replays every oracle).
 # Every output schema is contract-tested canonicalizer-safe
-# (tests/test_correctness_gate.py::test_no_canonicalizer_hostile_output_
-# columns), so front-loading the unusual output types is no longer a
-# blast-radius risk the way it was in r1.
+# (assert_driver_safe_schema inside the gate), so front-loading unusual
+# output types is no longer a blast-radius risk the way it was in r1.
 from . import pipeline  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import curation  # noqa: E402,F401

@@ -1,0 +1,145 @@
+"""Scale-sweep experiment: do the headline plans actually scale?
+
+Synthesizes a ~sf1 dataset (10 x sf0.1, keys shifted per replica so join
+cardinalities and dup-cluster sizes grow linearly, not quadratically:
+documents get a per-replica tag token appended so replicas don't form
+cross-replica near-dup pairs; embeddings get a deterministic per-replica
+first-component nudge), then times a representative headline slice at
+sf0.1 and at the synthetic sf1 and reports the time ratio next to the 10x
+data ratio. A plan that survives scale shows ~linear (or better) growth;
+a quadratic or driver-bound plan shows up immediately.
+
+Usage: python tools/scale_sweep.py [outdir]  (default /tmp/pypeln_sfscale)
+Writes one JSON line; human detail on stderr. Results are recorded in
+SCALING.md ("Scale-sweep evidence").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICAS = 10
+SRC = "/root/testdata/sf0.1"
+
+SWEEP = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "text_quality_scores",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_fast",
+    "ann_lsh_bucketed_topk",
+    "sketch_cms_heavy_hitters",
+    "curation_decontaminated",
+    "events_sessionization",
+]
+
+KEYED = {
+    # table -> (key columns to shift by replica * stride)
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def synthesize(spark, outdir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.queries.base import load_table
+
+    os.makedirs(outdir, exist_ok=True)
+    for name in [
+        "region", "nation", "part", "supplier",  # dims: copy as-is
+    ]:
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+            os.path.join(outdir, f"{name}.parquet")
+        )
+    for name, keys in KEYED.items():
+        base = load_table(spark, SRC, name)
+        strides = {
+            k: (base.agg(F.max(k)).first()[0] or 0) + 1 for k in keys
+        }
+        parts = []
+        for r in range(REPLICAS):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(r * strides[k]))
+            if name == "documents":
+                # tag texts per replica: replicas are near-dups WITHIN a
+                # replica exactly like the base corpus, but never across
+                df = df.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
+                )
+            if name == "embeddings":
+                df = df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(
+                            (F.element_at("embedding", 1) + F.lit(r * 1e-3)).cast(
+                                "float"
+                            )
+                        ),
+                        F.slice("embedding", 2, 63),
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(outdir, f"{name}.parquet")
+        )
+        print(f"# wrote {name} x{REPLICAS}", file=sys.stderr)
+
+
+def main() -> None:
+    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.session import get_spark
+
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pypeln_sfscale"
+    spark = get_spark(app_name="pypeln_scale_sweep")
+    if not os.path.exists(os.path.join(outdir, "lineitem.parquet")):
+        synthesize(spark, outdir)
+
+    def best_of(fn, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    results = {}
+    for name in SWEEP:
+        q = REGISTRY[name]
+        q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm
+        t_small = best_of(
+            lambda: q.fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        )
+        t_big = best_of(
+            lambda: q.fn(spark, outdir).write.format("noop").mode("overwrite").save()
+        )
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        results[name] = {
+            "sf0.1_s": round(t_small, 3),
+            "sf1_s": round(t_big, 3),
+            "ratio": round(ratio, 2),
+        }
+        print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)", file=sys.stderr)
+
+    print(json.dumps({"replicas": REPLICAS, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
