@@ -68,7 +68,13 @@ def tumbling(df: DataFrame, ts_col: str, duration: str) -> tp.Tuple[DataFrame, F
     return df, F.window(F.col(ts_col), duration)
 
 
-STREAM_STATE_PARTITIONS = int(os.environ.get("PYPELN_SPARK_STREAM_PARTITIONS", "8"))
+STREAM_STATE_PARTITIONS = int(os.environ.get("PYPELN_SPARK_STREAM_PARTITIONS", "4"))
+
+# applyInPandasWithState queries override to this: their per-batch cost is
+# Python-worker compute, which WANTS parallelism, not state-commit overhead,
+# which wants fewer stores (measured: running-totals 1.7s @8 vs 2.3s @4,
+# while the pure-JVM interval join is 2.4s @4 vs 3.0s @8)
+PYTHON_STATE_PARTITIONS = int(os.environ.get("PYPELN_SPARK_PY_STATE_PARTITIONS", "8"))
 
 
 class _stream_partitions:
@@ -78,10 +84,11 @@ class _stream_partitions:
     O(partitions × operators × batches) in filesystem work regardless of
     data volume — at bench scale 32 partitions spend ~4× longer committing
     state than computing (measured: the stream-stream interval join drops
-    7.9s → 2.5s going 32 → 8). The partition count is captured into the
-    query's checkpoint at start, so this must wrap .start(); batch queries
-    in the same session are untouched. Size it to key cardinality ×
-    throughput on a real cluster (env PYPELN_SPARK_STREAM_PARTITIONS).
+    7.9s → 2.5s going 32 → 8, and another ~0.5s at 4; below 4 it's flat).
+    The partition count is captured into the query's checkpoint at start,
+    so this must wrap .start(); batch queries in the same session are
+    untouched. Size it to key cardinality × throughput on a real cluster
+    (env PYPELN_SPARK_STREAM_PARTITIONS).
 
     NOT THREAD-SAFE (ADVICE r2): this mutates session-global
     spark.sql.shuffle.partitions around query start, so a concurrent batch
@@ -106,6 +113,7 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
     name: tp.Optional[str] = None,
+    state_partitions: tp.Optional[int] = None,
 ) -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion through the memory
     sink; returns the result as a batch DataFrame. processAllAvailable makes
@@ -113,7 +121,7 @@ def run_to_memory(
     spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, state_partitions):
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -129,12 +137,14 @@ def run_to_memory(
 
 
 def run_foreach_batch(
-    stream_df: DataFrame, fn: tp.Callable[[DataFrame, int], None]
+    stream_df: DataFrame,
+    fn: tp.Callable[[DataFrame, int], None],
+    state_partitions: tp.Optional[int] = None,
 ) -> None:
     """foreachBatch sink, driven to completion (exactly-once per epoch —
     the Spark-native home for reference-style ``each`` side effects)."""
     ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
-    with _stream_partitions(stream_df.sparkSession):
+    with _stream_partitions(stream_df.sparkSession, state_partitions):
         q = (
             stream_df.writeStream.foreachBatch(fn)
             .option("checkpointLocation", ckpt)
@@ -151,6 +161,7 @@ def staged_replay(
     batches: tp.Sequence[DataFrame],
     build_query: tp.Callable[[DataFrame], DataFrame],
     output_mode: str = "append",
+    state_partitions: tp.Optional[int] = None,
 ) -> DataFrame:
     """Replay N batch DataFrames as N guaranteed-separate microbatches.
 
@@ -165,7 +176,7 @@ def staged_replay(
     schema = batches[0].schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
     out = build_query(stream)
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, state_partitions):
         q = (
             out.writeStream.outputMode(output_mode)
             .format("memory")
