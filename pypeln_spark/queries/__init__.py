@@ -43,6 +43,7 @@ except ImportError:  # pragma: no cover
     pass
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import relational4  # noqa: E402,F401
 
 try:
     from . import streaming  # noqa: F401
