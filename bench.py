@@ -52,6 +52,8 @@ HEADLINE = [
     "range_join_purchase_after_signup",
     "q10_returned_item_ranking",
     "q18_large_volume_customers",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     "text_tfidf_top_terms",
     "semantic_dedup_pairs",
     "streaming_tumbling_hourly",

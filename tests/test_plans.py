@@ -188,3 +188,34 @@ def test_bloom_probe_is_narrow_broadcast(spark):
     p = plan_of(spark, "sketch_bloom_filter_probe")
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p, p[:3000]
+
+
+def test_q2_correlated_min_is_single_window_no_self_join(spark):
+    """Q2's correlated-min subquery must lower to ONE window over the
+    eligible join — a self-join formulation would scan the derived supply
+    aggregate twice."""
+    p = plan_of(spark, "q2_min_cost_supplier")
+    assert p.count("Window") == 1
+    # dims broadcast; the lineitem agg side must NOT be broadcast
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q16_not_in_lowering_is_broadcast_anti_join(spark):
+    p = plan_of(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in p, "NOT IN should lower to an anti join"
+    assert "BroadcastNestedLoopJoin" not in p, "null-aware NLJ would be O(n*m)"
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark):
+    p = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q11_threshold_scalar_broadcasts(spark):
+    """The Q11 scalar-aggregate threshold must arrive as a broadcast
+    one-row join, never a shuffle."""
+    p = plan_of(spark, "q11_important_part_values")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
