@@ -26,6 +26,7 @@ from .operators import (
     filter,  # noqa: A004
     flat_map,
     from_iterable,
+    from_iterable_source,
     map,  # noqa: A004
     map_rows,
     ordered,
@@ -70,6 +71,7 @@ __all__ = [
     "concat",
     "ordered",
     "from_iterable",
+    "from_iterable_source",
     "to_iterable",
     "to_async_iterable",
     "run",

@@ -2,7 +2,7 @@ from .concat import concat
 from .each import each
 from .filter import filter  # noqa: A004 - mirrors the reference's public name
 from .flat_map import flat_map
-from .from_iterable import from_iterable
+from .from_iterable import from_iterable, from_iterable_source
 from .map import map  # noqa: A004
 from .map_rows import map_rows
 from .ordered import ordered
@@ -15,6 +15,7 @@ __all__ = [
     "filter",
     "flat_map",
     "from_iterable",
+    "from_iterable_source",
     "map",
     "map_rows",
     "ordered",

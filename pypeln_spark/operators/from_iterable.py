@@ -198,6 +198,80 @@ class IterablePump:
         return PumpSink(df, output_mode)
 
 
+def from_iterable_source(
+    factory: tp.Union[str, tp.Callable[[], tp.Any]],
+    *,
+    spark: tp.Optional[SparkSession] = None,
+    returns: tp.Optional[tp.Union[str, T.DataType]] = None,
+    chunk_size: int = 1000,
+    limit: tp.Optional[int] = None,
+    replayable: bool = False,
+) -> Stage:
+    """Unbounded iterable as a Spark 4 PYTHON DATA SOURCE stream.
+
+    The Spark-4-native sibling of ``from_iterable(unbounded=True)``: instead
+    of the file-pump, the generator is pulled inside the engine's source
+    runner with engine-managed offsets (see datasource.py). Because the
+    reader lives in another process, it takes a FACTORY — an importable
+    ``"module:callable"`` or any picklable callable returning a fresh
+    iterable — not a live generator (which can't cross processes; use the
+    pump for those).
+
+    ``returns`` fixes the element type; when omitted and the factory is
+    callable, one throwaway instance is peeked (≤200 elements) to infer it —
+    so an impure factory should pass ``returns`` explicitly. No common type
+    → pickled BinaryType fallback, same as the bounded path. ``limit`` stops
+    the source after N elements so ``processAllAvailable`` drains terminate;
+    leave unset for a truly endless stream paced by your own trigger.
+    ``replayable=True`` declares the factory deterministic, enabling
+    restart-from-checkpoint replay.
+    """
+    from .. import datasource as DS
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    DS.ensure_registered(spark)
+
+    if isinstance(returns, str):
+        returns = T._parse_datatype_string(returns)
+    if returns is None:
+        if isinstance(factory, str):
+            import importlib
+
+            mod, _, attr = factory.partition(":")
+            peek_factory = getattr(importlib.import_module(mod), attr)
+        else:
+            peek_factory = factory
+        probe = iter(peek_factory())
+        sample = []
+        for _ in range(200):
+            try:
+                sample.append(next(probe))
+            except StopIteration:
+                break
+        returns = infer.infer_common_type(sample)
+    pickled = returns is None
+
+    opts = {
+        "chunk_size": str(max(int(chunk_size), 1)),
+        "pickled": "true" if pickled else "false",
+        "value_type": "binary" if pickled else returns.simpleString(),
+        "replayable": "true" if replayable else "false",
+    }
+    if limit is not None:
+        opts["limit"] = str(int(limit))
+    if isinstance(factory, str):
+        opts["factory"] = factory
+    else:
+        opts["factory_pickle"] = DS._encode_factory(factory)
+
+    df = spark.readStream.format(DS.FORMAT_NAME).options(**opts).load()
+    return Stage(df, scalar=True, pickled=pickled)
+
+
 def from_iterable(
     iterable: tp.Any,
     maxsize: int = 0,  # noqa: ARG001 - parity knob on the bounded path

@@ -180,6 +180,46 @@ def pipeline_unbounded_pump(spark, sf_dir):
 
 
 @register(
+    "pipeline_datasource_source",
+    oracle="""
+    SELECT i AS idx, i * 7 - 2 AS value FROM range(1200) t(i)
+    WHERE (i * 7 - 2) % 3 = 0
+    """,
+)
+def pipeline_datasource_source(spark, sf_dir):
+    """Spark-4-NATIVE unbounded source: the same infinite-generator contract
+    as pipeline_unbounded_pump, but lowered through a registered Python Data
+    Source (datasource.py) instead of the file pump — the engine owns the
+    offsets ({"i": n} in the checkpoint), the generator advances only as
+    micro-batches pull (chunk_size backpressure), and the reader's prefetch
+    cache gives exactly-once without temp files. limit=1200 bounds the drain
+    so the result has an exact SQL twin; idx is the creation-order element
+    index (reference: pypeln/process/api/from_iterable.py:22-28)."""
+    import itertools
+
+    import pypeln_spark as pl
+    from pypeln_spark.operators.from_iterable import PumpSink
+    from pypeln_spark.utils import INDEX_COL, VALUE_COL
+
+    stage = pl.from_iterable_source(
+        lambda: itertools.count(), limit=1200, chunk_size=400,
+        returns="long", spark=spark,
+    )
+    out = stage | pl.map(lambda x: x * 7 - 2, returns="long") | pl.filter(
+        lambda x: x % 3 == 0
+    )
+    sink = PumpSink(out.df)
+    try:
+        result = sink.process().select(
+            F.element_at(INDEX_COL, 1).alias("idx"), F.col(VALUE_COL)
+        )
+        rows = result.collect()
+    finally:
+        sink.stop()
+    return spark.createDataFrame(rows, schema=result.schema)
+
+
+@register(
     "multimodal_asset_feature_stats",
     oracle="""
     WITH ids AS (SELECT range AS asset_id FROM range(96)),

@@ -1,0 +1,95 @@
+"""Semi-structured data through Spark 4's VARIANT type.
+
+VARIANT is the modern lowering for JSON-shaped columns: ``parse_json`` once
+into a binary-encoded tree, then ``variant_get`` typed path extraction —
+repeated extractions reuse the parsed encoding instead of re-running a
+string parser per path (the get_json_object spelling in relational.py pays
+one Jackson parse PER extraction). At 100 TB the difference is one parse
+per row vs. one per row×path, and variant columns can be stored in parquet
+shredded form for pushdown.
+
+Oracle strategy: both engines BUILD the same nested JSON document from
+typed columns (deterministic string concat), so DuckDB replays the nested
+path extraction with its native json functions while Spark goes through
+parse_json → variant_get. Output columns are plain typed values — the
+VARIANT stays inside the plan, keeping the driver schema canonicalizer-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import register, tables
+
+
+@register(
+    "variant_nested_event_doc",
+    oracle="""
+    WITH docs AS (
+      SELECT event_id,
+             '{"meta":{"uid":' || CAST(user_id AS VARCHAR)
+               || ',"etype":"' || event_type || '"},"k":'
+               || json_extract_string(props, '$.k') || '}' AS doc
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id,
+           CAST(json_extract_string(doc, '$.meta.uid') AS BIGINT) AS uid,
+           json_extract_string(doc, '$.meta.etype') AS etype,
+           CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k_val
+    FROM docs
+    """,
+)
+def variant_nested_event_doc(spark, sf_dir):
+    """parse_json → VARIANT → typed nested-path extraction. The document is
+    assembled deterministically from typed columns (same concat on the
+    DuckDB side), parsed ONCE, then three paths are pulled out of the
+    variant encoding — JVM-side, no UDF, codegen-friendly."""
+    (events,) = tables(spark, sf_dir, "events")
+    docs = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        F.concat(
+            F.lit('{"meta":{"uid":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"etype":"'),
+            F.col("event_type"),
+            F.lit('"},"k":'),
+            F.get_json_object("props", "$.k"),
+            F.lit("}"),
+        ).alias("doc"),
+    )
+    v = F.parse_json(F.col("doc"))
+    return docs.select(
+        "event_id",
+        F.variant_get(v, "$.meta.uid", "bigint").alias("uid"),
+        F.variant_get(v, "$.meta.etype", "string").alias("etype"),
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+    )
+
+
+@register(
+    "variant_props_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_rollup(spark, sf_dir):
+    """VARIANT values flowing through an aggregation: props parsed to
+    variant, the typed projection feeds a plain groupBy — partial aggregates
+    (map-side combine) apply because extraction happens before the
+    shuffle, so only (event_type, long) pairs move."""
+    (events,) = tables(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

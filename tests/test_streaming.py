@@ -455,3 +455,148 @@ def test_asof_tolerance_matches_pandas(spark):
         for r in m.itertuples()
     }
     assert got == want == {"p1": "v1", "p2": None, "p3": None}
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python Data Source lowering (datasource.py / from_iterable_source)
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_source_streams_infinite_factory(spark):
+    """The Spark-4-native unbounded path: an infinite generator FACTORY rides
+    a registered Python data source with engine-managed offsets. limit bounds
+    the drain; a second drain finds nothing new (exactly-once, offsets live
+    in the engine not in filenames)."""
+    import itertools
+
+    import pypeln_spark as pl
+    from pypeln_spark.operators.from_iterable import PumpSink
+    from pypeln_spark.utils import INDEX_COL, VALUE_COL
+
+    stage = pl.from_iterable_source(
+        lambda: itertools.count(), limit=300, chunk_size=100, spark=spark
+    )
+    assert stage.df.isStreaming
+    out = stage | pl.map(lambda x: x * 3 + 1, returns="long") | pl.filter(
+        lambda x: x % 2 == 0
+    )
+    sink = PumpSink(out.df)
+    try:
+        got = sink.process().select(INDEX_COL, VALUE_COL).collect()
+        vals = sorted(r[VALUE_COL] for r in got)
+        assert vals == sorted(i * 3 + 1 for i in range(300) if (i * 3 + 1) % 2 == 0)
+        # creation-order indices survive the pipeline (reference contract)
+        assert sorted(tuple(r[INDEX_COL])[0] for r in got) == [
+            i for i in range(300) if (i * 3 + 1) % 2 == 0
+        ]
+        # drained to the limit: nothing new on a second pass
+        assert sink.process().count() == len(vals)
+    finally:
+        sink.stop()
+
+
+def test_datasource_source_bounded_factory_and_inference(spark):
+    """A bounded factory simply exhausts; element type is inferred by peeking
+    a throwaway factory instance when `returns` is omitted."""
+    import pypeln_spark as pl
+    from pypeln_spark.operators.from_iterable import PumpSink
+    from pypeln_spark.utils import VALUE_COL
+
+    stage = pl.from_iterable_source(lambda: (float(i) for i in range(7)), spark=spark)
+    assert dict(stage.df.dtypes)["value"] == "double"
+    sink = PumpSink(stage.df)
+    try:
+        vals = sorted(r[VALUE_COL] for r in sink.process().collect())
+        assert vals == [float(i) for i in range(7)]
+    finally:
+        sink.stop()
+
+
+def test_datasource_source_pickled_fallback(spark):
+    """Objects with no common Spark type ride the pickled BinaryType fallback
+    through the data source, same contract as the bounded path (infer.py)."""
+    import pypeln_spark as pl
+    from pypeln_spark import infer
+    from pypeln_spark.operators.from_iterable import PumpSink
+    from pypeln_spark.utils import VALUE_COL
+
+    payload = [1, "two", (3, 4), {"five": 5}]
+    stage = pl.from_iterable_source(lambda: iter(payload), spark=spark)
+    assert stage.pickled
+    sink = PumpSink(stage.df)
+    try:
+        got = [infer.loads(bytes(r[VALUE_COL])) for r in sink.process().collect()]
+        assert sorted(map(repr, got)) == sorted(map(repr, payload))
+    finally:
+        sink.stop()
+
+
+def test_datasource_reader_replay_contract():
+    """Unit contract of the reader itself: read() advances the live
+    generator; readBetweenOffsets replays from a FRESH factory instance when
+    replayable, and refuses with a clear error when not (a live generator
+    cannot be rewound)."""
+    import pytest
+
+    from pypeln_spark.datasource import IterableStreamReader
+
+    opts = {"factory": "itertools:count", "chunk_size": "2",
+            "value_type": "long", "replayable": "true"}
+    r = IterableStreamReader(opts)
+    rows1, off1 = r.read(r.initialOffset())
+    assert list(rows1) == [([0], 0), ([1], 1)] and off1 == {"i": 2}
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == [([2], 2), ([3], 3)] and off2 == {"i": 4}
+    # restart recovery: fresh factory fast-forwarded to the offset range
+    assert list(r.readBetweenOffsets({"i": 1}, {"i": 3})) == [([1], 1), ([2], 2)]
+
+    r2 = IterableStreamReader({**opts, "replayable": "false"})
+    with pytest.raises(RuntimeError, match="replay"):
+        r2.readBetweenOffsets({"i": 0}, {"i": 2})
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API) — gated on protobuf
+# ---------------------------------------------------------------------------
+
+
+def test_tws_gate_reports_clearly():
+    """Without protobuf the module must say so up front, not crash the
+    stream at runtime the way a bare transformWithStateInPandas call does."""
+    from pypeln_spark import streaming_tws as TWS
+
+    if TWS.available():
+        pytest.skip("protobuf present — covered by test_tws_event_type_counts")
+    with pytest.raises(ImportError, match="protobuf"):
+        TWS.make_event_type_counts_processor()
+
+
+def test_tws_event_type_counts(spark, sf_dir):
+    """Real-engine TWS path: per-user event-type counts via MapState match
+    the batch GROUP BY. Runs only where protobuf exists."""
+    from pypeln_spark import streaming_tws as TWS
+
+    if not TWS.available():
+        pytest.skip("protobuf not installed — TWS runtime unavailable")
+
+    ev = ST.events_stream(spark, sf_dir)
+    out = TWS.transform_with_state(
+        ev.select("user_id", "event_type"),
+        ["user_id"],
+        TWS.make_event_type_counts_processor(),
+        "user_id long, event_type string, n_events bigint",
+    )
+    got = ST.run_to_memory(out, output_mode="update",
+                           state_partitions=ST.PYTHON_STATE_PARTITIONS)
+    # memory sink in update mode may hold superseded rows — keep latest per key
+    from pyspark.sql import Window
+    latest = got.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert latest.exceptAll(want).count() == 0
+    assert want.exceptAll(latest).count() == 0
