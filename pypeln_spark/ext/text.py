@@ -471,3 +471,95 @@ def fuzzy_join_lev1(
         )
         .filter(F.col("distance") <= 1)
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score — the
+    deterministic stand-in for CCNet/KenLM perplexity filtering (train an
+    LM on the corpus, keep documents whose tokens the model finds likely).
+    Output (id, n_tokens, in_vocab, sum_counts, lm_score, oov_frac).
+
+    The model IS the corpus term-frequency table truncated to the
+    ``vocab_size`` most frequent terms (ties break term ASC, so the vocab
+    boundary is engine-independent). A document's score is the MEAN UNIGRAM
+    PROBABILITY of its tokens, kept log-free for cross-engine determinism
+    (same reasoning as bm25_topk — ln() is the op IEEE doesn't pin):
+
+        lm_score = Σ_i count(tok_i) / (n_tokens × N_total)
+
+    Every term is an exact BIGINT until the single final IEEE division, so
+    DuckDB replays it bit-identically. OOV tokens contribute 0 to the
+    numerator; ``oov_frac`` is their exact share — the standard companion
+    gate (high OOV = boilerplate/code/garbled text).
+
+    Scale shape: training = one explode + term-count groupBy (map-side
+    combine; shuffle ∝ distinct terms), vocab = TakeOrdered K, shipped
+    BROADCAST (a 10⁵-term vocab is KBs regardless of corpus size — this is
+    why unigram filtering runs at 100 TB where a neural scorer can't);
+    scoring = re-explode + broadcast-hash join + per-doc partial aggregate
+    (explode preserves doc locality, so combiners collapse to one row per
+    doc before the shuffle — shuffle ∝ docs, never ∝ tokens). The corpus
+    text is scanned twice (train + score), the classic two-pass LM shape.
+    """
+    toks = spread(df).select(id_col, F.explode(tokenize(F.col(text_col))).alias("_t"))
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = (
+        counts.orderBy(F.col("_c").desc(), F.col("_t").asc()).limit(vocab_size)
+    )
+    total = counts.agg(F.sum("_c").alias("_n_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "_t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_c").alias("in_vocab"),
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("sum_counts"),
+        )
+        .join(F.broadcast(total))
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "in_vocab",
+        "sum_counts",
+        (
+            F.col("sum_counts").cast("double")
+            / (F.col("n_tokens") * F.col("_n_total")).cast("double")
+        ).alias("lm_score"),
+        (
+            (F.col("n_tokens") - F.col("in_vocab")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("oov_frac"),
+    )
+
+
+def sql_unigram_lm_score(vocab_size: int = 1000) -> str:
+    """DuckDB twin of unigram_lm_score over the `documents` view — identical
+    integer counts and vocab boundary, identical single final division."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT {vocab_size}),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts),
+    scored AS (
+      SELECT toks.doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(vocab.c) AS in_vocab,
+             CAST(COALESCE(SUM(vocab.c), 0) AS BIGINT) AS sum_counts
+      FROM toks LEFT JOIN vocab ON toks.t = vocab.t
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, n_tokens, in_vocab, sum_counts,
+           CAST(sum_counts AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE)
+             AS lm_score,
+           CAST(n_tokens - in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS oov_frac
+    FROM scored CROSS JOIN total
+    """

@@ -282,3 +282,14 @@ def text_tfidf_top_terms(spark, sf_dir):
     shuffle."""
     (docs,) = tables(spark, sf_dir, "documents")
     return X.tfidf_top_terms(docs, k=3)
+
+
+@register("text_unigram_lm_quality", oracle=X.sql_unigram_lm_score(vocab_size=500))
+def text_unigram_lm_quality(spark, sf_dir):
+    """Corpus-trained unigram LM quality score (ext/text.unigram_lm_score) —
+    the deterministic stand-in for CCNet/KenLM perplexity filtering: mean
+    unigram probability per document, exact BIGINTs until one final IEEE
+    division (log-free, same determinism contract as BM25/TF-IDF), plus the
+    exact OOV fraction against the 500-term vocab."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.unigram_lm_score(docs, vocab_size=500)

@@ -904,3 +904,41 @@ def test_fuzzy_join_lev1_hypothesis(spark):
         assert got == want
 
     prop()
+
+
+def test_unigram_lm_score_semantics(spark):
+    """Common-word docs outscore rare-word docs; OOV fraction is exact; the
+    numerator is the exact sum of corpus counts of each token occurrence."""
+    from pypeln_spark.ext import text as X
+
+    rows = [
+        (1, "the the the"),       # 'the' appears 5x in corpus
+        (2, "the zebra"),         # one common, one rare
+        (3, "qwerty zzz"),        # both singletons
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.unigram_lm_score(df, vocab_size=100).collect()}
+    # corpus counts: the=4? -> the: doc1 3x + doc2 1x = 4; zebra/qwerty/zzz = 1
+    n_total = 7
+    assert out[1].sum_counts == 3 * 4 and out[1].n_tokens == 3
+    assert out[1].lm_score == (3 * 4) / (3 * n_total)
+    assert out[2].sum_counts == 4 + 1
+    assert out[3].sum_counts == 2
+    assert out[1].lm_score > out[2].lm_score > out[3].lm_score
+    assert out[1].oov_frac == 0.0
+
+
+def test_unigram_lm_vocab_truncation_marks_oov(spark):
+    """Tokens outside the top-K vocab contribute 0 and count as OOV; the
+    (count desc, term asc) boundary keeps the truncation deterministic."""
+    from pypeln_spark.ext import text as X
+
+    rows = [(1, "a a a b b c"), (2, "c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # vocab_size=2 -> {a(3), b(2)}; c(2)? ties with b on count=2 -> term ASC
+    # keeps b... counts: a=3 b=2 c=2 d=1; top2 by (count desc, term asc) = a, b
+    out = {r.doc_id: r for r in X.unigram_lm_score(df, vocab_size=2).collect()}
+    assert out[1].in_vocab == 5 and out[1].n_tokens == 6
+    assert out[1].sum_counts == 3 * 3 + 2 * 2
+    assert out[2].in_vocab == 0 and out[2].sum_counts == 0
+    assert out[2].lm_score == 0.0 and out[2].oov_frac == 1.0
