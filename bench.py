@@ -65,6 +65,8 @@ HEADLINE = [
     "sketch_quantile_doc_lengths",
     "dedup_minhash_clusters",
     "streaming_kmv_daily_distinct",
+    "variant_props_rollup",
+    "text_unigram_lm_quality",
 ]
 
 
