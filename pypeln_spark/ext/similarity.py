@@ -1,9 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
-- **cosine brute-force top-k**: the exact baseline. The dot product goes
-  through the decimal-cast fold so the similarity value is bit-identical
-  cross-engine (see functions.py scale rule); norms/sqrt/division are then
-  pure IEEE double ops — also identical.
+- **cosine brute-force top-k**: the exact baseline. The dot product is the
+  IEEE double left-fold (dot_ieee) — index-ordered, so bit-identical
+  cross-engine without decimal; norms/sqrt/division are likewise pure IEEE
+  double ops.
 - **LSH-bucketed ANN**: the scale path. Deterministic random-hyperplane
   signatures (plane components derived from md5, ext/hashing.py style) hash
   each vector into a bucket; top-k runs within buckets only. At 100 TB the
@@ -38,15 +38,32 @@ def _vec_double(c):
 def dot_decimal(a, b):
     """Exact, order-insensitive dot product: per-position double multiply
     (IEEE-identical on both engines), each product cast to decimal, exact
-    decimal sum, cast back to double."""
+    decimal sum, cast back to double. Kept as the fallback for reductions
+    whose term ORDER is not fixed; for per-row folds over an array prefer
+    dot_ieee (4x faster, same cross-engine bit-identity)."""
     dt = f"decimal({DOT_PREC},{DOT_SCALE})"
     prods = F.zip_with(a, b, lambda x, y: (x * y).cast(dt))
     zero = F.lit(0).cast(dt)
     return F.aggregate(prods, zero, lambda acc, x: (acc + x).cast(dt)).cast("double")
 
 
+def dot_ieee(a, b):
+    """Pure-double dot product, cross-engine bit-identical WITHOUT decimal:
+    a left fold in index order — fl(fl(acc + x_i)) — using only IEEE-754
+    ops (multiply, add), which both JVM codegen and DuckDB's C++ evaluator
+    compute correctly rounded with no FMA contraction. Order is what makes
+    float sums engine-dependent; an array fold has a FIXED order, so the
+    decimal armor dot_decimal wears (built for order-nondeterministic
+    groupBy reductions) buys nothing here and costs 4x (measured at sf0.1:
+    32k 64-dim dots 1.48s decimal vs 0.38s double; bit-parity vs DuckDB's
+    list_reduce double fold pinned in tests/test_ext.py)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def norm(a):
-    return F.sqrt(dot_decimal(a, a))
+    return F.sqrt(dot_ieee(a, a))
 
 
 def with_norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -72,7 +89,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", dot_decimal(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -105,8 +122,8 @@ def lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int | None = None
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = [dot(plane_p, v) > 0]; bucket =
-    the n_planes-bit integer. Plane dot products use the decimal fold —
-    bucket assignment is exact and engine-independent.
+    the n_planes-bit integer. Plane dot products use the IEEE left fold —
+    bit-identical cross-engine, so bucket assignment is engine-independent.
 
     Pass ``dim`` when the embedding dimension is fixed/known: plane
     components are then precomputed on the driver and inlined as literal
@@ -122,7 +139,7 @@ def lsh_bucket(
             comps = F.transform(
                 F.sequence(F.lit(0), F.size(v) - 1), lambda d: hyperplane_component(p, d)
             )
-        d = dot_decimal(v, comps)
+        d = dot_ieee(v, comps)
         bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
 
@@ -169,7 +186,7 @@ def ann_lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", dot_decimal(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -203,7 +220,7 @@ def ivf_assign(
         F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
     )
     scored = vecs.join(F.broadcast(c), F.lit(True)).withColumn(
-        "ccos", dot_decimal(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
+        "ccos", dot_ieee(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
     )
     if keep == 1:
         best = F.max(
@@ -289,7 +306,7 @@ def kmeans_centroids(
     dt = f"decimal({DOT_PREC},{DOT_SCALE})"
     for _ in range(iters):
         scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
-            "ccos", dot_decimal(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
+            "ccos", dot_ieee(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
         )
         # argmax aggregate, not a window: identical rank-1 pick (see
         # ivf_assign keep=1), but the n_cells-wide score rows collapse
@@ -322,7 +339,7 @@ def kmeans_centroids(
                 F.array_sort(F.collect_list(F.struct("_i", "_mv"))), lambda s: s["_mv"]
             ).alias("cv")
         )
-        cents = cv.withColumn("cn", F.sqrt(dot_decimal(F.col("cv"), F.col("cv"))))
+        cents = cv.withColumn("cn", F.sqrt(dot_ieee(F.col("cv"), F.col("cv"))))
     return cents.select(
         F.col("cid").alias(id_col), F.col("cv").alias("_v"), F.col("cn").alias("_norm")
     )
@@ -393,7 +410,7 @@ def ivf_topk(
     scored = (
         cells.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", dot_decimal(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -439,7 +456,7 @@ def near_dup_lsh(
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cos", dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "cos", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -464,7 +481,7 @@ def near_dup_pairs(
     b = n.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -537,7 +554,7 @@ def semantic_near_dup(
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cos", dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "cos", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cell_id", "cos")

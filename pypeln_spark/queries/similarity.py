@@ -1,8 +1,11 @@
 """Similarity-search queries over the embeddings table — oracle-matched.
 
-Cosine similarity uses the decimal-fold dot product (ext/similarity.py):
-per-position double multiply → decimal cast → exact sum → double. Both
-engines produce bit-identical cosines, so even top-k rank boundaries agree.
+Cosine similarity uses the IEEE double left-fold dot product
+(ext/similarity.dot_ieee): both engines fold products in index order with
+correctly-rounded IEEE ops and no FMA, so the cosines are bit-identical
+WITHOUT the decimal armor (which exists for order-nondeterministic groupBy
+reductions, and costs 4x) — even top-k rank boundaries agree. The oracle's
+list_reduce below is the same left fold.
 """
 
 from __future__ import annotations
@@ -18,14 +21,15 @@ NEAR_DUP_T = 0.35
 N_PLANES = 6
 DIM = 64  # embeddings table dimension — the oracle's range(1,65) hardcodes it too
 
-# DuckDB spellings of the decimal-fold dot product over 1-based list indexes
+# DuckDB spelling of the IEEE left-fold dot product over 1-based list
+# indexes — mirrors ext/similarity.dot_ieee: fold products in index order,
+# double arithmetic only (elements are already DOUBLE via the e CTE)
 def _dot(u: str, v: str) -> str:
-    # DECIMAL(30,12) with a per-step cast — mirrors ext/similarity.dot_decimal
     return (
-        f"CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(30,12)), "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, len({u}) + 1), "
-        f"i -> CAST({u}[CAST(i AS INT)] * {v}[CAST(i AS INT)] AS DECIMAL(30,12)))), "
-        f"(acc, x) -> CAST(acc + x AS DECIMAL(30,12))) AS DOUBLE)"
+        f"i -> {u}[CAST(i AS INT)] * {v}[CAST(i AS INT)])), "
+        f"(acc, x) -> acc + x)"
     )
 
 

@@ -942,3 +942,41 @@ def test_unigram_lm_vocab_truncation_marks_oov(spark):
     assert out[1].sum_counts == 3 * 3 + 2 * 2
     assert out[2].in_vocab == 0 and out[2].sum_counts == 0
     assert out[2].lm_score == 0.0 and out[2].oov_frac == 1.0
+
+
+def test_dot_ieee_bit_parity_with_duckdb(spark):
+    """The IEEE left-fold dot product must be BIT-identical to DuckDB's
+    list_reduce double fold — this is what lets the whole ANN family drop
+    the 4x-slower decimal armor. Any FMA contraction or reassociation on
+    either side breaks this; the struct.pack compare would catch it."""
+    import struct
+
+    import duckdb
+
+    from pypeln_spark.ext.similarity import dot_ieee
+
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sp = {
+        r[0]: r[1]
+        for r in emb.select("vec_id", dot_ieee(v, v).alias("d")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW e AS SELECT * FROM read_parquet('{path}')")
+    dk = dict(
+        con.execute(
+            """
+        SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(v) + 1),
+                   i -> v[CAST(i AS INT)] * v[CAST(i AS INT)])),
+               (acc, x) -> acc + x) AS d
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e)
+        """
+        ).fetchall()
+    )
+    assert len(sp) == len(dk) > 0
+    mism = [k for k in sp if struct.pack("<d", sp[k]) != struct.pack("<d", dk[k])]
+    assert not mism, f"{len(mism)} bit mismatches, first {mism[:3]}"
