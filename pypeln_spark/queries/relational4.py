@@ -571,3 +571,50 @@ def q21_waiting_suppliers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return R.top_k(counts, 100, by=[F.col("numwait").desc(), F.col("s_name").asc()])
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+      FROM orders b LEFT JOIN upd ON b.o_orderkey = upd.o_orderkey
+      WHERE upd.o_orderkey IS NULL
+      UNION ALL
+      SELECT * FROM upd
+    )
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE/upsert (relational.merge_upsert): a deterministic update set —
+    every 97th order repriced +10% with status 'U', every 101st order
+    re-inserted under a shifted key as a new 'N' row — merged into orders.
+    Updates win on key match, unmatched base rows survive, new keys insert.
+    The anti-join side broadcasts (updates ≪ base), so the base scan never
+    shuffles — the MERGE shape that stays cheap when 0.1% of a 100 TB
+    table changes. Oracle spells the identical anti-join + union."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    return R.merge_upsert(base, upd, on="o_orderkey").df

@@ -242,3 +242,32 @@ def group_agg(
         u = pandas_udf(fn, rtype, F.PandasUDFType.GROUPED_AGG)
         exprs.append(u(F.col(col)).alias(name))
     return Stage(_df(stage).groupBy(*by).agg(*exprs))
+
+
+def merge_upsert(
+    base: tp.Any,
+    updates: tp.Any,
+    on: tp.Union[str, tp.List[str]],
+    broadcast: bool = True,
+) -> Stage:
+    """MERGE / upsert without a table format: updates win on key match,
+    unmatched base rows survive, unmatched update rows insert. The ANSI
+    ``MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` shape.
+
+    Lowered as anti-join + union, which is the 100 TB shape for the common
+    case (updates ≪ base): the update side broadcasts, so the base scan
+    never shuffles — the alternative (union + row_number over the key)
+    shuffles the FULL base on every merge. Columns must align
+    (unionByName); schema evolution belongs to a table format, not here.
+
+    Writing the result: pair with a partition-aligned sink — overwrite only
+    the partitions holding updated keys (dynamic partition overwrite,
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``) so a merge
+    touching 0.1%% of partitions rewrites 0.1%% of the data. Set
+    ``broadcast=False`` when the update side is genuinely large; Catalyst
+    then picks SMJ on the key."""
+    b, u = _df(base), _df(updates)
+    keys = [on] if isinstance(on, str) else list(on)
+    right = F.broadcast(u) if broadcast else u
+    kept = b.join(right.select(*keys), keys, "left_anti")
+    return Stage(kept.unionByName(u))

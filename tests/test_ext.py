@@ -980,3 +980,18 @@ def test_dot_ieee_bit_parity_with_duckdb(spark):
     assert len(sp) == len(dk) > 0
     mism = [k for k in sp if struct.pack("<d", sp[k]) != struct.pack("<d", dk[k])]
     assert not mism, f"{len(mism)} bit mismatches, first {mism[:3]}"
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates win on key match, unmatched base rows survive, new keys
+    insert — the ANSI MERGE contract."""
+    from pypeln_spark import relational as R
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B2"), (9, "NEW")], "k long, v string"
+    )
+    got = {r.k: r.v for r in R.merge_upsert(base, upd, on="k").df.collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "NEW"}

@@ -239,3 +239,18 @@ def test_variant_rollup_partial_aggregates(spark):
     assert "partial_" in p.lower() or "HashAggregate" in p
     assert "BatchEvalPython" not in p
     assert "Exchange" in p  # the one shuffle on event_type
+
+
+def test_merge_upsert_broadcasts_update_side(spark):
+    """The MERGE lowering must broadcast the (small) update side of the
+    anti-join — the base scan never shuffles on the key."""
+    p = plan_of(spark, "merge_upsert_orders")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # no key shuffle of the base: the only Exchanges allowed are broadcasts
+    import re
+    non_broadcast_exchanges = [
+        l for l in p.splitlines()
+        if re.search(r"\bExchange hashpartitioning", l)
+    ]
+    assert not non_broadcast_exchanges, non_broadcast_exchanges
