@@ -42,8 +42,10 @@ from .io import (
     read_orc,
     read_parquet,
     read_text,
+    read_xml,
     write_csv,
     write_jsonl,
+    write_xml,
     write_orc,
     write_parquet,
 )
@@ -84,6 +86,8 @@ __all__ = [
     "write_orc",
     "write_jsonl",
     "write_csv",
+    "read_xml",
+    "write_xml",
     "load_tables",
     "Partial",
     "PipelineException",

@@ -119,3 +119,41 @@ def write_csv(
 ):
     options.setdefault("header", True)
     _writer(stage_or_df, mode, partition_by).options(**options).csv(path)
+
+
+def read_xml(
+    path: str,
+    row_tag: str = "row",
+    spark: tp.Optional[SparkSession] = None,
+    schema=None,
+    **options,
+) -> Stage:
+    """XML source (built into Spark 4 — no external package): one row per
+    ``row_tag`` element, schema inferred unless given. Attributes surface
+    as ``_attr`` columns; nested elements become structs/arrays."""
+    r = _spark(spark).read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return Stage(r.load(path))
+
+
+def write_xml(
+    stage_or_df,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    root_tag: str = "rows",
+    row_tag: str = "row",
+    **options,
+):
+    """XML sink (Spark 4 built-in). Avro, by contrast, is NOT loadable here:
+    it ships as an external module (spark-avro jar) that this environment
+    doesn't carry — use parquet/orc for columnar interchange instead."""
+    (
+        _writer(stage_or_df, mode, partition_by)
+        .format("xml")
+        .option("rootTag", root_tag)
+        .option("rowTag", row_tag)
+        .options(**options)
+        .save(path)
+    )

@@ -85,3 +85,21 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan
     assert one.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML read/write (Spark 4 built-in — no external package): values,
+    types, and nested structs survive the roundtrip."""
+    import pypeln_spark as pl
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, score double"
+    ).withColumn("meta", F.struct(F.col("id").alias("orig"), F.lit("x").alias("tag")))
+    path = str(tmp_path / "xml_rt")
+    pl.write_xml(df, path, row_tag="doc")
+    back = pl.read_xml(path, row_tag="doc").df
+    got = sorted(
+        (r.id, r.name, r.score, r.meta.orig, r.meta.tag) for r in back.collect()
+    )
+    assert got == [(1, "a", 1.5, 1, "x"), (2, "b", 2.5, 2, "x")]
