@@ -254,3 +254,24 @@ def test_merge_upsert_broadcasts_update_side(spark):
         if re.search(r"\bExchange hashpartitioning", l)
     ]
     assert not non_broadcast_exchanges, non_broadcast_exchanges
+
+
+def test_plan_lint_whole_registry(spark):
+    """Mechanical antipattern sweep over every non-streaming registry plan
+    (tools/plan_lint.py): no cartesian products outside the guarded
+    quadratic baselines, no nested-loop joins outside the deliberate
+    broadcast theta-joins, no Python eval outside the harness queries.
+    The hand-written contracts above pin ~20 load-bearing shapes; this
+    catches regressions in the other ~130."""
+    import tools.plan_lint as L
+    from pypeln_spark.queries import REGISTRY
+
+    violations = {}
+    for name in REGISTRY:
+        if name.startswith("streaming_"):
+            continue
+        df = REGISTRY[name].fn(spark, SF)
+        v = L.lint(df._jdf.queryExecution().executedPlan().toString(), name)
+        if v:
+            violations[name] = v
+    assert not violations, violations

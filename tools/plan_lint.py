@@ -1,0 +1,143 @@
+"""Plan linter — automated antipattern scan over EVERY registry query.
+
+The hand-written plan contracts (tests/test_plans.py) pin the load-bearing
+shapes of ~20 queries; this tool sweeps the whole registry so a regression
+in any of the other ~130 plans (a filter that stops pushing, a join that
+degrades to a cartesian product, Python eval sneaking into a pure-Catalyst
+query) is caught mechanically instead of by eyeball.
+
+Checks per query (physical plan string at sf0.01):
+- CartesianProduct: forbidden except in the declared quadratic oracle
+  baselines (which are ALSO input-guarded at runtime, ext/dedup.py).
+- BroadcastNestedLoopJoin: allowed only where a deliberate broadcast
+  theta-join exists (cross-scoring against a broadcast constant side —
+  ANN query sets, scalar thresholds); anything else is usually a join
+  whose equi-condition was lost.
+- Python evaluation (BatchEvalPython / ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas / MapInArrow / PythonUDTF): allowed only in
+  queries that EXIST to exercise the Python harness; a pure-relational or
+  ext query growing a Python node means a built-in got replaced by a UDF.
+- InMemoryTableScan of a non-persisted plan / missing scan: not checked —
+  persist decisions are measured case by case (SCALING.md).
+
+Streaming queries execute eagerly when built (their fn returns the drained
+memory-sink frame), so their plan is a LocalTableScan — lint skips them by
+name prefix unless --include-streaming (they're covered by their own
+staged-replay tests).
+
+Usage: python tools/plan_lint.py [--include-streaming] [name ...]
+Writes one JSON line {"checked": N, "violations": {...}}; exit 1 on any
+violation. The fast subset runs in CI via tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("PYPELN_SPARK_LINT_SF", "/root/testdata/sf0.01")
+
+# Quadratic-by-design oracle baselines (runtime-guarded via guard_quadratic)
+ALLOW_CARTESIAN = {
+    "dedup_ngram_jaccard_exact",
+    "embedding_near_dup_pairs",
+}
+
+# Deliberate broadcast theta-joins: a tiny broadcast side crossed/range-
+# compared against the corpus (ANN query sets, k-means centroid scoring,
+# scalar-aggregate thresholds, histogram buckets, asof unions)
+ALLOW_BNLJ = {
+    "ann_cosine_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "semantic_dedup_pairs",
+    "dedup_ngram_jaccard_exact",
+    "q11_important_part_values",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "text_length_histogram",
+    "text_tfidf_top_terms",
+    "text_unigram_lm_quality",
+    "search_bm25_topk",
+    "sketch_quantile_doc_lengths",
+    "sketch_bloom_filter_probe",
+    "curation_shard_manifest",
+    "curation_pack_sequences",
+    "events_funnel_conversion",
+    "full_outer_month_spenders",
+    "merge_upsert_orders",
+    "q8_market_share",
+    "q15_top_supplier",
+    "events_gapfill_hourly",
+    "curation_source_mix",  # one-row total-tokens broadcast for the share denominator
+}
+
+# Queries whose PURPOSE is the Python execution path (harness / UDF / UDTF /
+# grouped-map / multimodal / opaque objects) — Python nodes expected
+ALLOW_PYTHON_PREFIX = ("pipeline_", "multimodal_", "group_map", "group_agg")
+ALLOW_PYTHON = {
+    "dedup_minhash_lsh_fast",  # numpy signature fast path (mapInPandas)
+}
+
+PY_NODES = re.compile(
+    r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+    r"|MapInArrow|PythonUDTF|FlatMapGroupsInPandasWithState"
+)
+
+
+def lint(plan: str, name: str) -> list[str]:
+    v = []
+    if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
+        v.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_BNLJ:
+        v.append("BroadcastNestedLoopJoin")
+    if (
+        PY_NODES.search(plan)
+        and not name.startswith(ALLOW_PYTHON_PREFIX)
+        and name not in ALLOW_PYTHON
+    ):
+        v.append(f"python-eval:{PY_NODES.search(plan).group(0)}")
+    return v
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    include_streaming = "--include-streaming" in sys.argv
+
+    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_lint")
+    names = args or [
+        n
+        for n in REGISTRY
+        if include_streaming or not n.startswith("streaming_")
+    ]
+    violations: dict[str, list[str]] = {}
+    checked = 0
+    for name in names:
+        # plan-only: build the DataFrame, never execute it. Queries that
+        # drain internally (pump/streaming) return small local results —
+        # their plans are trivially clean.
+        df = REGISTRY[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        checked += 1
+        v = lint(plan, name)
+        if v:
+            violations[name] = v
+            print(f"VIOLATION {name}: {v}", file=sys.stderr)
+    print(json.dumps({"checked": checked, "violations": violations}))
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

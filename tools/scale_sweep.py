@@ -34,6 +34,11 @@ SWEEP = [
     "dedup_exact_documents",
     "dedup_minhash_lsh_fast",
     "ann_lsh_bucketed_topk",
+    "ann_ivf_kmeans_topk",
+    "semantic_dedup_pairs",
+    "text_unigram_lm_quality",
+    "variant_props_rollup",
+    "merge_upsert_orders",
     "sketch_cms_heavy_hitters",
     "curation_decontaminated",
     "events_sessionization",
