@@ -92,13 +92,39 @@ class IterableStreamReader(SimpleDataSourceStreamReader):
         self._pickled = options.get("pickled", "false") == "true"
         self._replayable = options.get("replayable", "false") == "true"
         self._it: tp.Optional[tp.Iterator[tp.Any]] = None
+        self._pos = 0  # elements consumed from the CURRENT generator
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
-    def _gen(self) -> tp.Iterator[tp.Any]:
+    def _seek(self, target: int) -> tp.Iterator[tp.Any]:
+        """Position the live generator at element `target`. A fresh reader
+        (query restart) starts a fresh generator at 0 while the checkpoint
+        offset may be far ahead — without this, restarted reads would pull
+        early elements and mislabel them with later indices. Deterministic
+        factories fast-forward; non-replayable ones must refuse."""
         if self._it is None:
             self._it = iter(_resolve_factory(self._options)())
+            self._pos = 0
+        if self._pos == target:
+            return self._it
+        if not self._replayable:
+            raise RuntimeError(
+                f"pypeln_iterable: reader is at element {self._pos} but the "
+                f"engine asked for {target} (query restarted from a "
+                "checkpoint?). A live generator cannot seek; declare "
+                "replayable=true for a deterministic factory, or start "
+                "without the old checkpoint."
+            )
+        if target < self._pos:  # rewind → fresh generator, then skip
+            self._it = iter(_resolve_factory(self._options)())
+            self._pos = 0
+        while self._pos < target:
+            try:
+                next(self._it)
+            except StopIteration:
+                break
+            self._pos += 1
         return self._it
 
     def _encode(self, i: int, v: tp.Any) -> tuple:
@@ -114,12 +140,13 @@ class IterableStreamReader(SimpleDataSourceStreamReader):
         if self._limit >= 0:
             budget = min(budget, self._limit - s)
         rows = []
-        it = self._gen()
+        it = self._seek(s)
         for j in range(max(budget, 0)):
             try:
                 v = next(it)
             except StopIteration:
                 break
+            self._pos += 1
             rows.append(self._encode(s + j, v))
         return iter(rows), {"i": s + len(rows)}
 

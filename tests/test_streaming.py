@@ -600,3 +600,88 @@ def test_tws_event_type_counts(spark, sf_dir):
     )
     assert latest.exceptAll(want).count() == 0
     assert want.exceptAll(latest).count() == 0
+
+
+def test_streaming_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Durability contract: stop a stateful streaming query mid-stream,
+    start a NEW query instance on the SAME checkpoint, feed more data —
+    state carries over and every input row is counted exactly once across
+    the restart (no replay, no loss)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v long"
+
+    def start_query(sink_rows):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+
+        def collect(df, epoch_id):
+            sink_rows.append({(r.k): (r.n, r.s) for r in df.collect()})
+
+        return (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    seen1 = []
+    spark.createDataFrame([(1, 10), (1, 20), (2, 5)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    q1 = start_query(seen1)
+    q1.processAllAvailable()
+    q1.stop()
+    assert seen1[-1] == {1: (2, 30), 2: (1, 5)}
+
+    # second query instance, same checkpoint: picks up committed offsets
+    seen2 = []
+    spark.createDataFrame([(1, 1), (3, 7)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = start_query(seen2)
+    q2.processAllAvailable()
+    q2.stop()
+    # counts include BOTH epochs exactly once — old rows not re-read
+    # (offsets committed), old state not lost (restored from checkpoint)
+    assert seen2[-1] == {1: (3, 31), 2: (1, 5), 3: (1, 7)}
+
+
+def test_datasource_restart_resumes_at_offset(spark, tmp_path):
+    """Restart contract for the iterable data source: a NEW query on the
+    SAME checkpoint creates a fresh reader whose generator starts at 0 —
+    the reader must fast-forward the (replayable) factory to the committed
+    offset, so the resumed stream serves values 6.. not relabeled 0.."""
+    import pyspark.sql.functions as F
+
+    import pypeln_spark as pl
+    from pypeln_spark.utils import INDEX_COL, VALUE_COL
+
+    ckpt = str(tmp_path / "ds_ckpt")
+    seen = []
+
+    def run(limit):
+        stage = pl.from_iterable_source(
+            "itertools:count", limit=limit, chunk_size=2,
+            returns="long", replayable=True, spark=spark,
+        )
+        def collect(df, epoch_id):
+            seen.extend(
+                (tuple(r[INDEX_COL])[0], r[VALUE_COL]) for r in df.collect()
+            )
+        q = (
+            stage.df.writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(limit=6)
+    assert sorted(seen) == [(i, i) for i in range(6)]
+    run(limit=10)  # restart: fresh reader, committed offset {"i": 6}
+    assert sorted(seen) == [(i, i) for i in range(10)], sorted(seen)[-6:]
