@@ -28,6 +28,7 @@ from .operators import (
     from_iterable,
     from_iterable_source,
     map,  # noqa: A004
+    observe,
     map_rows,
     ordered,
     run,
@@ -65,6 +66,7 @@ __all__ = [
     "sync",
     "modes",
     "map",
+    "observe",
     "map_rows",
     "shared",
     "flat_map",

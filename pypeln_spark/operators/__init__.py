@@ -4,6 +4,7 @@ from .filter import filter  # noqa: A004 - mirrors the reference's public name
 from .flat_map import flat_map
 from .from_iterable import from_iterable, from_iterable_source
 from .map import map  # noqa: A004
+from .observe import observe
 from .map_rows import map_rows
 from .ordered import ordered
 from .run import run
@@ -17,6 +18,7 @@ __all__ = [
     "from_iterable",
     "from_iterable_source",
     "map",
+    "observe",
     "map_rows",
     "ordered",
     "run",

@@ -228,3 +228,52 @@ def test_shared_dict_counter(spark):
 
     pl.run(pl.map(f, list(range(10)), returns="long"))
     assert acc.value == {"even": 5, "odd": 5}
+
+
+def test_observe_batch_metrics_ride_the_action(spark):
+    """observe(): exact in-flight metrics with no second pass — the
+    Spark-native stage_status (reference worker counters,
+    pypeln/process/worker.py:189-214). Values arrive with the action."""
+    import pypeln_spark as pl
+    from pyspark.sql import functions as F
+
+    st = pl.to_stage(spark.range(100).withColumnRenamed("id", "value"))
+    st, obs = pl.observe(
+        st,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("value").alias("total"),
+        F.max("value").alias("hi"),
+    )
+    out = st | pl.filter(F.col("value") % 2 == 0)
+    assert out.df.count() == 50  # the action that materializes metrics
+    # metrics observed BEFORE the downstream filter: full 100 rows
+    assert obs.get == {"rows": 100, "total": 4950, "hi": 99}
+
+
+def test_observe_streaming_metrics_in_progress_events(spark, tmp_path):
+    """Streaming observe: per-epoch metrics surface in progress events —
+    the alerting hook for a long-running pipeline."""
+    import pypeln_spark as pl
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "obs_src")
+    spark.createDataFrame([(i,) for i in range(7)], "v long").write.parquet(src)
+    stream = spark.readStream.schema("v long").parquet(src)
+    st, obs = pl.observe(
+        pl.to_stage(stream),
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("v")).alias("total"),
+        name="inflow",
+    )
+    assert obs is None
+    q = (
+        st.df.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = q.lastProgress["observedMetrics"]["inflow"]
+    finally:
+        q.stop()
+    assert got["rows"] == 7 and got["total"] == 21
