@@ -995,3 +995,41 @@ def test_merge_upsert_semantics(spark):
     )
     got = {r.k: r.v for r in R.merge_upsert(base, upd, on="k").df.collect()}
     assert got == {1: "a", 2: "B2", 3: "c", 9: "NEW"}
+
+
+def test_pq_adc_recall_and_code_shape(spark):
+    """PQ contract: every vector gets exactly m codes in 1..k; ADC+rerank
+    recall@5 vs brute-force cosine ≥ 0.85 (measured 0.92 at sf0.01); ADC
+    alone is the honest coarse stage (measured 0.42, pinned ≥ 0.3).
+    Recall is measured at sf0.01 — the sf0.001 corpus (~50 vectors) is
+    smaller than the 16-seed-per-subspace training draw and degenerate."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    cb = S.pq_train_codebooks(emb, m=16, k=16)
+    codes = S.pq_encode(emb, cb, m=16)
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count("*").alias("n"), F.min("code").alias("lo"), F.max("code").alias("hi")
+    )
+    bad = per_vec.filter(
+        (F.col("n") != 16) | (F.col("lo") < 1) | (F.col("hi") > 16)
+    ).count()
+    assert bad == 0
+
+    bf = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_adc_topk(emb, queries, k=5, m=16, n_codes=16).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_adc_topk(
+            emb, queries, k=5, m=16, n_codes=16, rerank=50
+        ).collect()
+    }
+    assert len(bf & adc) / len(bf) >= 0.3
+    assert len(bf & rr) / len(bf) >= 0.85
