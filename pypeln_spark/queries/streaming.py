@@ -855,3 +855,75 @@ def asof_join_with_tolerance(spark, sf_dir):
         "purchase_id", "user_id", F.col("ts").alias("purchase_ts"),
         F.col("ts_v").alias("view_ts"), F.col("view_id_v").alias("view_id"),
     )
+
+
+@register(
+    "streaming_interval_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           s.event_id AS signup_id, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_left_join(spark, sf_dir):
+    """STREAM-STREAM LEFT OUTER interval join — the shape the inner join
+    (streaming_interval_join_purchase_signup) can't express: purchases with
+    NO signup in the preceding hour must still emit, with nulls. Outer
+    results are watermark-gated: an unmatched left row may only emit once
+    the watermark proves no matching right row can still arrive, so the
+    replay appends a far-future sentinel batch that pushes the watermark
+    past every real row — exactly how a production stream drains (time
+    advances, outer results flush). The sentinel itself stays unemitted
+    (the watermark never passes it), so the result equals the batch LEFT
+    JOIN oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # Sentinels must SURVIVE the per-side type filters (a filtered-out row
+    # never reaches the watermark operator, and the global watermark is the
+    # MIN across both sides) — so one future 'purchase' and one future
+    # 'signup', with distinct impossible user_ids so they can't match each
+    # other (and being future rows the watermark never passes them, so the
+    # sentinel purchase itself never emits). TWO sentinel batches: the
+    # watermark derives from the PREVIOUS batch's max event time, so the
+    # batch after the first sentinel performs the eviction.
+    sentinel = spark.createDataFrame(
+        [
+            (int(-1), max_ts, int(-1), "purchase"),
+            (int(-2), max_ts, int(-2), "signup"),
+        ],
+        ev.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
+    sentinel2 = sentinel.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+
+    def build(stream):
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        signups = (
+            stream.filter(F.col("event_type") == "signup")
+            .select(
+                F.col("event_id").alias("signup_id"),
+                F.col("user_id").alias("s_user_id"),
+                F.col("ts").alias("signup_ts"),
+            )
+            .withWatermark("signup_ts", "2 hours")
+        )
+        return purchases.join(
+            signups,
+            (F.col("user_id") == F.col("s_user_id"))
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+
+    out = ST.staged_replay(spark, [ev, sentinel, sentinel2], build, output_mode="append")
+    return out.select("purchase_id", "user_id", "purchase_ts", "signup_id", "signup_ts")
