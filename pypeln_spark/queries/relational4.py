@@ -618,3 +618,37 @@ def merge_upsert_orders(spark, sf_dir):
         )
     )
     return R.merge_upsert(base, upd, on="o_orderkey").df
+
+
+def _ancestry_sql(idiv: str) -> str:
+    """The recursion, parameterized only by integer-division spelling
+    (Spark: `x DIV 3`, DuckDB: `x // 3`) — otherwise char-identical."""
+    return f"""
+    WITH RECURSIVE anc(node, ancestor, depth) AS (
+      SELECT n_nationkey, {idiv.format(x='n_nationkey')}, 1
+      FROM nation WHERE n_nationkey > 0
+      UNION ALL
+      SELECT a.node, {idiv.format(x='a.ancestor')}, a.depth + 1
+      FROM anc a WHERE a.ancestor > 0
+    )
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(SUM(ancestor) AS BIGINT) AS ancestor_sum
+    FROM anc GROUP BY node
+"""
+
+
+@register("recursive_cte_ancestry", oracle=_ancestry_sql("({x} // 3)"))
+def recursive_cte_ancestry(spark, sf_dir):
+    """WITH RECURSIVE executed BY SPARK (new in Spark 4): ancestor-chain
+    walk over the implicit tree parent(n) = n div 3 rooted at nation key 0
+    — the org-chart/BOM-explosion shape recursive SQL exists for. Spark's
+    recursion accepts UNION ALL only (no fixpoint dedup yet), so the
+    recursion must be structurally terminating — a tree walk is; general
+    cyclic closure stays with the DataFrame label-propagation loop
+    (ext/dedup.connected_components), which also owns the 100 TB case.
+    Oracle is the same statement modulo integer-division spelling."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(_ancestry_sql("({x} DIV 3)"))
