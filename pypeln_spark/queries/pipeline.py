@@ -389,3 +389,38 @@ def pipeline_flat_map_udtf(spark, sf_dir):
         FROM _udtf_orders, LATERAL split_priority(o_orderpriority) s
         """
     )
+
+
+@register(
+    "pipeline_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+           CAST(COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS BIGINT)
+             AS rows_kept
+    FROM lineitem
+    """,
+)
+def pipeline_observe_metrics(spark, sf_dir):
+    """pl.observe driver surface: in-flight metrics (row count, quantity
+    checksum) observed BEFORE a downstream filter, plus the survivor count
+    after it — all collected by the ONE action that drains the pipeline,
+    no second scan. The oracle recomputes the same three aggregates
+    relationally; equality proves the observation saw every row exactly
+    once and at the right point in the flow. Unlike accumulators, observed
+    metrics are tied to successful task commits, so this surface stays
+    exact under retries on a real cluster."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    st = Stage(li.select(F.col("l_quantity").alias(VALUE_COL)))
+    st, obs = pl.observe(
+        st,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col(VALUE_COL).cast("long")).alias("qty_total"),
+    )
+    kept = st | pl.filter(F.col(VALUE_COL) >= 25)
+    n_kept = kept.df.count()  # the draining action; metrics land with it
+    got = obs.get
+    return spark.createDataFrame(
+        [(int(got["rows_in"]), int(got["qty_total"]), int(n_kept))],
+        "rows_in long, qty_total long, rows_kept long",
+    )

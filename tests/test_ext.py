@@ -1033,3 +1033,23 @@ def test_pq_adc_recall_and_code_shape(spark):
     }
     assert len(bf & adc) / len(bf) >= 0.3
     assert len(bf & rr) / len(bf) >= 0.85
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 30), st.integers(0, 99), max_size=12),
+    upd=st.dictionaries(st.integers(0, 30), st.integers(100, 199), max_size=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_merge_upsert_property(base, upd):
+    """MERGE ≡ dict-update: for any key→value maps, the merged table equals
+    {**base, **upd} exactly."""
+    from pypeln_spark import relational as R
+    from pypeln_spark.session import get_spark
+
+    spark = get_spark()  # getOrCreate — safe under any test ordering
+    b = spark.createDataFrame(list(base.items()) or [(None, None)], "k int, v int")
+    u = spark.createDataFrame(list(upd.items()) or [(None, None)], "k int, v int")
+    b = b.filter("k is not null")
+    u = u.filter("k is not null")
+    got = {r.k: r.v for r in R.merge_upsert(b, u, on="k").df.collect()}
+    assert got == {**base, **upd}
