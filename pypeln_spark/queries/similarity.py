@@ -498,3 +498,74 @@ def ann_pq_adc_topk(spark, sf_dir):
         emb, queries, k=K, m=PQ_M, n_codes=PQ_K,
         train_mod=PQ_TRAIN_MOD, rerank=PQ_RERANK,
     )
+
+
+@register(
+    "ann_knn_classify",
+    oracle=f"""
+    WITH {_E_CTE},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= {K}
+    ),
+    votes AS (
+      SELECT t.query_id, l.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk t JOIN lbl l ON l.vec_id = t.neighbor_id
+      GROUP BY t.query_id, l.label
+    )
+    SELECT v.query_id,
+           v.label AS predicted_label,
+           v.n_votes,
+           q.label AS true_label,
+           v.label = q.label AS correct
+    FROM (
+      SELECT query_id, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, label ASC) AS vrank
+      FROM votes) v
+    JOIN lbl q ON q.vec_id = v.query_id
+    WHERE v.vrank = 1
+    """,
+)
+def ann_knn_classify(spark, sf_dir):
+    """k-NN classification over the embedding column: each query vector is
+    labeled by the MAJORITY LABEL of its exact top-5 cosine neighbors
+    (tiebreak: most votes, then smallest label). The similarity layer
+    composing into an ML inference primitive — the label column rides the
+    neighbor join, a vote count, and one window. Swap the exact top-k for
+    any ANN variant (LSH/IVF/PQ) and the classifier inherits its scale
+    shape; the oracle replays the exact formulation."""
+    from pyspark.sql import Window, functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    topk = S.cosine_topk(emb, queries, k=K)
+    lbl = emb.select("vec_id", "label")
+    votes = (
+        topk.join(lbl.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    pred = votes.withColumn("vrank", F.row_number().over(wv)).filter("vrank = 1")
+    truth = F.broadcast(
+        lbl.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("label").alias("predicted_label"),
+        "n_votes",
+        "true_label",
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    )
