@@ -52,6 +52,7 @@ ALLOW_CARTESIAN = {
 # scalar-aggregate thresholds, histogram buckets, asof unions)
 ALLOW_BNLJ = {
     "ann_cosine_topk",
+    "ann_knn_classify",  # composes cosine_topk's broadcast theta-join
     "ann_lsh_bucketed_topk",
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
