@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "embedding_near_dup_lsh",
     "text_quality_scores",
     "text_fingerprint",

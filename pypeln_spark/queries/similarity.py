@@ -569,3 +569,168 @@ def ann_knn_classify(spark, sf_dir):
         "true_label",
         (F.col("label") == F.col("true_label")).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual encoding — ext/similarity.ivf_pq_topk
+# ---------------------------------------------------------------------------
+
+IVFPQ_CELLS = 16
+IVFPQ_NPROBE = 2
+IVFPQ_M = 16
+IVFPQ_K = 16
+IVFPQ_RERANK = 50
+IVFPQ_TRAIN_MOD = 4  # PQ residual codebooks train on the h31 % 4 sample
+
+
+def _ivfpq_ctes(
+    n_cells: int, nprobe: int, m: int, k: int, dim: int, train_mod: int
+) -> str:
+    """CTE chain replaying ivf_pq_topk end to end: first-vector coarse
+    cells, cosine cell assignment, residuals, PQ codebook training on the
+    residual hash-sample, full-corpus residual encoding, query probing,
+    LUT, the qc + subspace-ordered ADC fold, shortlist, exact rerank."""
+    h = sql_h31("CAST(vec_id AS VARCHAR)")
+    d_sub = dim // m
+    l2key = f"{_dot('s.sub', 'se.cv')} - {_dot('se.cv', 'se.cv')} / 2.0"
+    return f"""
+    cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+              WHERE vec_id < {n_cells}),
+    cassign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT x.vec_id, x.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                 ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC, c.cid) AS rk
+        FROM n x JOIN cents c ON TRUE) WHERE rk = 1
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(range(1, {dim + 1}),
+               i -> a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS v
+      FROM cassign a JOIN cents c ON a.cid = c.cid
+    ),
+    ptrain AS (SELECT vec_id, v FROM resid WHERE {h} % {train_mod} = 0),
+    jj AS (SELECT unnest(range(0, {m})) AS j),
+    tsubs AS (
+      SELECT vec_id, j,
+             list_slice(v, CAST(j * {d_sub} + 1 AS INT), CAST(j * {d_sub} + {d_sub} AS INT)) AS sub
+      FROM ptrain CROSS JOIN jj
+    ),
+    pseeds AS (
+      SELECT j, code, sub AS cv FROM (
+        SELECT j, sub, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY j ORDER BY {h}, vec_id) AS code
+        FROM tsubs) WHERE code <= {k}
+    ),
+    tassign AS (
+      SELECT j, code, sub FROM (
+        SELECT s.j, se.code, s.sub,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {l2key} DESC, se.code ASC) AS rk
+        FROM tsubs s JOIN pseeds se ON s.j = se.j) WHERE rk = 1
+    ),
+    pmeans AS (
+      SELECT j, code, i,
+             CAST(SUM(CAST(sub[CAST(i AS INT)] AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM tassign, (SELECT unnest(range(1, {d_sub + 1})) AS i)
+      GROUP BY j, code, i
+    ),
+    pcodebook AS (
+      SELECT j, code, list(mv ORDER BY i) AS cv FROM pmeans GROUP BY j, code
+    ),
+    csubs AS (
+      SELECT vec_id, cid, j,
+             list_slice(v, CAST(j * {d_sub} + 1 AS INT), CAST(j * {d_sub} + {d_sub} AS INT)) AS sub
+      FROM resid CROSS JOIN jj
+    ),
+    pcodes AS (
+      SELECT vec_id, cid, j, code FROM (
+        SELECT s.vec_id, s.cid, s.j, se.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {l2key} DESC, se.code ASC) AS rk
+        FROM csubs s JOIN pcodebook se ON s.j = se.j) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, v, cid FROM (
+        SELECT x.vec_id, x.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                 ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC, c.cid) AS rk
+        FROM n x JOIN cents c ON x.vec_id < {N_QUERIES}) WHERE rk <= {nprobe}
+    ),
+    qcent AS (
+      SELECT q.query_id, q.cid, {_dot('q.v', 'c.cv')} AS qc
+      FROM qprobe q JOIN cents c ON q.cid = c.cid
+    ),
+    qsubs AS (
+      SELECT vec_id AS query_id, j,
+             list_slice(v, CAST(j * {d_sub} + 1 AS INT), CAST(j * {d_sub} + {d_sub} AS INT)) AS sub
+      FROM e CROSS JOIN jj WHERE vec_id < {N_QUERIES}
+    ),
+    plut AS (
+      SELECT q.query_id, cb.j, cb.code, {_dot('q.sub', 'cb.cv')} AS part
+      FROM qsubs q JOIN pcodebook cb ON q.j = cb.j
+    ),
+    padc AS (
+      SELECT query_id, neighbor_id,
+             qc + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(part ORDER BY j)), (acc, x) -> acc + x) AS score
+      FROM (
+        SELECT qc.query_id, pc.vec_id AS neighbor_id, qc.qc, l.j, l.part
+        FROM pcodes pc
+        JOIN qcent qc ON pc.cid = qc.cid AND pc.vec_id <> qc.query_id
+        JOIN plut l ON l.query_id = qc.query_id
+                   AND l.j = pc.j AND l.code = pc.code)
+      GROUP BY query_id, neighbor_id, qc
+    )"""
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    {_ivfpq_ctes(IVFPQ_CELLS, IVFPQ_NPROBE, IVFPQ_M, IVFPQ_K, DIM, IVFPQ_TRAIN_MOD)},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS srank
+        FROM padc) WHERE srank <= {IVFPQ_RERANK}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS score
+      FROM shortlist s
+      JOIN n c ON c.vec_id = s.neighbor_id
+      JOIN n q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM exact)
+    WHERE rank <= {K}
+    """,
+)
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ with residual encoding (ext/similarity.ivf_pq_topk) — the
+    composed billion-scale ANN architecture: coarse cells partition the
+    corpus into inverted lists, every vector stores (cell id + 16 PQ codes
+    of its residual r = v − centroid), queries probe 2 cells and score
+    candidates by ADC (q·centroid + the subspace-ordered LUT fold over
+    residual codes), and the top-50 shortlist re-scores exactly. Final
+    recall EQUALS cell recall (0.92 here — the exact stage recovers every
+    true neighbor the probed cells contain; ADC-only ordering is 0.44).
+    Per-vector search state after build: 1 cell id + 16 codes; floats are
+    touched only by |queries| × 50 exact rows. Oracle replays coarse
+    assignment, residuals, codebook TRAINING, encoding, ADC and rerank —
+    hash-exact."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_pq_topk(
+        emb, queries, k=K, n_cells=IVFPQ_CELLS, nprobe=IVFPQ_NPROBE,
+        m=IVFPQ_M, n_codes=IVFPQ_K, train_mod=IVFPQ_TRAIN_MOD,
+        quantizer="first", rerank=IVFPQ_RERANK,
+    )

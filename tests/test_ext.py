@@ -1053,3 +1053,31 @@ def test_merge_upsert_property(base, upd):
     u = u.filter("k is not null")
     got = {r.k: r.v for r in R.merge_upsert(b, u, on="k").df.collect()}
     assert got == {**base, **upd}
+
+
+def test_ivf_pq_recall_equals_cell_recall(spark):
+    """IVF-PQ contract: with exact rerank wider than the per-query
+    candidate pool, final recall equals the probed cells' recall — the
+    composition loses nothing beyond the coarse stage (measured 0.92 at
+    sf0.01; ADC-only ordering is the honest coarse signal, ~0.44)."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=2).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_pq_topk(
+            emb, queries, k=5, n_cells=16, nprobe=2, rerank=200
+        ).collect()
+    }
+    # rerank=200 exceeds every per-query candidate pool (~60) → the exact
+    # stage ranks the SAME candidate set plain IVF ranks exactly
+    assert pq == ivf
+    assert len(bf & pq) / len(bf) >= 0.85

@@ -57,6 +57,8 @@ ALLOW_BNLJ = {
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "semantic_dedup_pairs",
