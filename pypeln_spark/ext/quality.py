@@ -1,0 +1,114 @@
+"""Data-quality layer: expectations and one-pass column profiling.
+
+Two operators every 100 TB ingest pipeline runs before anything else:
+
+- ``expect`` — dbt/DLT-style row expectations: named boolean rules with a
+  policy per rule (keep-and-count, drop-and-count, or fail the job).
+  Violation counts ride the SAME action as the data (DataFrame.observe —
+  no second scan, commit-exact under retries); the rules themselves are
+  Catalyst predicates, so ``drop`` policies push into the scan like any
+  filter.
+- ``profile`` — per-column statistics in ONE aggregate pass over the
+  table: nulls, distinct estimate (exact count_distinct here; swap
+  approx_count_distinct at scale), min/max, and numeric moments. The
+  shuffle is a single global aggregate row regardless of table width —
+  the ANALYZE TABLE shape.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+from pyspark.sql import Column, DataFrame, Observation, functions as F, types as T
+
+
+class ExpectationError(RuntimeError):
+    """Raised by an ``on_fail="fail"`` rule at action time."""
+
+
+def expect(
+    df: DataFrame,
+    rules: tp.Mapping[str, tp.Tuple[Column, str]],
+) -> tp.Tuple[DataFrame, tp.Optional[Observation]]:
+    """Apply named expectations: ``{name: (bool_condition, policy)}`` with
+    policy ∈ {"keep", "drop", "fail"}.
+
+    Returns ``(df, observation)`` where the observation (read after the
+    first action) holds ``{name: violation_count}`` for every rule —
+    including dropped rows, which are counted BEFORE the drop filter.
+    "fail" rules raise ExpectationError driver-side after the action when
+    violations exist (check via ``enforce``); NULL conditions count as
+    violations (a rule that can't be evaluated didn't pass)."""
+    metrics = [
+        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(name)
+        for name, (cond, _policy) in rules.items()
+    ]
+    obs = None
+    if df.isStreaming:
+        df = df.observe("expectations", *metrics)
+    else:
+        obs = Observation()
+        df = df.observe(obs, *metrics)
+    for name, (cond, policy) in rules.items():
+        if policy == "drop":
+            df = df.filter(F.coalesce(cond, F.lit(False)))
+        elif policy not in ("keep", "fail"):
+            raise ValueError(f"rule {name!r}: unknown policy {policy!r}")
+    return df, obs
+
+
+def enforce(obs: Observation, rules: tp.Mapping[str, tp.Tuple[Column, str]]) -> dict:
+    """Read the observation (blocks until the action ran) and raise
+    ExpectationError if any "fail" rule saw violations. Returns the full
+    violation-count dict either way on the keep/drop side."""
+    got = obs.get
+    failed = {
+        name: got[name]
+        for name, (_c, policy) in rules.items()
+        if policy == "fail" and got.get(name, 0) > 0
+    }
+    if failed:
+        raise ExpectationError(f"expectations failed: {failed}")
+    return dict(got)
+
+
+def profile(df: DataFrame, columns: tp.Optional[tp.List[str]] = None) -> DataFrame:
+    """One-pass column profile → rows (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value, numeric mean/stddev or NULLs).
+
+    All statistics compute in a single global aggregate (one job, one
+    final row) and unpivot driver-side via a literal stack — table width
+    adds expressions, never passes. min/max stringify for a uniform
+    schema; mean is the decimal-exact dsum convention so the oracle
+    replays it bit-identically; stddev is left out of the oracle surface
+    (its float reduction is order-dependent) and lives in the engine only."""
+    from ..functions import davg
+
+    cols = columns or df.columns
+    aggs: tp.List[Column] = [F.count(F.lit(1)).alias("__n")]
+    numeric = set()
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        if isinstance(dt, (T.NumericType,)):
+            numeric.add(c)
+            aggs.append(davg(c, 6).alias(f"{c}__mean"))
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        mean = F.col(f"{c}__mean") if c in numeric else F.lit(None).cast("double")
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                mean.alias("mean_value"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")

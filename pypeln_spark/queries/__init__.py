@@ -45,6 +45,7 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import variant  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 
 try:
     from . import streaming  # noqa: F401

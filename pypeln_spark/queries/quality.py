@@ -1,0 +1,97 @@
+"""Data-quality queries — expectations and profiling (ext/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypeln_spark.ext import quality as Q
+from pypeln_spark.functions import davg_expr
+
+from .base import register, tables
+
+
+@register(
+    "quality_expectations_lineitem",
+    oracle="""
+    SELECT 'price_positive' AS metric,
+           CAST(COUNT(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 END) AS BIGINT) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_in_range',
+           CAST(COUNT(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'flag_valid',
+           CAST(COUNT(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'rows_out',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE COALESCE(l_extendedprice > 0, FALSE)
+    """,
+)
+def quality_expectations_lineitem(spark, sf_dir):
+    """Row expectations (ext/quality.expect): three named rules — a
+    drop-policy gate on positive prices plus two keep-and-count rules —
+    whose violation tallies ride the SAME action as the surviving-row
+    count via DataFrame.observe (zero extra scans; the drop rule pushes
+    into the parquet scan like any filter). Output = the metric table a
+    pipeline would ship to its monitoring sink; the oracle recomputes
+    every tally relationally."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    rules = {
+        "price_positive": (F.col("l_extendedprice") > 0, "drop"),
+        "qty_in_range": (F.col("l_quantity").between(1, 50), "keep"),
+        "flag_valid": (F.col("l_returnflag").isin("A", "N", "R"), "keep"),
+    }
+    out, obs = Q.expect(li, rules)
+    rows_out = out.count()  # the action; violation metrics land with it
+    got = Q.enforce(obs, rules)
+    data = [(name, int(got[name])) for name in rules] + [("rows_out", int(rows_out))]
+    return spark.createDataFrame(data, "metric string, value long")
+
+
+@register(
+    "quality_profile_orders",
+    oracle=f"""
+    SELECT 'o_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value,
+           {davg_expr('o_orderkey')} AS mean_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+           {davg_expr('o_custkey')}
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM orders
+    """,
+)
+def quality_profile_orders(spark, sf_dir):
+    """One-pass column profiling (ext/quality.profile): nulls, distincts,
+    min/max and decimal-exact means for four orders columns, computed in a
+    SINGLE global aggregate (one job, one final row, unpivoted driver-free
+    via a literal stack) — the ANALYZE TABLE shape. The oracle spells the
+    same statistics per column; means follow the dsum convention so values
+    hash-match."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return Q.profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

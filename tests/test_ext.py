@@ -1081,3 +1081,50 @@ def test_ivf_pq_recall_equals_cell_recall(spark):
     # stage ranks the SAME candidate set plain IVF ranks exactly
     assert pq == ivf
     assert len(bf & pq) / len(bf) >= 0.85
+
+
+def test_expectations_policies(spark):
+    """expect(): keep counts without filtering, drop counts then filters,
+    fail raises at enforce time; NULL conditions count as violations."""
+    import pytest
+
+    from pypeln_spark.ext import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5), (4, 200)], "id long, v long"
+    )
+    from pyspark.sql import functions as F
+
+    rules = {
+        "v_present": (F.col("v").isNotNull(), "keep"),
+        "v_positive": (F.col("v") > 0, "drop"),  # NULL > 0 → violation → dropped
+        "v_small": (F.col("v") < 100, "keep"),
+    }
+    out, obs = Q.expect(df, rules)
+    kept = sorted(r.id for r in out.collect())
+    assert kept == [1, 4]  # -5 and NULL dropped by v_positive
+    got = Q.enforce(obs, rules)
+    # counts are PRE-drop, over all 4 rows
+    assert got == {"v_present": 1, "v_positive": 2, "v_small": 2}
+
+    frules = {"never_negative": (F.col("v") >= 0, "fail")}
+    out2, obs2 = Q.expect(df, frules)
+    out2.count()
+    with pytest.raises(Q.ExpectationError, match="never_negative"):
+        Q.enforce(obs2, frules)
+
+
+def test_profile_single_pass_stats(spark):
+    """profile(): one aggregate pass, correct nulls/distincts/min/max/mean."""
+    from pypeln_spark.ext import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (4, "a")], "k long, s string"
+    )
+    prof = {r.column: r for r in Q.profile(df).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 3
+    assert prof["k"].min_value == "1" and prof["k"].max_value == "4"
+    assert prof["k"].mean_value == 2.25
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].mean_value is None
