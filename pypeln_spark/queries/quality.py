@@ -95,3 +95,50 @@ def quality_profile_orders(spark, sf_dir):
     return Q.profile(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "ivm_orders_priority_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ivm_orders_priority_merge(spark, sf_dir):
+    """Incremental aggregate maintenance (ext/incremental.merge_aggregates):
+    history is split at 1996-01-01 into a 'materialized' aggregate and a
+    'new data' delta aggregate, then MERGED — count/decimal-sum/min/max
+    partials combine associatively, so the merge equals the full recompute
+    (the oracle) bit for bit. The merge touches |keys| rows, not history:
+    the nightly-ETL shape where absorbing a day costs O(delta + aggregate),
+    never O(all data). Decimal partials stay decimal until the final cast —
+    merging double-cast sums would reorder float addition across the merge
+    boundary."""
+    from pypeln_spark.ext import incremental as I
+
+    (orders,) = tables(spark, sf_dir, "orders")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < "1996-01-01"))
+    delta = partial(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
+    merged = I.merge_aggregates(
+        base, delta, keys="o_orderpriority",
+        merges={"n_orders": "count", "total_price": "sum",
+                "min_price": "min", "max_price": "max"},
+    )
+    return merged.select(
+        "o_orderpriority", "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "min_price", "max_price",
+    )

@@ -1128,3 +1128,43 @@ def test_profile_single_pass_stats(spark):
     assert prof["k"].mean_value == 2.25
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert prof["s"].mean_value is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+        min_size=1, max_size=30,
+    ),
+    cut=st.integers(0, 30),
+)
+@settings(max_examples=10, deadline=None)
+def test_ivm_merge_split_invariance(rows, cut):
+    """Property: ANY split of the data into base/delta partial aggregates
+    merges to exactly the full-recompute aggregate — the IVM contract."""
+    from pypeln_spark import relational  # noqa: F401 (session warm)
+    from pypeln_spark.ext import incremental as I
+    from pypeln_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    cut = min(cut, len(rows))
+
+    def partial(data):
+        # empty side → empty aggregate (filter out the placeholder row)
+        df = spark.createDataFrame(data or [("_", 0)], "k string, v long")
+        if not data:
+            df = df.filter("k <> '_'")
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+
+    merged = {
+        r.k: (r.n, r.s, r.lo, r.hi)
+        for r in I.merge_aggregates(
+            partial(rows[:cut]), partial(rows[cut:]), "k",
+            {"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+        ).collect()
+    }
+    full = {r.k: (r.n, r.s, r.lo, r.hi) for r in partial(rows).collect()}
+    assert merged == full

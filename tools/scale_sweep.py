@@ -35,6 +35,9 @@ SWEEP = [
     "dedup_minhash_lsh_fast",
     "ann_lsh_bucketed_topk",
     "ann_ivf_kmeans_topk",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "quality_profile_orders",
     "semantic_dedup_pairs",
     "text_unigram_lm_quality",
     "variant_props_rollup",
