@@ -40,7 +40,10 @@ def expect(
     violations exist (check via ``enforce``); NULL conditions count as
     violations (a rule that can't be evaluated didn't pass)."""
     metrics = [
-        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(name)
+        # outer coalesce: SUM over zero rows is NULL; no rows = 0 violations
+        F.coalesce(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long")), F.lit(0)
+        ).alias(name)
         for name, (cond, _policy) in rules.items()
     ]
     obs = None
@@ -89,7 +92,12 @@ def profile(df: DataFrame, columns: tp.Optional[tp.List[str]] = None) -> DataFra
     numeric = set()
     for c in cols:
         dt = df.schema[c].dataType
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        # coalesce: SUM over zero rows is NULL, but "no rows" means 0 nulls
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"{c}__nulls"
+            )
+        )
         aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))

@@ -107,3 +107,52 @@ def test_tfidf_single_doc(spark):
         ("a", 2, 1),
         ("b", 1, 1),
     ]
+
+
+def test_round3_ops_on_empty_and_degenerate(spark, empty_docs, empty_emb):
+    """Empty/degenerate inputs through the round-3 operators: nothing
+    throws, shapes are sane."""
+    from pypeln_spark import relational as R
+    from pypeln_spark.ext import incremental as I
+    from pypeln_spark.ext import quality as Q
+    from pypeln_spark.ext import text as TX
+    from pyspark.sql import functions as F
+
+    # merge with an empty delta / empty base
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    empty = base.filter("k < 0")
+    assert {r.k: r.v for r in R.merge_upsert(base, empty, on="k").df.collect()} == {1: "a"}
+    assert {r.k: r.v for r in R.merge_upsert(empty, base, on="k").df.collect()} == {1: "a"}
+
+    # profile of an empty table: rows exist per column, counts are 0
+    prof = {r.column: r for r in Q.profile(empty).collect()}
+    assert prof["k"].n_rows == 0 and prof["k"].n_nulls == 0
+
+    # expectations over empty input: zero violations, zero rows out
+    out, obs = Q.expect(empty, {"ok": (F.col("k") > 0, "drop")})
+    assert out.count() == 0 and obs.get == {"ok": 0}
+
+    # IVM merge where one side is empty == the other side
+    agg = base.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    eagg = agg.filter("n < 0")
+    got = {r.v: r.n for r in I.merge_aggregates(agg, eagg, "v", {"n": "count"}).collect()}
+    assert got == {"a": 1}
+
+    # unigram LM over empty corpus: no rows, no division errors
+    assert TX.unigram_lm_score(empty_docs).count() == 0
+
+
+def test_pq_empty_queries_and_merge_upsert_all_replaced(spark, empty_emb):
+    from pypeln_spark import relational as R
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    no_queries = emb.filter("vec_id < 0")
+    assert S.pq_adc_topk(emb, no_queries, k=5, m=16, n_codes=8).count() == 0
+
+    # updates covering every base key: result == updates exactly
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame([(1, "A"), (2, "B")], "k long, v string")
+    assert {r.k: r.v for r in R.merge_upsert(base, upd, on="k").df.collect()} == {
+        1: "A", 2: "B"
+    }
