@@ -231,3 +231,85 @@ def events_value_anomalies(spark, sf_dir):
         .filter(F.abs(F.col("zscore")) > 3.0)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+@register(
+    "events_rolling_24h_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS total_24h,
+           MAX(value) OVER w AS max_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_24h_stats(spark, sf_dir):
+    """TIME-RANGE window frame (the one frame kind rowsBetween can't
+    express): per user, every event carries the count/decimal-exact
+    sum/max of that user's events in the trailing 24 HOURS — peers enter
+    the frame by VALUE distance on the ordering key, not row position, so
+    bursts widen the frame and quiet periods shrink it. Ordering key is
+    integer epoch-microseconds on BOTH engines (a timestamp cast to
+    seconds would truncate on one engine and round on the other); the
+    frame is one shuffle on user_id, state ∝ events within 24h per user.
+    The decimal rolling sum keeps every frame's float reduction
+    order-insensitive, so all 20k window values hash-match."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("total_24h"),
+        F.max("value").over(w).alias("max_24h"),
+    )
+
+
+@register(
+    "histogram_equi_depth_by_type",
+    oracle="""
+    WITH tiled AS (
+      SELECT event_type, value,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM tiled GROUP BY event_type, bucket
+    """,
+)
+def histogram_equi_depth_by_type(spark, sf_dir):
+    """Equi-DEPTH histogram (ANALYZE-style statistics): per event type,
+    NTILE(4) splits the value distribution into four equal-count buckets
+    whose [lo, hi] bounds ARE the quartile boundaries — the optimizer-
+    statistics shape where equi-width bins would collapse under skew.
+    Tiebreak on event_id makes bucket edges engine-independent. The window
+    partitions by event_type, so each type sorts in parallel; a GLOBAL
+    equi-depth histogram at 100 TB should come from the mergeable quantile
+    sketch instead (ext/sketch.bottomk_quantiles) — a no-partition NTILE
+    would funnel the corpus through one task."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
