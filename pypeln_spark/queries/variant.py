@@ -97,3 +97,36 @@ def variant_props_rollup(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "streaming_variant_props_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_variant_props_rollup(spark, sf_dir):
+    """VARIANT on a LIVE STREAM: the batch variant_props_rollup plan applied
+    unchanged to the streaming events source (source-agnostic DataFrame
+    ops — the parse/extract projection runs per micro-batch before the
+    stateful aggregation, so only (event_type, long) pairs enter state).
+    Complete-mode drain reproduces the batch oracle exactly."""
+    from pypeln_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    agg = (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return ST.run_to_memory(agg, output_mode="complete")
