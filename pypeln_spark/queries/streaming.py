@@ -927,3 +927,55 @@ def streaming_interval_left_join(spark, sf_dir):
 
     out = ST.staged_replay(spark, [ev, sentinel, sentinel2], build, output_mode="append")
     return out.select("purchase_id", "user_id", "purchase_ts", "signup_id", "signup_ts")
+
+
+@register(
+    "streaming_asof_static_enrich",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, MIN(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    purchases AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, v.view_id
+    FROM purchases p
+    ASOF JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def streaming_asof_static_enrich(spark, sf_dir):
+    """AS-OF enrichment on a STREAM: Structured Streaming has no native
+    as-of join, but against a STATIC right side the batch operator
+    decomposes cleanly over micro-batches — each left row's match depends
+    only on itself and the static table, so running ext/asof.asof_join
+    inside foreachBatch and unioning the epochs equals the one-shot batch
+    as-of exactly (the oracle, DuckDB's native ASOF JOIN). The static
+    views side broadcasts once per batch; left rows never wait on
+    watermarks. This is the feature-store lookup pattern: late-arriving
+    facts enriched with the most recent static dimension state."""
+    from pypeln_spark.ext import asof as A
+
+    ev_static = load_table(spark, sf_dir, "events")
+    views = (
+        ev_static.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("view_id"))
+    )
+    stream = ST.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+
+    chunks = []
+
+    def enrich(batch_df, epoch_id):
+        j = A.asof_join(batch_df, views, on="user_id", right_cols=["view_id"])
+        chunks.append(
+            j.select("purchase_id", "user_id", F.col("view_id_right").alias("view_id"))
+            .collect()
+        )
+
+    ST.run_foreach_batch(stream, enrich)
+    rows = [r for c in chunks for r in c]
+    return spark.createDataFrame(
+        rows, "purchase_id long, user_id long, view_id long"
+    )
