@@ -313,3 +313,53 @@ def histogram_equi_depth_by_type(spark, sf_dir):
             F.max("value").alias("hi"),
         )
     )
+
+
+@register(
+    "bloom_pruned_join_revenue",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def bloom_pruned_join_revenue(spark, sf_dir):
+    """RUNTIME-FILTER pattern, spelled explicitly with the engine's own
+    Bloom sketch: before joining the big fact side (lineitem) to a
+    selective dimension subset, every fact row probes a Bloom filter of
+    the dimension's join keys (one broadcast row of set bits, no shuffle,
+    no join) and only maybe-members proceed to the real join. The Bloom
+    can only FALSELY ADMIT rows — never reject a match — and the join
+    verifies exactly, so the result is IDENTICAL to the plain join (the
+    oracle) while the shuffle carries ~selectivity + fp-rate of the fact
+    table instead of all of it. This is what Spark's own
+    spark.sql.optimizer.runtimeFilter does implicitly; the explicit form
+    works across stages/jobs where the optimizer's can't reach (e.g.
+    pre-filtering before a persist or an expensive UDF)."""
+    from pypeln_spark.ext import sketch as K
+
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey")
+    bits = K.bloom_build(dim, "o_orderkey")
+    pruned = K.bloom_maybe_contains(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        bits,
+        "l_orderkey",
+    ).filter(F.col("maybe_member"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        pruned.join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
