@@ -255,3 +255,23 @@ def decontaminate(
         train_g.join(F.broadcast(bench_g), "g").select(id_col).distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative ints into a Z-order
+    (Morton) key — the space-filling-curve layout trick: sorting by this
+    key clusters rows that are close in BOTH dimensions, so min/max file
+    statistics prune on either column (a plain sort clusters only its
+    leading column). Pure bit arithmetic, identical in any SQL engine.
+
+    At 100 TB this is a WRITE-side operator: repartitionByRange(zkey) +
+    sortWithinPartitions(zkey) before the parquet write gives every file a
+    tight bounding box in (a, b); queries filtering either dimension skip
+    files on footer stats alone. Bits beyond ``bits`` are ignored — scale
+    inputs into range (e.g. % 2^bits buckets) before keying."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftrightunsigned(a.cast("long"), i) % 2
+        bbit = F.shiftrightunsigned(b.cast("long"), i) % 2
+        key = key + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
+    return key

@@ -363,3 +363,70 @@ def bloom_pruned_join_revenue(spark, sf_dir):
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+def _zorder_sql(a: str, b: str, bits: int = 10) -> str:
+    """DuckDB twin of ext/curation.zorder_key — same bit interleave."""
+    terms = []
+    for i in range(bits):
+        # full parens: DuckDB binds << tighter than &, so `& 1 << j`
+        # would parse as `& (1 << j)`
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout_events",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_id,
+             user_id % 1024 AS ua,
+             (epoch_us(ts) // 3600000000) % 1024 AS hb,
+             {_zorder_sql('(user_id % 1024)',
+                          '((epoch_us(ts) // 3600000000) % 1024)')} AS zkey
+      FROM events
+    ),
+    filed AS (
+      SELECT *, zkey // 65536 AS file_id FROM keyed
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(ua) AS user_lo, MAX(ua) AS user_hi,
+           MIN(hb) AS hour_lo, MAX(hb) AS hour_hi
+    FROM filed GROUP BY file_id
+    """,
+)
+def zorder_layout_events(spark, sf_dir):
+    """Z-ORDER layout keys (ext/curation.zorder_key): events keyed by the
+    Morton interleave of (user bucket, hour bucket), then grouped into
+    64Ki-key 'files' — each group's (user, hour) bounding box is what a
+    parquet footer would hold after a z-ordered write, and the oracle
+    replays the identical bit arithmetic. The point at 100 TB: those boxes
+    are TIGHT IN BOTH DIMENSIONS, so filters on either user or time skip
+    files on min/max stats alone, where a single-column sort prunes only
+    its leading column. (Bucketing uses integer floor division on both
+    engines — `DIV` / `//` — because casting a float quotient truncates
+    in Spark but rounds in DuckDB.)"""
+    from pypeln_spark.ext.curation import zorder_key
+
+    (events,) = tables(spark, sf_dir, "events")
+    ua = F.col("user_id") % 1024
+    hb = F.expr("unix_micros(ts) DIV 3600000000") % 1024
+    keyed = events.select(
+        "event_id",
+        ua.alias("ua"),
+        hb.alias("hb"),
+        zorder_key(ua, hb, bits=10).alias("zkey"),
+    )
+    return (
+        keyed.withColumn("file_id", F.expr("zkey DIV 65536"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ua").alias("user_lo"),
+            F.max("ua").alias("user_hi"),
+            F.min("hb").alias("hour_lo"),
+            F.max("hb").alias("hour_hi"),
+        )
+    )

@@ -1183,3 +1183,37 @@ def test_table_diff_null_safe_change_detection(spark):
     )
     got = {row.k: row.status for row in Q.table_diff(l, r, "k").collect()}
     assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_zorder_key_locality_beats_single_column_sort(spark):
+    """Z-order property: bucketing consecutive z-keys bounds BOTH
+    dimensions (each 64-key bucket of a 10-bit 2-D grid spans ≤ 8 in x and
+    y), where a single-column sort leaves the second dimension unbounded."""
+    from pypeln_spark.ext.curation import zorder_key
+    from pyspark.sql import functions as F
+
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    keyed = grid.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=5).alias("z")
+    )
+    boxes = (
+        keyed.withColumn("bucket", F.expr("z DIV 64"))
+        .groupBy("bucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(boxes) == 16
+    assert all(b.dx <= 8 and b.dy <= 8 for b in boxes)
+    # contrast: bucketing a plain x-sort leaves y spanning the full range
+    xsort = (
+        grid.withColumn("bucket", F.expr("(x * 32 + y) DIV 64"))
+        .groupBy("bucket")
+        .agg((F.max("y") - F.min("y")).alias("dy"))
+        .collect()
+    )
+    assert max(b.dy for b in xsort) == 31
