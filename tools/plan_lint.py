@@ -73,6 +73,7 @@ ALLOW_BNLJ = {
     "search_bm25_topk",
     "sketch_quantile_doc_lengths",
     "sketch_bloom_filter_probe",
+    "bloom_pruned_join_revenue",  # one-row bloom-bits broadcast
     "curation_shard_manifest",
     "curation_pack_sequences",
     "events_funnel_conversion",
