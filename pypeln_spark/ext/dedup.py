@@ -770,3 +770,38 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Count triangles per vertex in an undirected graph — the clustering/
+    community-density primitive beyond connected components. Input: one
+    row per undirected edge (any orientation, duplicates tolerated).
+
+    Algorithm: orient every edge low→high (each triangle a<b<c is then
+    counted exactly once as the wedge a→b, b→c closed by a→c), build
+    wedges with ONE self-join on the shared middle vertex, and close them
+    with a second join against the oriented edge set. Per-vertex counts
+    credit all three corners. Scale shape: two equi-joins over the edge
+    list; the classic refinement (orient by DEGREE, splitting ties by id,
+    so every join fans out by min-degree — the high-degree-vertex bound)
+    drops in by swapping the orientation key, kept simple here because
+    the oracle must replay the exact orientation."""
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    w = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    tri = w.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")),
+    ).select("x", "y", "z")
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
+    return corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("n_triangles"))

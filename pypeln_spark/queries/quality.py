@@ -430,3 +430,52 @@ def zorder_layout_events(spark, sf_dir):
             F.max("hb").alias("hour_hi"),
         )
     )
+
+
+@register(
+    "graph_triangles_part_cooccurrence",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e1.v = e2.u
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT unnest([x, y, z]) AS vertex FROM tri
+    ) GROUP BY vertex
+    """,
+)
+def graph_triangles_part_cooccurrence(spark, sf_dir):
+    """Triangle counting (ext/dedup.triangle_count) over the market-basket
+    graph: parts (every 4th key, to keep the co-occurrence graph honest at
+    sf0.01) are connected when they appear in the same order; a part's
+    triangle count measures how clustered its co-purchase neighborhood is
+    — the community-density signal CC can't see (a chain and a clique have
+    the same components). Two equi-joins over the oriented edge list; the
+    oracle replays the same wedge-close formulation."""
+    from pypeln_spark.ext.dedup import triangle_count
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+    )
+    return triangle_count(edges)

@@ -1217,3 +1217,15 @@ def test_zorder_key_locality_beats_single_column_sort(spark):
         .collect()
     )
     assert max(b.dy for b in xsort) == 31
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles, 3 per vertex; attaching a pendant vertex adds
+    none; edge orientation/duplication in the input doesn't matter."""
+    from pypeln_spark.ext.dedup import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    messy = k4 + [(b, a) for a, b in k4] + [(3, 9), (9, 3)]  # reversed dups + pendant
+    edges = spark.createDataFrame(messy, "id_a long, id_b long")
+    got = {r.vertex: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
