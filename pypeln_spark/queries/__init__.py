@@ -55,64 +55,69 @@ except ImportError:  # pragma: no cover
 # Driver-visible order: names listed here register first (in this order);
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
+#
+# Round-4 rotation (VERDICT r3 "Next round" #1): the front 50 is exactly the
+# 52-query never-driver-checked set minus the two deferred TPC-H analogues
+# (q13_customer_order_distribution, q14_promo_revenue_share — both already
+# green in the local full-registry DuckDB gate), which lead the r5 window
+# together with any queries added this round. Every name below has zero
+# driver correctness rows across r1–r3; all are green in
+# tests/test_correctness_gate.py. pipeline_datasource_source is deliberately
+# first (VERDICT #6: never drop it from the window).
 _PRIORITY = [
-    # -- never driver-checked in r1/r2 (VERDICT.md "What's missing" #1) --
-    "streaming_tumbling_hourly",
-    "streaming_sliding_1h_30m",
-    "streaming_session_windows",
-    "streaming_watermark_late_drop",
-    "streaming_stateful_running_totals",
-    "streaming_interval_join_purchase_signup",
-    "streaming_static_enrich_nation",
-    "streaming_kmv_daily_distinct",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup_pairs",
-    "asof_join_purchase_to_view",
-    "range_join_purchase_after_signup",
-    "sketch_cms_heavy_hitters",
-    "sketch_quantile_doc_lengths",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_near_pairs",
-    "dedup_minhash_clusters",
-    "dedup_minhash_lsh_fast",
-    # -- r1 failures fixed in r2, never driver-confirmed --
-    "sketch_kmv_distinct_users",
-    "pipeline_pickled_objects",
-    "pipeline_task_async_enrich",
-    # -- new round-3 queries --
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_multiprobe_topk",
-    "embedding_near_dup_lsh",
-    "streaming_dedup_events",
-    "asof_join_view_to_next_purchase",
-    "streaming_cms_daily_heavy_hitters",
-    "text_pii_scrub",
-    "streaming_doc_quality_counts",
-    "dedup_minhash_clusters_star",
-    "pipeline_each_audit_count",
-    "pipeline_to_iterable_roundtrip",
-    "pipeline_to_async_iterable_roundtrip",
-    "text_repetition_stats",
-    "curation_train_val_split",
-    # -- new round-4 queries --
-    "sketch_hll_distinct_users",
-    "search_bm25_topk",
-    "dedup_span_chunks",
-    "curation_weighted_sample",
-    "text_top_tokens",
-    "streaming_hll_daily_distinct",
-    "curation_shard_manifest",
-    "curation_pack_sequences",
-    # -- new round-5 queries: fill the window's last 5 slots (the list
-    # above holds 45 names; without these the tail slots fall to
-    # pipeline queries that were already driver-green in r1/r2) --
-    "q10_returned_item_ranking",
-    "text_tfidf_top_terms",
-    "sketch_bloom_filter_probe",
-    "semantic_dedup_pairs",
-    "events_funnel_conversion",
+    "pipeline_datasource_source",
+    "pipeline_flat_map_udtf",
+    "pipeline_observe_metrics",
+    "curation_source_mix",
+    "text_unigram_lm_quality",
+    "ann_pq_adc_topk",
+    "ann_knn_classify",
+    "ann_ivf_pq_topk",
+    "q2_min_cost_supplier",
+    "q4_order_priority_checking",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_excess_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "events_retention_cohorts",
+    "full_outer_month_spenders",
+    "group_map_median_chars",
+    "group_agg_udaf_midrange",
+    "fuzzy_join_supplier_names",
+    "events_gapfill_hourly",
+    "events_scd2_status_intervals",
+    "window_distribution_gauntlet",
+    "merge_upsert_orders",
+    "recursive_cte_ancestry",
+    "variant_nested_event_doc",
+    "variant_props_rollup",
+    "streaming_variant_props_rollup",
+    "quality_expectations_lineitem",
+    "quality_profile_orders",
+    "ivm_orders_priority_merge",
+    "quality_table_diff_orders",
+    "events_value_anomalies",
+    "events_rolling_24h_stats",
+    "histogram_equi_depth_by_type",
+    "bloom_pruned_join_revenue",
+    "zorder_layout_events",
+    "graph_triangles_part_cooccurrence",
+    "streaming_funnel_stages",
+    "asof_join_with_tolerance",
+    "streaming_interval_left_join",
+    "streaming_asof_static_enrich",
+    # -- r5 front: deferred + anything added in round 4 --
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
 ]
 
 
