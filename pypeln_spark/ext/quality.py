@@ -38,7 +38,24 @@ def expect(
     including dropped rows, which are counted BEFORE the drop filter.
     "fail" rules raise ExpectationError driver-side after the action when
     violations exist (check via ``enforce``); NULL conditions count as
-    violations (a rule that can't be evaluated didn't pass)."""
+    violations (a rule that can't be evaluated didn't pass).
+
+    Streaming inputs return ``(df, None)`` — there is no Observation to
+    block on, so a "fail" rule could never be enforced and would fail only
+    silently (ADVICE r3). expect() therefore REJECTS "fail" rules on a
+    streaming DataFrame; monitor the named metrics through the query's
+    progress events (``StreamingQueryListener`` /
+    ``query.lastProgress["observedMetrics"]["expectations"]``) and stop the
+    query from the listener instead."""
+    if df.isStreaming:
+        failing = [n for n, (_c, p) in rules.items() if p == "fail"]
+        if failing:
+            raise ValueError(
+                f"policy='fail' rules {failing} cannot be enforced on a "
+                "streaming DataFrame (no Observation to read); watch the "
+                "'expectations' observed metrics in the query's progress "
+                "events and stop the query from a StreamingQueryListener"
+            )
     metrics = [
         # outer coalesce: SUM over zero rows is NULL; no rows = 0 violations
         F.coalesce(

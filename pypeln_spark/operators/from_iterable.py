@@ -245,6 +245,21 @@ def from_iterable_source(
             peek_factory = getattr(importlib.import_module(mod), attr)
         else:
             peek_factory = factory
+            import warnings
+
+            # A module-path factory string gets a FRESH instance per call, so
+            # the peek below is free. A plain callable may be impure (e.g. it
+            # closes over a shared generator): the peeked elements are then
+            # consumed from that shared state and never reach the stream.
+            # Surface the peek instead of doing it silently (ADVICE r3).
+            warnings.warn(
+                "from_iterable_datasource: no `returns` given — inferring the "
+                "element type by consuming up to 200 elements from one "
+                "factory() instance. If the factory is impure (shares state "
+                "across calls), those elements are lost from the stream; "
+                "pass `returns` explicitly to skip the peek.",
+                stacklevel=3,
+            )
         probe = iter(peek_factory())
         sample = []
         for _ in range(200):

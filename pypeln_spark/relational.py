@@ -249,10 +249,20 @@ def merge_upsert(
     updates: tp.Any,
     on: tp.Union[str, tp.List[str]],
     broadcast: bool = True,
+    validate_keys: bool = False,
 ) -> Stage:
     """MERGE / upsert without a table format: updates win on key match,
     unmatched base rows survive, unmatched update rows insert. The ANSI
     ``MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` shape.
+
+    DIVERGENCE from ANSI MERGE (ADVICE r3): when the update side holds
+    DUPLICATE keys, ANSI MERGE errors ("multiple rows match"); this
+    operator instead keeps EVERY update row — the matched base row is
+    dropped once and all duplicates insert. Deduplicate the update side
+    first if last-writer-wins is wanted, or pass ``validate_keys=True`` to
+    get the ANSI behavior: one extra aggregate over the (small) update side
+    that raises ValueError naming the duplicated keys. The check is an
+    action on the update side only — the base never scans for it.
 
     Lowered as anti-join + union, which is the 100 TB shape for the common
     case (updates ≪ base): the update side broadcasts, so the base scan
@@ -268,6 +278,22 @@ def merge_upsert(
     then picks SMJ on the key."""
     b, u = _df(base), _df(updates)
     keys = [on] if isinstance(on, str) else list(on)
+    if validate_keys:
+        dups = (
+            u.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dups:
+            shown = [tuple(r[k] for k in keys) for r in dups]
+            raise ValueError(
+                f"merge_upsert: update side has duplicate keys (first 5): "
+                f"{shown}; ANSI MERGE rejects multiple matches — dedupe the "
+                "update side or call with validate_keys=False to keep all "
+                "duplicates"
+            )
     right = F.broadcast(u) if broadcast else u
     kept = b.join(right.select(*keys), keys, "left_anti")
     return Stage(kept.unionByName(u))

@@ -997,6 +997,29 @@ def test_merge_upsert_semantics(spark):
     assert got == {1: "a", 2: "B2", 3: "c", 9: "NEW"}
 
 
+def test_merge_upsert_duplicate_update_keys(spark):
+    """ANSI MERGE errors on multiple matches; our default keeps every
+    update row (documented divergence, ADVICE r3). validate_keys=True
+    restores the ANSI rejection without touching the base side."""
+    import pytest
+
+    from pypeln_spark import relational as R
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame(
+        [(2, "B2"), (2, "B3"), (9, "NEW")], "k long, v string"
+    )
+    # default: base row for k=2 dropped once, BOTH duplicates insert
+    got = sorted((r.k, r.v) for r in R.merge_upsert(base, upd, on="k").df.collect())
+    assert got == [(1, "a"), (2, "B2"), (2, "B3"), (9, "NEW")]
+    with pytest.raises(ValueError, match="duplicate keys"):
+        R.merge_upsert(base, upd, on="k", validate_keys=True)
+    # unique update keys pass validation untouched
+    uniq = spark.createDataFrame([(2, "B2")], "k long, v string")
+    got2 = {r.k: r.v for r in R.merge_upsert(base, uniq, on="k", validate_keys=True).df.collect()}
+    assert got2 == {1: "a", 2: "B2"}
+
+
 def test_pq_adc_recall_and_code_shape(spark):
     """PQ contract: every vector gets exactly m codes in 1..k; ADC+rerank
     recall@5 vs brute-force cosine ≥ 0.85 (measured 0.92 at sf0.01); ADC
@@ -1112,6 +1135,26 @@ def test_expectations_policies(spark):
     out2.count()
     with pytest.raises(Q.ExpectationError, match="never_negative"):
         Q.enforce(obs2, frules)
+
+
+def test_expect_rejects_fail_policy_on_stream(spark, tmp_path):
+    """A 'fail' rule on a streaming DataFrame can never be enforced (no
+    Observation to read) — expect() must reject it up front instead of
+    failing silently (ADVICE r3). keep/drop rules stay allowed."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import quality as Q
+
+    spark.createDataFrame([(1,)], "v long").write.parquet(
+        str(tmp_path / "src"), mode="overwrite"
+    )
+    stream = spark.readStream.schema("v long").parquet(str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="policy='fail'"):
+        Q.expect(stream, {"pos": (F.col("v") > 0, "fail")})
+    out, obs = Q.expect(stream, {"pos": (F.col("v") > 0, "drop")})
+    assert obs is None and out.isStreaming
 
 
 def test_profile_single_pass_stats(spark):

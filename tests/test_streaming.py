@@ -502,7 +502,16 @@ def test_datasource_source_bounded_factory_and_inference(spark):
     from pypeln_spark.operators.from_iterable import PumpSink
     from pypeln_spark.utils import VALUE_COL
 
-    stage = pl.from_iterable_source(lambda: (float(i) for i in range(7)), spark=spark)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stage = pl.from_iterable_source(
+            lambda: (float(i) for i in range(7)), spark=spark
+        )
+    # the inference peek consumes a throwaway factory() instance — surfaced
+    # as a warning so impure factories aren't silently drained (ADVICE r3)
+    assert any("consuming up to 200 elements" in str(w.message) for w in caught)
     assert dict(stage.df.dtypes)["value"] == "double"
     sink = PumpSink(stage.df)
     try:

@@ -129,9 +129,13 @@ def main() -> int:
     violations: dict[str, list[str]] = {}
     checked = 0
     for name in names:
-        # plan-only: build the DataFrame, never execute it. Queries that
-        # drain internally (pump/streaming) return small local results —
-        # their plans are trivially clean.
+        # Building the DataFrame is plan-only for MOST queries; the handful
+        # that drain internally while building (pump-fed sources, streaming
+        # queries materialized through run_to_memory, observe-metrics) DO
+        # execute here — at the lint SF they finish in seconds and their
+        # returned frames are small local results, so the sweep stays cheap
+        # and their final plans are still linted (ADVICE r3: the old
+        # "never execute" claim was wrong).
         df = REGISTRY[name].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         checked += 1
