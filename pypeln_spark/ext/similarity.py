@@ -31,6 +31,34 @@ from .hashing import P31
 DOT_PREC, DOT_SCALE = 30, 12
 
 
+# ---------------------------------------------------------------------------
+# Train-once model-artifact store (VERDICT r3 "Next round" #3)
+# ---------------------------------------------------------------------------
+
+_MODEL_STORE: tp.Dict[tuple, tuple] = {}
+
+
+def trained_artifact(spark, key: tuple, build: tp.Callable[[], DataFrame]) -> DataFrame:
+    """Session-process train-once store for small model artifacts (k-means
+    centroids, PQ codebooks). The production ANN shape trains the quantizer
+    ONCE and ships it as an artifact (FAISS's train/add split); without
+    this, every registry/bench invocation of an IVF/PQ query re-ran
+    quantizer training from scratch. ``build()`` runs at most once per
+    ``key``; the artifact (n_cells or m·k rows — tiny by construction) is
+    collected and replayed as a local DataFrame, so downstream plans
+    broadcast a LocalTableScan instead of re-executing the training
+    subtree. Values are the exact collected doubles, so oracle replays stay
+    bit-identical. ``key`` must capture everything that affects the
+    artifact: input table identity plus every training parameter."""
+    hit = _MODEL_STORE.get(key)
+    if hit is None:
+        df = build()
+        hit = (df.collect(), df.schema)
+        _MODEL_STORE[key] = hit
+    rows, schema = hit
+    return spark.createDataFrame(rows, schema)
+
+
 def _vec_double(c):
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -356,6 +384,7 @@ def ivf_topk(
     quantizer: str = "first",
     kmeans_iters: int = 2,
     train_mod: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer (deterministic centroids = the first
     ``n_cells`` vectors by id) partitions the corpus into inverted lists;
@@ -380,7 +409,13 @@ def ivf_topk(
     centroids persist in both cases — they feed corpus assignment AND query
     probing, and unpersisted each consumer replays training end to end
     (n_cells rows: the cheapest persist in the engine, ~1.7× end-to-end)."""
-    if quantizer == "kmeans":
+    if centroids is not None:
+        # pre-trained quantizer artifact (trained_artifact): corpus is
+        # scanned once for assignment and the centroids are already local —
+        # nothing to persist
+        corpus = with_norms(spread(emb), vec_col)
+        cents = centroids
+    elif quantizer == "kmeans":
         retire_pipeline_caches()
         # both persists stay LAZY (no eager count): the pipeline ends in ONE
         # action, and within an action Spark's ReusedExchange dedupes the
@@ -495,6 +530,7 @@ def semantic_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_mod: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic dedup, cluster-bucketed: train the spherical k-means
     quantizer (kmeans_centroids — engine-reproducible), assign every vector
@@ -524,11 +560,16 @@ def semantic_near_dup(
     so leaving the cosine compute on it caps parallelism at n_cells however
     big the cluster is."""
     retire_pipeline_caches()
-    # lazy persist — see ivf_topk's ReusedExchange note (0.3s at sf0.1)
-    corpus = pool_persist(with_norms(spread(emb), vec_col))
-    cents = kmeans_centroids(
-        emb, n_cells, iters, id_col, vec_col, normed=corpus, train_mod=train_mod
-    )
+    if centroids is not None:
+        # pre-trained artifact: corpus feeds assignment once, stays lazy
+        corpus = with_norms(spread(emb), vec_col)
+        cents = centroids
+    else:
+        # lazy persist — see ivf_topk's ReusedExchange note (0.3s at sf0.1)
+        corpus = pool_persist(with_norms(spread(emb), vec_col))
+        cents = kmeans_centroids(
+            emb, n_cells, iters, id_col, vec_col, normed=corpus, train_mod=train_mod
+        )
     cells = pool_persist(ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col))
     cells.count()  # eager: consumers racing one action would each recompute
     skinny = cells.select(id_col, "cid")
@@ -806,42 +847,20 @@ def pq_adc_topk(
     )
 
 
-def ivf_pq_topk(
+def _ivf_residuals(
     emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 2,
-    m: int = 16,
-    n_codes: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    train_mod: int | None = 4,
-    quantizer: str = "first",
-    kmeans_iters: int = 2,
-    rerank: int | None = 50,
-) -> DataFrame:
-    """IVF-PQ with RESIDUAL encoding — the composed billion-scale ANN
-    architecture (coarse quantizer + product-quantized residuals + ADC
-    within probed cells + exact rerank):
-
-    1. coarse cells from the spherical k-means quantizer (sample-trained,
-       engine-reproducible — kmeans_centroids);
-    2. every corpus vector stores its cell id + the PQ codes of its
-       RESIDUAL r = v − centroid(cell). Residuals are what PQ should
-       quantize: they live in a far smaller ball than raw vectors, so the
-       same 16-codeword budget spends its resolution where the data is;
-    3. a query probes its ``nprobe`` nearest cells; candidate scores are
-       ADC: q·x ≈ q·centroid + Σ_j LUT[q, j, code_j] (the LUT term is
-       q·r̂). The centroid dot is computed once per (query, cell); the
-       Σ over subspaces folds in subspace order — every float step is an
-       IEEE fixed-order fold, so scores replay bit-identically in SQL;
-    4. the shortlist re-scores exactly against the float vectors.
-
-    Scale shape: per-vector state after build = 1 cell id + m codes (the
-    inverted lists ADC scans); float vectors are touched only by the
-    |queries| × rerank exact stage. Candidate volume ∝ corpus × nprobe /
-    n_cells. Every model artifact (centroids, codebooks, LUTs) broadcasts."""
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    quantizer: str,
+    kmeans_iters: int,
+    train_mod: int | None,
+):
+    """Shared coarse-quantize + residual stage of IVF-PQ — ONE definition so
+    ivf_pq_topk and the standalone ivf_pq_train artifact builder can never
+    diverge on the residual spec (residuals are relative to the coarse
+    centroids; a drift here is a silent recall/correctness break). Returns
+    (normed corpus, centroids-as-vectors, centroids-as-cells, residuals)."""
     normed = pool_persist(with_norms(spread(emb), vec_col))
     # Coarse cells: same quantizer options as ivf_topk. With rerank, final
     # recall EQUALS cell recall (the exact stage recovers every true
@@ -874,9 +893,82 @@ def ivf_pq_topk(
             F.zip_with(F.col("_v"), F.col("cv"), lambda x, y: x - y).alias("res"),
         )
     )
-    res = pool_persist(res)
+    return normed, cents_as_vecs, cents, pool_persist(res)
+
+
+def ivf_pq_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int | None = 4,
+    quantizer: str = "first",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """Standalone residual-codebook training for ivf_pq_topk — the build
+    stage of the train-once artifact flow (trained_artifact). Runs the
+    SAME _ivf_residuals spec the query runs, then trains the sub-codebooks;
+    feed the result to ivf_pq_topk(codebooks=...) with identical quantizer
+    parameters."""
+    _, _, _, res = _ivf_residuals(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        quantizer=quantizer, kmeans_iters=kmeans_iters, train_mod=train_mod,
+    )
+    return pq_train_codebooks(
+        res, m=m, k=n_codes, id_col=id_col, vec_col="res", train_mod=train_mod
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    m: int = 16,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int | None = 4,
+    quantizer: str = "first",
+    kmeans_iters: int = 2,
+    rerank: int | None = 50,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the composed billion-scale ANN
+    architecture (coarse quantizer + product-quantized residuals + ADC
+    within probed cells + exact rerank):
+
+    1. coarse cells from the spherical k-means quantizer (sample-trained,
+       engine-reproducible — kmeans_centroids);
+    2. every corpus vector stores its cell id + the PQ codes of its
+       RESIDUAL r = v − centroid(cell). Residuals are what PQ should
+       quantize: they live in a far smaller ball than raw vectors, so the
+       same 16-codeword budget spends its resolution where the data is;
+    3. a query probes its ``nprobe`` nearest cells; candidate scores are
+       ADC: q·x ≈ q·centroid + Σ_j LUT[q, j, code_j] (the LUT term is
+       q·r̂). The centroid dot is computed once per (query, cell); the
+       Σ over subspaces folds in subspace order — every float step is an
+       IEEE fixed-order fold, so scores replay bit-identically in SQL;
+    4. the shortlist re-scores exactly against the float vectors.
+
+    Scale shape: per-vector state after build = 1 cell id + m codes (the
+    inverted lists ADC scans); float vectors are touched only by the
+    |queries| × rerank exact stage. Candidate volume ∝ corpus × nprobe /
+    n_cells. Every model artifact (centroids, codebooks, LUTs) broadcasts."""
+    normed, cents_as_vecs, cents, res = _ivf_residuals(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        quantizer=quantizer, kmeans_iters=kmeans_iters, train_mod=train_mod,
+    )
+    # codebooks: pre-trained residual-PQ artifact (trained_artifact) or
+    # trained here; injected codebooks must come from the SAME quantizer
+    # spec — residuals are relative to the coarse centroids
     cb = pool_persist(
-        pq_train_codebooks(
+        codebooks
+        if codebooks is not None
+        else pq_train_codebooks(
             res, m=m, k=n_codes, id_col=id_col, vec_col="res", train_mod=train_mod
         )
     )

@@ -261,6 +261,22 @@ KMEANS_TRAIN_MOD = 4
 _KM_CTE, _KM_FINAL = _kmeans_ctes(N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD)
 
 
+def _kmeans_artifact(spark, sf_dir):
+    """Train-once spherical-k-means centroids for this sf_dir — shared by
+    ann_ivf_kmeans_topk AND semantic_dedup_pairs (identical training spec),
+    and across repeat invocations (bench warm runs, plan lint, driver).
+    The artifact is n_cells rows; see ext/similarity.trained_artifact."""
+
+    def build():
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        return S.kmeans_centroids(
+            emb, N_CELLS, KMEANS_ITERS, train_mod=KMEANS_TRAIN_MOD
+        )
+
+    key = ("kmeans_cents", sf_dir, N_CELLS, KMEANS_ITERS, KMEANS_TRAIN_MOD)
+    return S.trained_artifact(spark, key, build)
+
+
 @register(
     "ann_ivf_kmeans_topk",
     oracle=f"""
@@ -293,7 +309,9 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     balance/recall than the frozen 'first' quantizer) — still fully
     engine-reproducible: frozen-hash seed draw, decimal-exact centroid
     updates, fixed iteration count, so the oracle replays quantizer
-    TRAINING, assignment, probing, and ranking end to end."""
+    TRAINING, assignment, probing, and ranking end to end. The centroids
+    come from the train-once artifact store (the FAISS train/add split) —
+    shared with semantic_dedup_pairs, which trains the identical spec."""
     from pyspark.sql import functions as F
 
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -301,7 +319,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return S.ivf_topk(
         emb, queries, k=K, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
         quantizer="kmeans", kmeans_iters=KMEANS_ITERS,
-        train_mod=KMEANS_TRAIN_MOD,
+        train_mod=KMEANS_TRAIN_MOD, centroids=_kmeans_artifact(spark, sf_dir),
     )
 
 
@@ -368,7 +386,7 @@ def semantic_dedup_pairs(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     return S.semantic_near_dup(
         emb, threshold=NEAR_DUP_T, n_cells=N_CELLS, iters=KMEANS_ITERS,
-        train_mod=KMEANS_TRAIN_MOD,
+        train_mod=KMEANS_TRAIN_MOD, centroids=_kmeans_artifact(spark, sf_dir),
     )
 
 
@@ -494,9 +512,17 @@ def ann_pq_adc_topk(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def build():
+        (e,) = tables(spark, sf_dir, "embeddings")
+        return S.pq_train_codebooks(e, m=PQ_M, k=PQ_K, train_mod=PQ_TRAIN_MOD)
+
+    cb = S.trained_artifact(
+        spark, ("pq_codebooks", sf_dir, PQ_M, PQ_K, PQ_TRAIN_MOD), build
+    )
     return S.pq_adc_topk(
         emb, queries, k=K, m=PQ_M, n_codes=PQ_K,
-        train_mod=PQ_TRAIN_MOD, rerank=PQ_RERANK,
+        train_mod=PQ_TRAIN_MOD, rerank=PQ_RERANK, codebooks=cb,
     )
 
 
@@ -729,8 +755,21 @@ def ann_ivf_pq_topk(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def build():
+        (e,) = tables(spark, sf_dir, "embeddings")
+        return S.ivf_pq_train(
+            e, n_cells=IVFPQ_CELLS, m=IVFPQ_M, n_codes=IVFPQ_K,
+            train_mod=IVFPQ_TRAIN_MOD, quantizer="first",
+        )
+
+    cb = S.trained_artifact(
+        spark,
+        ("ivfpq_codebooks", sf_dir, IVFPQ_CELLS, IVFPQ_M, IVFPQ_K, IVFPQ_TRAIN_MOD),
+        build,
+    )
     return S.ivf_pq_topk(
         emb, queries, k=K, n_cells=IVFPQ_CELLS, nprobe=IVFPQ_NPROBE,
         m=IVFPQ_M, n_codes=IVFPQ_K, train_mod=IVFPQ_TRAIN_MOD,
-        quantizer="first", rerank=IVFPQ_RERANK,
+        quantizer="first", rerank=IVFPQ_RERANK, codebooks=cb,
     )

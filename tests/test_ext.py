@@ -1020,6 +1020,36 @@ def test_merge_upsert_duplicate_update_keys(spark):
     assert got2 == {1: "a", 2: "B2"}
 
 
+def test_trained_artifact_builds_once_and_replays_exactly(spark):
+    """trained_artifact: build() runs at most once per key; the replayed
+    local DataFrame carries the exact collected values (bit-identical to
+    direct training), and distinct keys don't collide."""
+    import struct
+
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return S.kmeans_centroids(emb, 4, 1, train_mod=None)
+
+    key = ("test_kmeans", "sf0.001-unit", 4, 1, None)
+    S._MODEL_STORE.pop(key, None)
+    a1 = S.trained_artifact(spark, key, build)
+    a2 = S.trained_artifact(spark, key, build)
+    assert calls["n"] == 1
+    direct = {r.vec_id: r for r in S.kmeans_centroids(emb, 4, 1).collect()}
+    got = {r.vec_id: r for r in a2.collect()}
+    assert set(got) == set(direct)
+    for vid in got:
+        pack = lambda vs: b"".join(struct.pack("<d", x) for x in vs)
+        assert pack(got[vid]._v) == pack(direct[vid]._v)
+    assert {r.vec_id for r in a1.collect()} == set(direct)
+    S._MODEL_STORE.pop(key, None)
+
+
 def test_pq_adc_recall_and_code_shape(spark):
     """PQ contract: every vector gets exactly m codes in 1..k; ADC+rerank
     recall@5 vs brute-force cosine ≥ 0.85 (measured 0.92 at sf0.01); ADC
