@@ -252,10 +252,12 @@ def make_apply(
             return pdf[pd.Series(list(mask), index=pdf.index)]
 
         loop = asyncio.new_event_loop() if (is_coro or is_async_gen) else None
+        n_processed = 0  # live per-worker counter → StageStatus.processed
         try:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                n_processed += len(pdf)
                 if loop is not None:
                     if kind == "filter":
                         yield loop.run_until_complete(process_batch_async_filter(pdf))
@@ -271,7 +273,10 @@ def make_apply(
                         yield emit(rows)
         finally:
             if on_done is not None:
-                kw = filter_kwargs(on_done, {**base_kwargs, "stage_status": StageStatus()})
+                status = StageStatus(
+                    processed=n_processed, partition=worker_info.index
+                )
+                kw = filter_kwargs(on_done, {**base_kwargs, "stage_status": status})
                 res = on_done(**kw)
                 if loop is not None and inspect.isawaitable(res):
                     loop.run_until_complete(res)

@@ -112,10 +112,12 @@ def map_rows(
                 return None if isinstance(out, H._Dropped) else out
             return f(rec, **f_kwargs)
 
+        n_processed = 0  # live per-worker counter → StageStatus.processed
         try:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                n_processed += len(pdf)
                 recs = pdf.to_dict("records")
                 outs = list(pool.map(call, recs)) if pool else [call(r) for r in recs]
                 outs = [o for o in outs if o is not None]
@@ -127,7 +129,11 @@ def map_rows(
             if on_done is not None:
                 from ..utils import StageStatus
 
-                on_done(**filter_kwargs(on_done, {**base_kwargs, "stage_status": StageStatus()}))
+                status = StageStatus(
+                    processed=n_processed,
+                    partition=base_kwargs["worker_info"].index,
+                )
+                on_done(**filter_kwargs(on_done, {**base_kwargs, "stage_status": status}))
             if pool is not None:
                 pool.shutdown(wait=False)
             if watchdog is not None:

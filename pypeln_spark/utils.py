@@ -125,10 +125,25 @@ class WorkerInfo(tp.NamedTuple):
     index: int
 
 
-class StageStatus(tp.NamedTuple):
+class StageStatus:
     """Injected into ``on_done(stage_status)`` (reference:
-    pypeln/process/worker.py:189-214). In Spark the partition is always
-    'done' when on_done fires, so both flags are constants."""
+    pypeln/process/worker.py:189-214, where done = active_workers == 0 over
+    a shared namespace). Spark's analogue of a worker is the Python task
+    over one partition, and on_done fires exactly as that task finishes —
+    so ``done``/``active_workers`` describe THIS worker truthfully (it is
+    finished; it has no live work), and ``processed`` is the REAL count of
+    elements the worker consumed, tallied live in the harness loop.
+    ``partition`` is the Spark partition id (the worker index). A GLOBAL
+    in-flight view across workers is a driver-side question in a
+    distributed engine — that's the ``observe`` surface
+    (operators/observe.py): metrics ride the same action and land in an
+    Observation / the streaming progress events."""
+
+    __slots__ = ("processed", "partition")
+
+    def __init__(self, processed: int = 0, partition: tp.Optional[int] = None):
+        self.processed = processed
+        self.partition = partition
 
     @property
     def done(self) -> bool:
@@ -137,3 +152,10 @@ class StageStatus(tp.NamedTuple):
     @property
     def active_workers(self) -> int:
         return 0
+
+    def __repr__(self) -> str:  # reference parity: worker.py:211-214
+        return (
+            f"StageStatus(done = {self.done}, active_workers = "
+            f"{self.active_workers}, processed = {self.processed}, "
+            f"partition = {self.partition})"
+        )

@@ -45,6 +45,59 @@ def test_on_start_worker_info_and_on_done(spark, tmp_path):
     assert marker.read_text() == "yes"
 
 
+def test_stage_status_real_counts(spark, tmp_path):
+    """on_done(stage_status) carries LIVE per-worker counters, not
+    constants (reference: worker.py:189-214 keeps real bookkeeping):
+    summing `processed` across workers recovers the exact element count,
+    and each worker reports its own partition id. Covers both the scalar
+    harness (pl.map) and the row harness (map_rows via process.map over a
+    table stage is scalar too, so exercise map_rows through relational
+    group-less row mapping)."""
+    import json
+
+    out_dir = tmp_path / "status"
+    out_dir.mkdir()
+
+    def on_done(stage_status, worker_info):
+        assert stage_status.done and stage_status.active_workers == 0
+        assert stage_status.partition == worker_info.index
+        p = out_dir / f"w{worker_info.index}.json"
+        p.write_text(json.dumps({"processed": stage_status.processed}))
+
+    n = 40
+    got = sorted(
+        pl.map(lambda x: x * 2, list(range(n)), on_done=on_done, returns="long")
+    )
+    assert got == [2 * i for i in range(n)]
+    counts = [
+        json.loads(p.read_text())["processed"] for p in out_dir.glob("w*.json")
+    ]
+    # every element was counted by exactly one worker, live, executor-side
+    assert sum(counts) == n and all(c >= 0 for c in counts)
+
+    # row harness (map_rows) keeps the same contract
+    row_dir = tmp_path / "status_rows"
+    row_dir.mkdir()
+
+    def on_done_rows(stage_status):
+        (row_dir / f"w{stage_status.partition}.json").write_text(
+            json.dumps({"processed": stage_status.processed})
+        )
+
+    df = spark.createDataFrame([(i,) for i in range(17)], "v long").repartition(4)
+    out = pl.map_rows(
+        lambda r: {"v": r["v"] + 1},
+        pl.to_stage(df),
+        on_done=on_done_rows,
+        returns="v long",
+    )
+    assert sorted(r.v for r in out.df.collect()) == list(range(1, 18))
+    row_counts = [
+        json.loads(p.read_text())["processed"] for p in row_dir.glob("w*.json")
+    ]
+    assert sum(row_counts) == 17
+
+
 def test_element_index_injection(spark):
     def f(x, element_index):
         return list(element_index)
