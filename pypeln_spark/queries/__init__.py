@@ -118,6 +118,7 @@ _PRIORITY = [
     # -- r5 front: deferred + anything added in round 4 --
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
+    "multimodal_real_decode_pnm",
 ]
 
 

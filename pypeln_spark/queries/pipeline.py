@@ -220,6 +220,51 @@ def pipeline_datasource_source(spark, sf_dir):
 
 
 @register(
+    "multimodal_real_decode_pnm",
+    oracle="""
+    WITH ids AS (SELECT range AS asset_id FROM range(48)),
+    bytes AS (
+      SELECT asset_id, CAST(p AS INT) AS p,
+             CAST(concat('0x', substr(
+               md5(concat('pnm:', CAST(asset_id AS VARCHAR), ':',
+                          CAST(p // 16 AS VARCHAR))),
+               CAST(2 * (p % 16) + 1 AS INT), 2)) AS INT) AS byte
+      FROM ids CROSS JOIN range(48) tp(p)
+    ),
+    px AS (
+      SELECT i.asset_id, j,
+             CASE WHEN i.asset_id % 2 = 0 THEN bj.byte
+                  ELSE (299 * b0.byte + 587 * b1.byte + 114 * b2.byte) // 1000
+             END AS v
+      FROM ids i CROSS JOIN range(16) tj(j)
+      JOIN bytes bj ON bj.asset_id = i.asset_id AND bj.p = j
+      JOIN bytes b0 ON b0.asset_id = i.asset_id AND b0.p = 3 * j
+      JOIN bytes b1 ON b1.asset_id = i.asset_id AND b1.p = 3 * j + 1
+      JOIN bytes b2 ON b2.asset_id = i.asset_id AND b2.p = 3 * j + 2
+    )
+    SELECT asset_id,
+           CAST(4 + asset_id % 3 AS INT) AS width,
+           CAST(5 + asset_id % 4 AS INT) AS height,
+           CAST(SUM(v) AS DOUBLE) / 16.0 AS mean16
+    FROM px GROUP BY asset_id
+    """,
+)
+def multimodal_real_decode_pnm(spark, sf_dir):
+    """The REAL image-decode path, oracle-verified without any codec
+    library: valid binary-PNM files (P5 gray / P6 RGB, md5-derived
+    rasters — ext/multimodal.synthesize_pnm_assets) decode through the
+    pure-Python decoder (_decode_pnm) inside Arrow mapInPandas; the
+    output's dimensions come from the DECODED array (proving the header
+    parse) and the 16-pixel float32 mean is exact in double, so DuckDB
+    replays the whole decode — including the P6 integer RGB→luma — bit
+    for bit. Closes the 'only the fake decoder is value-checked' gap."""
+    from pypeln_spark.ext import multimodal as M
+
+    assets = M.synthesize_pnm_assets(spark, n=48)
+    return M.decode_stats(assets)
+
+
+@register(
     "multimodal_asset_feature_stats",
     oracle="""
     WITH ids AS (SELECT range AS asset_id FROM range(96)),
