@@ -119,6 +119,7 @@ _PRIORITY = [
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
     "multimodal_real_decode_pnm",
+    "sketch_quantile_global_histogram",
 ]
 
 

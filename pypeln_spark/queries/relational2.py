@@ -670,6 +670,63 @@ def sketch_quantile_doc_lengths(spark, sf_dir):
     return sk.join(exact, "lang")
 
 
+@register(
+    "sketch_quantile_global_histogram",
+    oracle=f"""
+    WITH s AS (
+      SELECT {sql_h31("CAST(doc_id AS VARCHAR)")} AS h, n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT n_chars, ROW_NUMBER() OVER (ORDER BY h, n_chars) AS rn
+      FROM s
+    ),
+    sv AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars) AS vr,
+             COUNT(*) OVER () AS m
+      FROM r WHERE rn <= 256
+    ),
+    q AS (
+      SELECT CAST(MAX(m) AS BIGINT) AS m_sample,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.25 * m) AS BIGINT))
+                 THEN n_chars END) AS est_p25,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.5 * m) AS BIGINT))
+                 THEN n_chars END) AS est_p50,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.75 * m) AS BIGINT))
+                 THEN n_chars END) AS est_p75,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.9 * m) AS BIGINT))
+                 THEN n_chars END) AS est_p90
+      FROM sv
+    )
+    SELECT q.m_sample, q.est_p25, q.est_p50, q.est_p75, q.est_p90,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows
+    FROM q
+    """,
+)
+def sketch_quantile_global_histogram(spark, sf_dir):
+    """GLOBAL quantile sketch — the mergeable companion the equi-depth
+    histogram promised (histogram_equi_depth_by_type partitions by type;
+    this is the no-partition global form, where NTILE would funnel the
+    whole table through one task). Same bottom-k row sample as
+    sketch_quantile_doc_lengths with group_cols=[]: per-(salt) bottom-k
+    partials merge losslessly into ONE 256-row sample, so the global
+    p25/p50/p75/p90 edges cost a constant-state two-phase aggregate
+    regardless of table size, and the rank-pick estimator stays
+    bit-identical cross-engine. Partition-invariance is pinned in
+    tests/test_ext.py."""
+    from pypeln_spark.ext import sketch as K
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sk = K.bottomk_quantiles(
+        docs, [], "doc_id", "n_chars", k=256, probs=(0.25, 0.5, 0.75, 0.9)
+    )
+    # one-row × one-row broadcast join (scalar-aggregate pattern, in the
+    # lint's ALLOW_BNLJ like sketch_quantile_doc_lengths's exact-count side)
+    n = docs.agg(F.count(F.lit(1)).alias("n_rows"))
+    return sk.crossJoin(F.broadcast(n))
+
+
 BLOOM_M, BLOOM_KH = 8192, 3
 _BLOOM_PARAMS = ", ".join(f"({a}, {b})" for a, b in MINHASH_PARAMS[:BLOOM_KH])
 _BLOOM_KEY_FILTER = "l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01'"

@@ -359,6 +359,28 @@ def test_bottomk_quantiles_partition_invariant_and_exact_small(spark, sf_dir):
         assert got[lang] == exp
 
 
+def test_bottomk_quantiles_global_partition_invariant(spark, sf_dir):
+    """group_cols=[] — the GLOBAL quantile sketch behind the equi-depth
+    histogram's global edges: one row out, lossless bottom-k merge under
+    any partition layout / salt count."""
+    from pypeln_spark.ext import sketch as K
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = K.bottomk_quantiles(
+        docs.coalesce(1), [], "doc_id", "n_chars", k=64, salts=1,
+        probs=(0.25, 0.5, 0.75, 0.9),
+    ).collect()
+    many = K.bottomk_quantiles(
+        docs.repartition(16), [], "doc_id", "n_chars", k=64, salts=8,
+        probs=(0.25, 0.5, 0.75, 0.9),
+    ).collect()
+    assert len(one) == len(many) == 1
+    assert one[0].asDict() == many[0].asDict()
+    assert one[0].m_sample == 64
+    assert one[0].est_p25 <= one[0].est_p50 <= one[0].est_p75 <= one[0].est_p90
+
+
 def test_bottom_k_update_bounded_and_exact():
     """The streaming-state kernel: O(k) result from any stream — equal to
     sorted(distinct)[:k] — and NULL/NaN skipped like Catalyst."""

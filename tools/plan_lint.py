@@ -72,6 +72,7 @@ ALLOW_BNLJ = {
     "text_unigram_lm_quality",
     "search_bm25_topk",
     "sketch_quantile_doc_lengths",
+    "sketch_quantile_global_histogram",  # one-row sketch × one-row count
     "sketch_bloom_filter_probe",
     "bloom_pruned_join_revenue",  # one-row bloom-bits broadcast
     "curation_shard_manifest",
