@@ -772,20 +772,32 @@ def connected_components(
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", orient: str = "degree"
+) -> DataFrame:
     """Count triangles per vertex in an undirected graph — the clustering/
     community-density primitive beyond connected components. Input: one
     row per undirected edge (any orientation, duplicates tolerated).
 
-    Algorithm: orient every edge low→high (each triangle a<b<c is then
-    counted exactly once as the wedge a→b, b→c closed by a→c), build
-    wedges with ONE self-join on the shared middle vertex, and close them
-    with a second join against the oriented edge set. Per-vertex counts
-    credit all three corners. Scale shape: two equi-joins over the edge
-    list; the classic refinement (orient by DEGREE, splitting ties by id,
-    so every join fans out by min-degree — the high-degree-vertex bound)
-    drops in by swapping the orientation key, kept simple here because
-    the oracle must replay the exact orientation."""
+    Algorithm: orient every edge along a TOTAL order (each triangle
+    a≺b≺c is then counted exactly once as the wedge a→b, b→c closed by
+    a→c), build wedges with ONE self-join on the shared middle vertex,
+    and close them with a second join against the oriented edge set.
+    Per-vertex counts credit all three corners.
+
+    ``orient`` picks the order — the per-vertex OUTPUT is identical for
+    any total order, only the intermediate wedge volume changes, so the
+    SQL oracle (which replays the id orientation) stays valid for both:
+
+    - "degree" (default, the scale path): (degree, id) lexicographic —
+      the classic degree-ordered orientation. Every vertex's out-degree
+      is bounded by O(√m) on any graph, so wedge fan-out on a skewed
+      graph (one celebrity vertex of degree d) drops from O(d²) wedges
+      to O(m^1.5) total — the bound that makes triangle counting
+      feasible on power-law graphs. Costs one extra degree aggregate +
+      two broadcast-or-shuffle joins to tag endpoints (SCALING.md).
+    - "id": plain low→high id — one job fewer; fine for near-uniform
+      degree distributions (e.g. the co-purchase fixture)."""
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
@@ -794,6 +806,26 @@ def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+    if orient == "degree":
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        tagged = (
+            e.join(deg.select(F.col("n").alias("u"), F.col("_d").alias("_du")), "u")
+            .join(deg.select(F.col("n").alias("v"), F.col("_d").alias("_dv")), "v")
+        )
+        lower = (F.col("_du") < F.col("_dv")) | (
+            (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+        )
+        e = tagged.select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+    elif orient != "id":
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     w = e.alias("e1").join(
         e.alias("e2"), F.col("e1.v") == F.col("e2.u")
     ).select(

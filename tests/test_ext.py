@@ -1361,3 +1361,20 @@ def test_triangle_count_known_graph(spark):
     edges = spark.createDataFrame(messy, "id_a long, id_b long")
     got = {r.vertex: r.n_triangles for r in triangle_count(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # output is orientation-invariant: id order matches degree order
+    by_id = {r.vertex: r.n_triangles
+             for r in triangle_count(edges, orient="id").collect()}
+    assert by_id == got
+
+    # skewed wheel: hub 0 connected to rim 1..8, rim is a cycle → 8
+    # triangles, all through the hub. Degree orientation points rim→hub
+    # (hub degree 8 ≫ rim degree 3), so hub out-degree is 0 and the wedge
+    # join never fans out by the hub's degree; counts still exact.
+    rim = [(i, i % 8 + 1) for i in range(1, 9)]
+    wheel = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)] + rim, "id_a long, id_b long"
+    )
+    wgot = {r.vertex: r.n_triangles for r in triangle_count(wheel).collect()}
+    # hub closes 8 rim edges; each rim vertex sits in the two triangles of
+    # its two rim edges
+    assert wgot[0] == 8 and all(wgot[i] == 2 for i in range(1, 9))
