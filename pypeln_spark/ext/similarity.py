@@ -59,6 +59,40 @@ def trained_artifact(spark, key: tuple, build: tp.Callable[[], DataFrame]) -> Da
     return spark.createDataFrame(rows, schema)
 
 
+_INDEX_CACHE: tp.Dict[tuple, DataFrame] = {}
+
+
+def cached_index(key: tuple, build: tp.Callable[[], DataFrame]) -> DataFrame:
+    """Session-scope persisted INDEX frames (PQ code tables, inverted
+    lists) — the 'add' half of the train/add split, complementing
+    trained_artifact's 'train' half. Unlike model artifacts these are
+    CORPUS-sized, so they must stay distributed: the frame persists
+    (memory+disk) instead of collecting, and is deliberately NOT enrolled
+    in the invocation-scoped pipeline cache pool (retire_pipeline_caches)
+    — an index is long-lived state reused across queries, the in-session
+    stand-in for the index table a production deployment writes once and
+    scans thereafter. Entries live until the session ends or drop_index()."""
+    from pyspark import StorageLevel
+
+    df = _INDEX_CACHE.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _INDEX_CACHE[key] = df
+    return df
+
+
+def drop_index(key: tuple | None = None) -> None:
+    """Unpersist one cached index (or all with key=None)."""
+    keys = [key] if key is not None else list(_INDEX_CACHE)
+    for k in keys:
+        df = _INDEX_CACHE.pop(k, None)
+        if df is not None:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # session gone — harmless
+                pass
+
+
 def _vec_double(c):
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -753,6 +787,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     train_mod: int | None = 4,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
     rerank: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION: the query stays
@@ -784,7 +819,10 @@ def pq_adc_topk(
             emb, m=m, k=n_codes, id_col=id_col, vec_col=vec_col, train_mod=train_mod
         )
     cb = pool_persist(cb)
-    codes = pq_encode(emb, cb, m=m, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        # the 'add' pass — at scale this is the one-time index build
+        # (cached_index in the harness); encoding must use the SAME cb
+        codes = pq_encode(emb, cb, m=m, id_col=id_col, vec_col=vec_col)
     dim = len(emb.select(vec_col).first()[0])
     d_sub = dim // m
     q = queries.select(
@@ -921,6 +959,31 @@ def ivf_pq_train(
     )
 
 
+def ivf_pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int | None = 4,
+    quantizer: str = "first",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """Standalone 'add' pass for IVF-PQ: (id, j, code, cid) — residual PQ
+    codes plus the owning coarse cell, i.e. the inverted-list index. Uses
+    the SAME _ivf_residuals spec as ivf_pq_topk; pass the result to
+    ivf_pq_topk(codes=...) together with the codebooks it was encoded
+    against (cached_index keys both on identical parameters)."""
+    _, _, _, res = _ivf_residuals(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        quantizer=quantizer, kmeans_iters=kmeans_iters, train_mod=train_mod,
+    )
+    return pq_encode(res, codebooks, m=m, id_col=id_col, vec_col="res").join(
+        res.select(id_col, "cid"), id_col
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -936,6 +999,7 @@ def ivf_pq_topk(
     kmeans_iters: int = 2,
     rerank: int | None = 50,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the composed billion-scale ANN
     architecture (coarse quantizer + product-quantized residuals + ADC
@@ -972,9 +1036,12 @@ def ivf_pq_topk(
             res, m=m, k=n_codes, id_col=id_col, vec_col="res", train_mod=train_mod
         )
     )
-    codes = pq_encode(res, cb, m=m, id_col=id_col, vec_col="res").join(
-        res.select(id_col, "cid"), id_col
-    )
+    if codes is None:
+        # the 'add' pass: residual codes + the owning cell id — the
+        # inverted-list index a deployment builds once (cached_index)
+        codes = pq_encode(res, cb, m=m, id_col=id_col, vec_col="res").join(
+            res.select(id_col, "cid"), id_col
+        )
     # query side: probe nprobe cells, build the residual LUT
     qn = with_norms(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_v"), F.col("_norm")

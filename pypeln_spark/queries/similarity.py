@@ -520,9 +520,13 @@ def ann_pq_adc_topk(spark, sf_dir):
     cb = S.trained_artifact(
         spark, ("pq_codebooks", sf_dir, PQ_M, PQ_K, PQ_TRAIN_MOD), build
     )
+    codes = S.cached_index(
+        ("pq_codes", sf_dir, PQ_M, PQ_K, PQ_TRAIN_MOD),
+        lambda: S.pq_encode(tables(spark, sf_dir, "embeddings")[0], cb, m=PQ_M),
+    )
     return S.pq_adc_topk(
         emb, queries, k=K, m=PQ_M, n_codes=PQ_K,
-        train_mod=PQ_TRAIN_MOD, rerank=PQ_RERANK, codebooks=cb,
+        train_mod=PQ_TRAIN_MOD, rerank=PQ_RERANK, codebooks=cb, codes=codes,
     )
 
 
@@ -768,8 +772,15 @@ def ann_ivf_pq_topk(spark, sf_dir):
         ("ivfpq_codebooks", sf_dir, IVFPQ_CELLS, IVFPQ_M, IVFPQ_K, IVFPQ_TRAIN_MOD),
         build,
     )
+    codes = S.cached_index(
+        ("ivfpq_codes", sf_dir, IVFPQ_CELLS, IVFPQ_M, IVFPQ_K, IVFPQ_TRAIN_MOD),
+        lambda: S.ivf_pq_encode(
+            tables(spark, sf_dir, "embeddings")[0], cb, n_cells=IVFPQ_CELLS,
+            m=IVFPQ_M, train_mod=IVFPQ_TRAIN_MOD, quantizer="first",
+        ),
+    )
     return S.ivf_pq_topk(
         emb, queries, k=K, n_cells=IVFPQ_CELLS, nprobe=IVFPQ_NPROBE,
         m=IVFPQ_M, n_codes=IVFPQ_K, train_mod=IVFPQ_TRAIN_MOD,
-        quantizer="first", rerank=IVFPQ_RERANK, codebooks=cb,
+        quantizer="first", rerank=IVFPQ_RERANK, codebooks=cb, codes=codes,
     )
