@@ -256,6 +256,25 @@ def test_merge_upsert_broadcasts_update_side(spark):
     assert not non_broadcast_exchanges, non_broadcast_exchanges
 
 
+def test_ann_artifact_queries_skip_training_subtree(spark):
+    """Train-once contract: with the model store warm, the PQ query plans
+    contain the replayed artifact (LocalTableScan) and the persisted code
+    index (InMemoryTableScan) instead of re-running codebook training —
+    whose signature in a plan is the per-subspace seed window
+    (row_number partitioned by j). The FAISS train/add split, pinned."""
+    for q in ("ann_pq_adc_topk", "ann_ivf_pq_topk"):
+        p = plan_of(spark, q)
+        # the replayed artifact lowers to a driver-local relation scan
+        # (Scan ExistingRDD from createDataFrame, or LocalTableScan)
+        assert "Scan ExistingRDD" in p or "LocalTableScan" in p, (
+            f"{q}: codebook artifact not local"
+        )
+        assert "InMemoryTableScan" in p, f"{q}: code index not cached"
+        # training's per-dimension decimal-mean column (_mv) is the
+        # codebook-refinement signature — it must never appear in a query plan
+        assert "_mv" not in p, f"{q}: codebook training ran inside the query"
+
+
 def test_plan_lint_whole_registry(spark):
     """Mechanical antipattern sweep over every non-streaming registry plan
     (tools/plan_lint.py): no cartesian products outside the guarded
