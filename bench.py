@@ -69,6 +69,12 @@ HEADLINE = [
     "streaming_kmv_daily_distinct",
     "variant_props_rollup",
     "text_unigram_lm_quality",
+    # -- round-4 additions (kept AFTER the frozen r3 set so like-for-like
+    # round comparisons stay one subtraction) --
+    "multimodal_real_decode_pnm",
+    "sketch_quantile_global_histogram",
+    "graph_triangles_part_cooccurrence",
+    "bucketed_join_priority_revenue",
 ]
 
 

@@ -39,11 +39,13 @@ from . import shared
 from .io import (
     load_tables,
     read_csv,
+    read_table,
     read_json,
     read_orc,
     read_parquet,
     read_text,
     read_xml,
+    write_bucketed,
     write_csv,
     write_jsonl,
     write_xml,
@@ -90,6 +92,8 @@ __all__ = [
     "write_csv",
     "read_xml",
     "write_xml",
+    "read_table",
+    "write_bucketed",
     "load_tables",
     "Partial",
     "PipelineException",

@@ -157,3 +157,41 @@ def write_xml(
         .options(**options)
         .save(path)
     )
+
+
+def write_bucketed(
+    stage_or_df,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 8,
+    sort_cols=None,
+    mode: str = "overwrite",
+):
+    """Hash-BUCKETED managed table — the co-location primitive for repeated
+    big-big joins and aggregations. Rows are hash-assigned to ``n_buckets``
+    files per partition by ``bucket_cols`` AT WRITE TIME; every later join
+    or groupBy on those keys between tables bucketed the same way (same
+    keys, same bucket count) reads co-located buckets and skips the
+    Exchange entirely — the shuffle is paid ONCE at write, then amortized
+    over every downstream query. ``sort_cols`` additionally sorts within
+    buckets, letting sort-merge joins skip their Sort. This is the 100 TB
+    answer for fact-to-fact joins where neither side broadcasts: two
+    bucketed scans, zero shuffle (pinned by a plan contract in
+    tests/test_plans.py). Bucketing metadata lives in the catalog, so the
+    sink is saveAsTable (spark-warehouse), not a bare path."""
+    df = stage_or_df.df if isinstance(stage_or_df, Stage) else stage_or_df
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(table: str, spark: tp.Optional[SparkSession] = None) -> Stage:
+    """Catalog table → Stage (bucketed tables keep their bucket spec)."""
+    return Stage(_spark(spark).table(table))

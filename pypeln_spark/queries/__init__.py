@@ -120,6 +120,7 @@ _PRIORITY = [
     "q14_promo_revenue_share",
     "multimodal_real_decode_pnm",
     "sketch_quantile_global_histogram",
+    "bucketed_join_priority_revenue",
 ]
 
 

@@ -727,6 +727,80 @@ def sketch_quantile_global_histogram(spark, sf_dir):
     return sk.crossJoin(F.broadcast(n))
 
 
+_BUCKETED_READY: set = set()
+
+
+def _ensure_bucketed_tables(spark, sf_dir: str) -> tuple:
+    """Write-once hash-bucketed twins of orders/lineitem on the join key —
+    the co-location build step a warehouse pays ONCE so every later
+    order-grain join/agg skips its shuffle. Memoized per (session, sf)."""
+    import pypeln_spark as pl
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    names = (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}")
+    if names not in _BUCKETED_READY:
+        # a fresh session's in-memory catalog doesn't know tables a PREVIOUS
+        # process left in the warehouse dir, and saveAsTable refuses a
+        # colliding location — drop both layers before (re)building
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        orders, li = tables(spark, sf_dir, "orders", "lineitem")
+        pl.write_bucketed(
+            orders.select("o_orderkey", "o_orderpriority"),
+            names[0], "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+        )
+        pl.write_bucketed(
+            li.select("l_orderkey", "l_extendedprice", "l_discount"),
+            names[1], "l_orderkey", n_buckets=8, sort_cols="l_orderkey",
+        )
+        _BUCKETED_READY.add(names)
+    return names
+
+
+@register(
+    "bucketed_join_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_priority_revenue(spark, sf_dir):
+    """CO-LOCATED big-big join via table BUCKETING — the amortized-shuffle
+    primitive for fact-to-fact joins where neither side broadcasts:
+    orders and lineitem are written ONCE as hash-bucketed tables on the
+    order key (8 buckets, sorted within bucket), after which the
+    order-grain sort-merge join reads matching buckets directly — ZERO
+    Exchange in the join plan (pinned by a plan contract), and the
+    in-bucket sort order feeds SMJ without re-sorting. At 100 TB the
+    bucket count scales with data (buckets ≈ data / target-partition
+    size); the write-side shuffle is paid once and every downstream
+    order-keyed join/groupBy rides free. The merge hint keeps the demo
+    honest at test SF (AQE would otherwise broadcast the small side —
+    at real scale neither side fits)."""
+    bo, bl = _ensure_bucketed_tables(spark, sf_dir)
+    orders = spark.table(bo)
+    li = spark.table(bl)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.hint("merge")
+        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
 BLOOM_M, BLOOM_KH = 8192, 3
 _BLOOM_PARAMS = ", ".join(f"({a}, {b})" for a, b in MINHASH_PARAMS[:BLOOM_KH])
 _BLOOM_KEY_FILTER = "l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01'"

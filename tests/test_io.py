@@ -103,3 +103,30 @@ def test_xml_roundtrip(spark, tmp_path):
         (r.id, r.name, r.score, r.meta.orig, r.meta.tag) for r in back.collect()
     )
     assert got == [(1, "a", 1.5, 1, "x"), (2, "b", 2.5, 2, "x")]
+
+
+def test_bucketed_table_roundtrip_and_colocated_agg(spark):
+    """write_bucketed/read_table: values round-trip, the bucket spec lands
+    in the catalog, and a groupBy on the bucket key aggregates WITHOUT an
+    Exchange (the amortized-shuffle property)."""
+    import pypeln_spark as pl
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("v")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_unit_test")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/bkt_unit_test", ignore_errors=True)
+    pl.write_bucketed(df, "bkt_unit_test", "k", n_buckets=4, sort_cols="k")
+    back = pl.read_table("bkt_unit_test", spark=spark)
+    assert back.df.count() == 1000
+    agg = back.df.groupBy("k").agg(F.sum("v").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # bucket layout satisfies the agg
+    want = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert {r.k: r.s for r in agg.collect()} == want
+    spark.sql("DROP TABLE IF EXISTS bkt_unit_test")

@@ -275,6 +275,19 @@ def test_ann_artifact_queries_skip_training_subtree(spark):
         assert "_mv" not in p, f"{q}: codebook training ran inside the query"
 
 
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Table bucketing contract: the order-grain SMJ between the two
+    bucketed tables reads co-located buckets — the ONLY Exchange in the
+    plan is the final re-agg on o_orderpriority (a different key, 5 rows);
+    the join itself shuffles nothing. This is the amortized-shuffle
+    property bucketing buys for fact-to-fact joins."""
+    p = plan_of(spark, "bucketed_join_priority_revenue")
+    assert "SortMergeJoin" in p, p
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1 and "o_orderpriority" in exchanges[0], exchanges
+    assert p.count("FileScan parquet spark_catalog.default.bkt_") == 2
+
+
 def test_plan_lint_whole_registry(spark):
     """Mechanical antipattern sweep over every non-streaming registry plan
     (tools/plan_lint.py): no cartesian products outside the guarded
