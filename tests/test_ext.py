@@ -50,6 +50,33 @@ def test_pnm_decoder_pure_python():
     assert (M._decode_image(media, fake=False) == px).all()
 
 
+def test_pnm_decoder_roundtrip_property():
+    """Property: any 8-bit raster round-trips through encode→_decode_pnm
+    for both P5 (identity) and P6 (exact integer luma), under arbitrary
+    header whitespace/comment noise."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31),
+        ws=st.sampled_from([" ", "\n", "\t", "\n# c\n", " # x y\n"]),
+    )
+    def check(w, h, seed, ws):
+        rng = np.random.default_rng(seed)
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        hdr = f"P5{ws}{w}{ws}{h}{ws}255\n".encode()
+        assert (M._decode_pnm(hdr + gray.tobytes()) == gray).all()
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        hdr6 = f"P6{ws}{w}{ws}{h}{ws}255\n".encode()
+        c = rgb.astype(np.int64)
+        want = (299 * c[..., 0] + 587 * c[..., 1] + 114 * c[..., 2]) // 1000
+        assert (M._decode_pnm(hdr6 + rgb.tobytes()) == want).all()
+
+    check()
+
+
 def test_multimodal_real_decode_pnm_end_to_end(spark):
     """decode_stats over synthesized PNM assets runs the REAL decoder with
     no codec library: decoded dimensions come from the pixel array and
