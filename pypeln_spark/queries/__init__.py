@@ -121,6 +121,7 @@ _PRIORITY = [
     "multimodal_real_decode_pnm",
     "sketch_quantile_global_histogram",
     "bucketed_join_priority_revenue",
+    "streaming_merge_upsert_orders",
 ]
 
 

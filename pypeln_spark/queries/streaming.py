@@ -979,3 +979,66 @@ def streaming_asof_static_enrich(spark, sf_dir):
     return spark.createDataFrame(
         rows, "purchase_id long, user_id long, view_id long"
     )
+
+
+@register(
+    "streaming_merge_upsert_orders",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'U2'
+                  WHEN o_orderkey % 5 = 0 THEN 'U1'
+                  ELSE o_orderstatus END AS status,
+             o_totalprice
+      FROM orders
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_expr('o_totalprice')} AS total_price
+    FROM final GROUP BY status
+    """,
+)
+def streaming_merge_upsert_orders(spark, sf_dir):
+    """CDC-style STREAMING MERGE: three update epochs arrive in order
+    (initial load, then two overlapping status-update waves) through a
+    real foreachBatch query, and each epoch merges into the running
+    snapshot with merge_upsert (anti-join + union — updates win), the
+    snapshot re-written per epoch (the no-table-format merge shape;
+    partition-aligned dynamic overwrite is the at-scale variant,
+    relational.merge_upsert docstring). Epoch ORDER is the semantics —
+    a key updated in waves 1 AND 2 must end at wave 2's value — and
+    staged_foreach_batch guarantees it (one file per feed, drained before
+    the next). The oracle replays the final state with a CASE over the
+    update predicates; totals use the decimal convention."""
+    import tempfile
+
+    from pypeln_spark import relational as R
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b0 = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    b1 = b0.filter(F.col("o_orderkey") % 5 == 0).withColumn("status", F.lit("U1"))
+    b2 = b0.filter(F.col("o_orderkey") % 7 == 0).withColumn("status", F.lit("U2"))
+
+    root = tempfile.mkdtemp(prefix="pypeln_spark_merge_state_")
+    state = {"path": None}
+
+    def apply_epoch(batch_df, epoch_id):
+        nxt = f"{root}/state_{epoch_id}"
+        if state["path"] is None:
+            batch_df.write.parquet(nxt)
+        else:
+            cur = batch_df.sparkSession.read.parquet(state["path"])
+            R.merge_upsert(cur, batch_df, on="o_orderkey").df.write.parquet(nxt)
+        state["path"] = nxt
+
+    ST.staged_foreach_batch(spark, [b0, b1, b2], apply_epoch)
+    final = spark.read.parquet(state["path"])
+    return final.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )

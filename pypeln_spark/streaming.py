@@ -156,6 +156,35 @@ def run_foreach_batch(
             q.stop()
 
 
+def staged_foreach_batch(
+    spark: SparkSession,
+    batches: tp.Sequence[DataFrame],
+    fn: tp.Callable[[DataFrame, int], None],
+    state_partitions: tp.Optional[int] = None,
+) -> None:
+    """staged_replay's foreachBatch twin: each batch DataFrame arrives as
+    its OWN micro-batch epoch, in order, and ``fn(batch_df, epoch_id)``
+    runs exactly once per epoch — the deterministic harness for CDC/merge
+    pipelines, where epoch ordering IS the semantics (later updates must
+    win). One file lands per feed and processAllAvailable drains it before
+    the next, so the epoch boundary is guaranteed, not timing-dependent."""
+    src_dir = tempfile.mkdtemp(prefix="pypeln_spark_cdc_")
+    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    stream = spark.readStream.schema(batches[0].schema).parquet(src_dir)
+    with _stream_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for b in batches:
+                b.write.mode("append").parquet(src_dir)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 def staged_replay(
     spark: SparkSession,
     batches: tp.Sequence[DataFrame],
