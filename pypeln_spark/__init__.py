@@ -45,6 +45,7 @@ from .io import (
     read_parquet,
     read_text,
     read_xml,
+    overwrite_partitions,
     write_bucketed,
     write_csv,
     write_jsonl,
@@ -94,6 +95,7 @@ __all__ = [
     "write_xml",
     "read_table",
     "write_bucketed",
+    "overwrite_partitions",
     "load_tables",
     "Partial",
     "PipelineException",

@@ -195,3 +195,27 @@ def write_bucketed(
 def read_table(table: str, spark: tp.Optional[SparkSession] = None) -> Stage:
     """Catalog table → Stage (bucketed tables keep their bucket spec)."""
     return Stage(_spark(spark).table(table))
+
+
+def overwrite_partitions(stage_or_df, path: str, partition_by):
+    """DYNAMIC partition overwrite: rewrite ONLY the partitions present in
+    the incoming frame; every other partition on disk is untouched. This is
+    the sink half of the merge story (relational.merge_upsert): a merge
+    touching 0.1% of partitions rewrites 0.1% of the data — under the
+    STATIC default, mode("overwrite") would first delete the whole root.
+    The partitionOverwriteMode conf is read at write time, so it is scoped
+    around this one write and restored (same single-threaded-driver caveat
+    as streaming._stream_partitions: a concurrent writer in the same
+    session would see the scoped value)."""
+    df = stage_or_df.df if isinstance(stage_or_df, Stage) else stage_or_df
+    partition_by = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

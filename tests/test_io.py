@@ -130,3 +130,36 @@ def test_bucketed_table_roundtrip_and_colocated_agg(spark):
     want = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     assert {r.k: r.s for r in agg.collect()} == want
     spark.sql("DROP TABLE IF EXISTS bkt_unit_test")
+
+
+def test_overwrite_partitions_rewrites_only_touched(spark, tmp_path):
+    """Dynamic partition overwrite: an update frame containing only
+    partition p=2 replaces p=2 and leaves p=1/p=3 bytes untouched (the
+    static default would wipe the whole root)."""
+    import os
+
+    import pypeln_spark as pl
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "p int, v string"
+    )
+    base.write.partitionBy("p").parquet(root)
+
+    def files_of(p):
+        d = f"{root}/p={p}"
+        return sorted(
+            (f, os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_p1, before_p3 = files_of(1), files_of(3)
+    upd = spark.createDataFrame([(2, "B2"), (2, "B3")], "p int, v string")
+    pl.overwrite_partitions(upd, root, "p")
+    got = sorted((r.p, r.v) for r in spark.read.parquet(root).collect())
+    assert got == [(1, "a"), (2, "B2"), (2, "B3"), (3, "c")]
+    # untouched partitions keep the same files with the same mtimes
+    assert files_of(1) == before_p1 and files_of(3) == before_p3
+    # scoped conf restored after the write
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
