@@ -772,6 +772,85 @@ def connected_components(
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def pagerank(
+    edges: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over an UNDIRECTED graph (edges are
+    deduped and symmetrized) — the canonical iterative graph algorithm,
+    engine-reproducible by construction so it keeps a full SQL oracle:
+
+    - fixed ``iters`` iterations (part of the spec, like kmeans_centroids);
+    - r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/deg(u);
+    - each per-edge contribution is one IEEE double division (order-free);
+      the per-vertex gather — the ONE place aggregation order is
+      engine-dependent — collects (source, contribution) pairs, sorts by
+      source and LEFT-FOLDS in that fixed order (the dot_ieee convention):
+      pure correctly-rounded double ops, no decimal cast anywhere, so
+      ranks are bit-identical cross-engine. (The decimal-armor variant
+      measured 1-ulp flaky here: casting a scale-12 decimal sum back to
+      double double-rounds differently across engines.) The collected
+      array is in-degree-sized — bounded by max degree; a power-law
+      celebrity vertex would want the decimal-sum form instead, trading
+      exact replay for O(1) aggregation state.
+
+    Scale shape (the Pregel loop as dataframes): one equi-join + one
+    partially-aggregated shuffle per iteration, both ∝ |edges|; degrees
+    and N are computed once. The iterations UNROLL into a single lazy
+    plan — at bench depth (3) Catalyst handles it; for deep iteration
+    counts add localCheckpoint truncation like minhash_clusters_cc.
+    Output: (vertex, rank)."""
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = pool_persist(sym)
+    deg = pool_persist(sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    n = deg.count()
+    ranks = deg.select(
+        F.col("u").alias("vertex"), "deg", F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = sym.join(
+            ranks, sym["u"] == ranks["vertex"]
+        ).select(
+            F.col("v").alias("_dst"),
+            F.col("u").alias("_src"),
+            (F.col("rank") / F.col("deg")).alias("_c"),
+        )
+        summed = contribs.groupBy("_dst").agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_src", "_c"))),
+                    lambda s: s["_c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_s")
+        )
+        ranks = (
+            deg.select(F.col("u").alias("vertex"), "deg")
+            .join(summed, F.col("vertex") == F.col("_dst"), "left")
+            .select(
+                "vertex",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("vertex", "rank")
+
+
 def triangle_count(
     edges: DataFrame, a: str = "id_a", b: str = "id_b", orient: str = "degree"
 ) -> DataFrame:

@@ -122,6 +122,7 @@ _PRIORITY = [
     "sketch_quantile_global_histogram",
     "bucketed_join_priority_revenue",
     "streaming_merge_upsert_orders",
+    "graph_pagerank_part_cooccurrence",
 ]
 
 

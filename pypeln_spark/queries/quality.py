@@ -432,6 +432,71 @@ def zorder_layout_events(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 3, d: str = "CAST(0.85 AS DOUBLE)") -> str:
+    """Unrolled power-iteration twin of ext/dedup.pagerank: same edge spec
+    as the triangles query, source-ordered IEEE left-fold per-vertex sums (the dot_ieee convention), and the
+    base/damping terms spelled as DOUBLE-cast literals — DuckDB parses a
+    bare 0.85 as DECIMAL and would do decimal arithmetic — so every rank
+    is bit-identical to Spark's double evaluation."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT d.u AS vertex, d.deg, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM deg d CROSS JOIN nn)
+    """
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (SELECT s.v AS vertex, s.u AS u, r.rank / r.deg AS c
+             FROM sym s JOIN r{i - 1} r ON s.u = r.vertex),
+    s{i} AS (SELECT vertex,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY u)),
+                         (acc, x) -> acc + x) AS s
+             FROM c{i} GROUP BY vertex),
+    r{i} AS (SELECT d.u AS vertex, d.deg,
+                    (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+                      + {d} * COALESCE(s{i}.s, CAST(0.0 AS DOUBLE)) AS rank
+             FROM deg d CROSS JOIN nn
+             LEFT JOIN s{i} ON s{i}.vertex = d.u)
+    """
+    return head + body + f"SELECT vertex, rank FROM r{iters}"
+
+
+@register("graph_pagerank_part_cooccurrence", oracle=_pagerank_oracle())
+def graph_pagerank_part_cooccurrence(spark, sf_dir):
+    """PageRank (ext/dedup.pagerank, 3 power iterations, d=0.85) over the
+    same part co-purchase graph as the triangles query — the iterative
+    Pregel-style algorithm family, fully oracle-replayed: edge
+    contributions are order-free IEEE divisions and the per-vertex
+    gather folds through decimal(38,18), so DuckDB reproduces every rank
+    bit for bit, unrolled CTE by unrolled CTE."""
+    from pypeln_spark.ext.dedup import pagerank
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
 @register(
     "graph_triangles_part_cooccurrence",
     oracle="""

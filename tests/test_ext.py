@@ -1405,3 +1405,31 @@ def test_triangle_count_known_graph(spark):
     # hub closes 8 rim edges; each rim vertex sits in the two triangles of
     # its two rim edges
     assert wgot[0] == 8 and all(wgot[i] == 2 for i in range(1, 9))
+
+
+def test_pagerank_star_graph(spark):
+    """Star K1,4: hub rank exceeds leaf ranks, leaves are identical, ranks
+    match a pure-Python replay of the exact spec (same op order)."""
+    from pypeln_spark.ext.dedup import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    got = {r.vertex: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    n, d = 5, 0.85
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    rank = {v: 1.0 / n for v in deg}
+    for _ in range(3):
+        contribs = {v: [] for v in deg}
+        for u in range(1, 5):  # symmetric edges: hub<->leaf both ways
+            contribs[u].append((0, rank[0] / deg[0]))
+            contribs[0].append((u, rank[u] / deg[u]))
+        new = {}
+        for v in deg:
+            s = 0.0
+            for _u, c in sorted(contribs[v]):
+                s = s + c
+            new[v] = (1.0 - d) / n + d * s
+        rank = new
+    assert got == rank
+    assert got[0] > got[1] and len({got[i] for i in range(1, 5)}) == 1
