@@ -45,6 +45,12 @@ SWEEP = [
     "sketch_cms_heavy_hitters",
     "curation_decontaminated",
     "events_sessionization",
+    # round-4 additions
+    "graph_triangles_part_cooccurrence",
+    "bucketed_join_priority_revenue",
+    "multimodal_real_decode_pnm",
+    "sketch_quantile_global_histogram",
+    "streaming_merge_upsert_orders",
 ]
 
 KEYED = {
