@@ -279,20 +279,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_table(
     wide: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
-
-    Band key = array of the band's minhashes; one explode to bands×docs rows
-    (cheap — `bands` rows per doc), then a self-equi-join. The join key is
-    xxhash64(band, band-sig) — a SCALAR, so the shuffle partitioner and the
-    join comparator work on 8 bytes instead of an array (measured ~20%
-    cheaper); exactness is preserved by re-checking full band-sig equality
-    after the hash match, so a 64-bit collision can only cost a spurious
-    candidate that exact-Jaccard verification then scores — never a missed
-    or false pair. At scale the join's shuffle bytes stay ∝ n_docs × bands,
-    independent of document size."""
+    """(id, sigh, sig) — one row per (doc, band): the LSH INDEX
+    representation. ``sigh`` = xxhash64(band, band-sig), a SCALAR join key
+    (8 bytes through the shuffle partitioner and comparator instead of an
+    array — measured ~20% cheaper); exactness is preserved by re-checking
+    full band-sig equality after the hash match. This is also the state an
+    incremental deployment maintains: append new docs' band rows, and
+    dedup_against_corpus joins fresh batches against it."""
     band_structs = F.array(
         *[
             F.struct(
@@ -302,7 +298,7 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
+    return (
         wide.select(F.col(id_col), F.explode(band_structs).alias("bs"))
         .select(
             id_col,
@@ -310,6 +306,17 @@ def lsh_candidate_pairs(
             F.col("bs.sig").alias("sig"),
         )
     )
+
+
+def lsh_candidate_pairs(
+    wide: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+
+    Band rows from lsh_band_table, then a self-equi-join on the scalar band
+    hash. At scale the join's shuffle bytes stay ∝ n_docs × bands,
+    independent of document size."""
+    banded = lsh_band_table(wide, id_col, bands, rows_per_band)
     a = banded.select(F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a"))
     b = banded.select(F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b"))
     return (
@@ -421,6 +428,64 @@ def minhash_lsh_dedup(
             wide.count()
     cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """INCREMENTAL near-dedup: match NEW documents against an EXISTING
+    corpus — the daily-increment shape for a continuously crawled training
+    set. Only new→corpus pairs form; no new×new or corpus×corpus work. The
+    corpus contributes its band table and shingle arrays — exactly the
+    state a deployment maintains as a persistent LSH index (append-only:
+    lsh_band_table rows for each absorbed batch) — so the per-batch cost is
+    ∝ |new| × bands for candidates plus the verify joins, while the corpus
+    is scanned once, never self-joined. Returns (new_id, corpus_id,
+    jaccard) for matches ≥ threshold; anti-join new_df on new_id against
+    this to keep only novel documents."""
+    retire_pipeline_caches()
+    rpb = n_hashes // bands
+    new_sh = pool_persist(shingle_arrays(spread(new_df), text_col, id_col, k))
+    cor_sh = pool_persist(shingle_arrays(spread(corpus_df), text_col, id_col, k))
+    new_bands = lsh_band_table(
+        minhash_signatures_wide(new_sh, id_col, n_hashes), id_col, bands, rpb
+    ).select(F.col(id_col).alias("new_id"), "sigh", F.col("sig").alias("sig_n"))
+    cor_bands = lsh_band_table(
+        minhash_signatures_wide(cor_sh, id_col, n_hashes), id_col, bands, rpb
+    ).select(F.col(id_col).alias("corpus_id"), "sigh", F.col("sig").alias("sig_c"))
+    cand = (
+        new_bands.join(cor_bands, "sigh")
+        .filter(F.col("sig_n") == F.col("sig_c"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, F.col("new_id")
+    )
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("sh_arr").alias("sh_a"))
+    b = cor_sh.select(F.col(id_col).alias("corpus_id"), F.col("sh_arr").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .withColumn("n_inter", n_inter)
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (
+                F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_inter")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
 
 
 def span_dedup(

@@ -123,6 +123,7 @@ _PRIORITY = [
     "bucketed_join_priority_revenue",
     "streaming_merge_upsert_orders",
     "graph_pagerank_part_cooccurrence",
+    "dedup_incremental_vs_corpus",
 ]
 
 

@@ -305,3 +305,52 @@ def dedup_span_chunks(spark, sf_dir):
     size."""
     (docs,) = tables(spark, sf_dir, "documents")
     return D.span_dedup(docs, window=16)
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    oracle=f"""
+    WITH {_SH_CTE}, {_MH_CTE},
+    banded AS (
+      SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.sig = c.sig
+       AND n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.new_id, p.corpus_id, COUNT(*) AS n_inter
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.new_id
+      JOIN sh b ON b.doc_id = p.corpus_id AND b.sh = a.sh
+      GROUP BY p.new_id, p.corpus_id
+    )
+    SELECT i.new_id, i.corpus_id,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.new_id
+    JOIN sizes sb ON sb.doc_id = i.corpus_id
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_vs_corpus(spark, sf_dir):
+    """INCREMENTAL dedup (ext/dedup.dedup_against_corpus): odd doc_ids play
+    the fresh crawl batch, even doc_ids the existing corpus. Only
+    new→corpus candidate pairs form — the corpus is never self-joined, and
+    its band table is exactly the append-only LSH index a deployment
+    maintains between batches, so absorbing a batch costs ∝ |batch| ×
+    bands, not corpus². The oracle replays the split, the banding, and the
+    exact-Jaccard verification end to end."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.dedup_against_corpus(
+        new, corpus, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD
+    )
