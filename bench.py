@@ -75,6 +75,8 @@ HEADLINE = [
     "sketch_quantile_global_histogram",
     "graph_triangles_part_cooccurrence",
     "bucketed_join_priority_revenue",
+    "graph_pagerank_part_cooccurrence",
+    "dedup_incremental_vs_corpus",
 ]
 
 
