@@ -452,8 +452,13 @@ def dedup_against_corpus(
     this to keep only novel documents."""
     retire_pipeline_caches()
     rpb = n_hashes // bands
+    # eager counts: each shingle table feeds its signature projection AND a
+    # verify-join side — racing consumers within one action would each
+    # recompute the md5 shingling (same discipline as minhash_lsh_dedup)
     new_sh = pool_persist(shingle_arrays(spread(new_df), text_col, id_col, k))
+    new_sh.count()
     cor_sh = pool_persist(shingle_arrays(spread(corpus_df), text_col, id_col, k))
+    cor_sh.count()
     new_bands = lsh_band_table(
         minhash_signatures_wide(new_sh, id_col, n_hashes), id_col, bands, rpb
     ).select(F.col(id_col).alias("new_id"), "sigh", F.col("sig").alias("sig_n"))
