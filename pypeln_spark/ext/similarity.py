@@ -1119,3 +1119,46 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization for embedding STORAGE — the compression
+    companion to PQ's search-side codes: per-vector symmetric scale
+    s = max|x| / 127, code_i = clamp(floor(x_i/s + 0.5), -127, 127).
+    4× smaller than float32 (8× vs double) with the scale as one double
+    per vector; at 100 TB this is how the cold embedding store is laid
+    out, with exact floats kept only for rerank tiers.
+
+    Engine-reproducible by construction: scale, codes, and the
+    dequantized values are pure IEEE double ops (floor(x+0.5) spelling —
+    not round(), whose half-way rule differs across engines), and the
+    reconstruction cosine folds with dot_ieee. All-zero vectors get
+    scale 0 and all-zero codes. Output: (id, scale, codes array<int>,
+    dequantized _v, _norm) — feed with_norms-style consumers directly."""
+    v = _vec_double(F.col(vec_col))
+    s = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    out = emb.select(F.col(id_col), v.alias("_x"), s.alias("scale"))
+    code = lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")),
+        )
+    )
+    out = out.select(
+        id_col,
+        "scale",
+        F.transform(F.col("_x"), code).alias("codes"),
+        F.col("_x"),
+    )
+    deq = F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale"))
+    return out.select(
+        id_col,
+        "scale",
+        "codes",
+        F.col("_x").alias("_orig"),
+        deq.alias("_v"),
+    ).withColumn("_norm", F.sqrt(dot_ieee(F.col("_v"), F.col("_v"))))

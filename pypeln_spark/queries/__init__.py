@@ -124,6 +124,7 @@ _PRIORITY = [
     "streaming_merge_upsert_orders",
     "graph_pagerank_part_cooccurrence",
     "dedup_incremental_vs_corpus",
+    "embedding_quantize_int8",
 ]
 
 

@@ -784,3 +784,50 @@ def ann_ivf_pq_topk(spark, sf_dir):
         m=IVFPQ_M, n_codes=IVFPQ_K, train_mod=IVFPQ_TRAIN_MOD,
         quantizer="first", rerank=IVFPQ_RERANK, codebooks=cb, codes=codes,
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sc AS (SELECT vec_id, v,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(v, x -> abs(x))),
+                    (acc, x) -> greatest(acc, x)) / CAST(127.0 AS DOUBLE) AS scale
+           FROM e),
+    cd AS (SELECT vec_id, v, scale,
+                  list_transform(v, x -> CASE WHEN scale = CAST(0.0 AS DOUBLE) THEN 0
+                    ELSE CAST(greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+                         floor(x / scale + CAST(0.5 AS DOUBLE)))) AS INT) END) AS codes
+           FROM sc),
+    dq AS (SELECT vec_id, scale, codes, v,
+                  list_transform(codes, c -> CAST(c AS DOUBLE) * scale) AS d
+           FROM cd)
+    SELECT vec_id, scale, array_to_string(codes, ',') AS codes_csv,
+           {_dot("v", "d")} / (sqrt({_dot("v", "v")}) * sqrt({_dot("d", "d")})) AS cos_recon
+    FROM dq
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Scalar int8 embedding quantization (ext/similarity.quantize_int8) —
+    the STORAGE-side compression op (4× vs float32; PQ is the search-side
+    counterpart): per-vector symmetric scale, floor(x/s + 0.5) codes (not
+    round(), whose half-way rule differs across engines), and the
+    reconstruction cosine as the quality metric. Every step is pure IEEE
+    double arithmetic, so the oracle replays scale, every code, and the
+    reconstruction cosine bit-for-bit; codes serialize to CSV for the
+    scalar-only output contract."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    q = S.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join("codes", ",").alias("codes_csv"),
+        (
+            S.dot_ieee(F.col("_orig"), F.col("_v"))
+            / (S.norm(F.col("_orig")) * F.col("_norm"))
+        ).alias("cos_recon"),
+    )
