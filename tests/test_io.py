@@ -163,3 +163,40 @@ def test_overwrite_partitions_rewrites_only_touched(spark, tmp_path):
     assert files_of(1) == before_p1 and files_of(3) == before_p3
     # scoped conf restored after the write
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """Malformed JSON lines land in the corrupt-record column under
+    PERMISSIVE (the 100 TB ingest default: quarantine, don't die), and
+    DROPMALFORMED silently drops them — both through the io layer."""
+    import pypeln_spark as pl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"k": 1, "v": "a"}\n{"k": broken\n{"k": 3, "v": "c"}\n')
+    schema = "k long, v string, _corrupt_record string"
+    good = pl.read_json(
+        str(p), spark=spark, schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).df
+    rows = good.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "broken" in bad[0]._corrupt_record
+    dropped = pl.read_json(
+        str(p), spark=spark, schema="k long, v string", mode="DROPMALFORMED"
+    ).df
+    assert sorted(r.k for r in dropped.collect()) == [1, 3]
+
+
+def test_parquet_schema_merge_across_files(spark, tmp_path):
+    """mergeSchema reads files written with evolving schemas as one table
+    (new column NULL for old files) — the additive-evolution contract a
+    long-lived parquet dataset depends on."""
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(root)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(root)
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    got = {r.k: (r.v, r.score) for r in merged.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
