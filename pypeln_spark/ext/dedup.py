@@ -873,6 +873,7 @@ def pagerank(
     plan — at bench depth (3) Catalyst handles it; for deep iteration
     counts add localCheckpoint truncation like minhash_clusters_cc.
     Output: (vertex, rank)."""
+    retire_pipeline_caches()
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
