@@ -156,6 +156,40 @@ def run_foreach_batch(
             q.stop()
 
 
+class rocksdb_state:
+    """Scope the RocksDB state-store provider around a streaming query
+    start — the LARGE-STATE path Spark ships for stateful streaming. The
+    default (HDFSBackedStateStoreProvider) keeps every partition's state
+    map ON HEAP, so total state is bounded by executor memory; RocksDB
+    keeps state off-heap/on-disk with incremental checkpointing, the
+    production choice once keys × operators outgrow the heap (large
+    dedup-within-watermark key sets, wide session maps). Like
+    _stream_partitions, the provider is captured into the query's
+    checkpoint at start, so this must wrap .start(); same
+    single-threaded-driver scoping caveat."""
+
+    PROVIDER = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.KEY)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.KEY, self.PROVIDER)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self.prev)
+
+
 def staged_foreach_batch(
     spark: SparkSession,
     batches: tp.Sequence[DataFrame],

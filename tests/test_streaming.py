@@ -694,3 +694,39 @@ def test_datasource_restart_resumes_at_offset(spark, tmp_path):
     assert sorted(seen) == [(i, i) for i in range(6)]
     run(limit=10)  # restart: fresh reader, committed offset {"i": 6}
     assert sorted(seen) == [(i, i) for i in range(10)], sorted(seen)[-6:]
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The large-state scale path: the same stateful aggregation runs under
+    the RocksDB state-store provider (off-heap/on-disk state, incremental
+    checkpoints) with identical results, and the query's state-operator
+    metrics prove RocksDB actually backed the store."""
+    from pypeln_spark import streaming as ST
+
+    src = str(tmp_path / "rocks_src")
+    spark.createDataFrame(
+        [(i % 5, i) for i in range(100)], "k long, v long"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    agg = stream.groupBy("k").count()
+    ckpt = str(tmp_path / "rocks_ckpt")
+    with ST.rocksdb_state(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocks_tt")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        finally:
+            q.stop()
+    # conf restored after the scope
+    assert (
+        spark.conf.get(ST.rocksdb_state.KEY, None) != ST.rocksdb_state.PROVIDER
+    )
+    got = {r.k: r["count"] for r in spark.table("rocks_tt").collect()}
+    assert got == {k: 20 for k in range(5)}
+    assert any("rocksdb" in m.lower() for m in metrics), metrics
