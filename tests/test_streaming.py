@@ -730,3 +730,60 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
     got = {r.k: r["count"] for r in spark.table("rocks_tt").collect()}
     assert got == {k: 20 for k in range(5)}
     assert any("rocksdb" in m.lower() for m in metrics), metrics
+
+
+def test_windowed_agg_restart_exactly_once(spark, tmp_path):
+    """Durability contract: an append-mode watermarked windowed aggregate
+    STOPS mid-stream and a NEW query restarts from the same checkpoint into
+    the same parquet sink — closed windows are emitted exactly once across
+    the restart (no loss, no duplicates), matching the batch replay."""
+    import datetime as dt
+
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    b1 = spark.createDataFrame(
+        [(1, ts(0, 10)), (1, ts(0, 40)), (2, ts(1, 5))], "k long, ts timestamp"
+    )
+    b2 = spark.createDataFrame(
+        [(2, ts(2, 15)), (1, ts(3, 30))], "k long, ts timestamp"
+    )
+    flush = spark.createDataFrame([(9, ts(12))], "k long, ts timestamp")
+
+    def start():
+        stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("ws"), "k", "n"
+            )
+        )
+        return (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    b1.write.mode("append").parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # mid-stream shutdown
+
+    b2.write.mode("append").parquet(src)
+    q = start()  # resumes from the SAME checkpoint
+    q.processAllAvailable()
+    flush.write.mode("append").parquet(src)  # advance watermark → close all
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.ws.hour, r.k, r.n) for r in spark.read.parquet(out).collect())
+    # every real window emitted exactly once; the flush window stays open
+    assert got == [(0, 1, 2), (1, 2, 1), (2, 2, 1), (3, 1, 1)]
