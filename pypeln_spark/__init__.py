@@ -37,6 +37,7 @@ from .operators import (
 )
 from . import shared
 from .io import (
+    compact_parquet,
     load_tables,
     read_csv,
     read_table,
@@ -96,6 +97,7 @@ __all__ = [
     "read_table",
     "write_bucketed",
     "overwrite_partitions",
+    "compact_parquet",
     "load_tables",
     "Partial",
     "PipelineException",

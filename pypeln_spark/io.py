@@ -219,3 +219,44 @@ def overwrite_partitions(stage_or_df, path: str, partition_by):
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def compact_parquet(
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    spark: tp.Optional[SparkSession] = None,
+) -> dict:
+    """Small-files maintenance: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` each. Streaming sinks and incremental
+    appends accumulate many tiny files; at scan time every file costs a
+    task plus footer/open overhead, so a directory of 10k small files can
+    be 10-100× slower to read than the same bytes in right-sized files —
+    compaction is the standing maintenance job every long-lived dataset
+    runs. Target count = ceil(input bytes / target); the data is rewritten
+    through one round-robin repartition (no key skew — this is layout, not
+    semantics) into a temp sibling, then swapped in. The swap is two
+    renames, not a transaction — a table format (Iceberg/Delta) does this
+    step atomically; on a plain directory, schedule compaction when no
+    readers race it. Returns {files_before, files_after, bytes}."""
+    import glob as _glob
+    import shutil
+
+    sp = _spark(spark)
+    parts = [
+        f for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in parts)
+    n = max(1, -(-total // int(target_file_bytes)))
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__precompact"
+    sp.read.parquet(path).repartition(int(n)).write.parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    return {"files_before": len(parts), "files_after": len(after), "bytes": total}

@@ -200,3 +200,20 @@ def test_parquet_schema_merge_across_files(spark, tmp_path):
     merged = spark.read.option("mergeSchema", "true").parquet(root)
     got = {r.k: (r.v, r.score) for r in merged.collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction rewrites a many-tiny-files directory into ~target-size
+    files with identical data; the input file count collapses."""
+    import pypeln_spark as pl
+
+    root = str(tmp_path / "tiny")
+    df = spark.range(10_000).selectExpr("id AS k", "id * 2 AS v")
+    df.repartition(64).write.parquet(root)  # 64 tiny files
+    before = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+    stats = pl.compact_parquet(root, target_file_bytes=1 << 30, spark=spark)
+    assert stats["files_before"] >= 64 and stats["files_after"] == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+    assert after == before
+    assert not (tmp_path / "tiny__compacting").exists()
+    assert not (tmp_path / "tiny__precompact").exists()
