@@ -1433,3 +1433,32 @@ def test_pagerank_star_graph(spark):
         rank = new
     assert got == rank
     assert got[0] > got[1] and len({got[i] for i in range(1, 5)}) == 1
+
+
+def test_quantize_int8_error_bound_and_edges(spark):
+    """Invariant: |x − code·scale| ≤ scale/2 for every component (floor(x/s
+    + 0.5) is nearest-grid), codes stay in [−127, 127], the max-|x|
+    component maps to ±127 exactly, and the all-zero vector gets scale 0
+    with all-zero codes instead of dividing by zero."""
+    from pypeln_spark.ext import similarity as S
+
+    rows = [
+        (0, [1.0, -1.0, 0.5, -0.25]),
+        (1, [127.0, -127.0, 63.5, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+        (3, [1e-6, -1e-6, 3e-7, 0.0]),      # tiny magnitudes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    for vid, vec in rows:
+        r = got[vid]
+        assert all(-127 <= c <= 127 for c in r.codes)
+        if all(x == 0 for x in vec):
+            assert r.scale == 0.0 and all(c == 0 for c in r.codes)
+            continue
+        mx = max(abs(x) for x in vec)
+        assert r.scale == mx / 127.0
+        for x, c in zip(vec, r.codes):
+            assert abs(x - c * r.scale) <= r.scale / 2 * (1 + 1e-12)
+            if abs(x) == mx:
+                assert abs(c) == 127
