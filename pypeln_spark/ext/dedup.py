@@ -914,12 +914,20 @@ def pagerank(
         .distinct()
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = pool_persist(sym)
     deg = pool_persist(sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
     n = deg.count()
-    ranks = deg.select(
-        F.col("u").alias("vertex"), "deg", F.lit(1.0 / n).alias("rank")
+    # The edge list carries the SOURCE's degree and is hash-partitioned by
+    # source ONCE (persisted): the cached plan's outputPartitioning
+    # satisfies every iteration's join on u, so edges shuffle once for the
+    # whole run, not once per iteration — the Pregel co-partitioning
+    # discipline as dataframes — and ranks stay a skinny (vertex, rank)
+    # frame with no per-iteration degree re-join.
+    sym = pool_persist(
+        sym.join(deg, "u").repartition(
+            sym.sparkSession.sparkContext.defaultParallelism, F.col("u")
+        )
     )
+    ranks = deg.select(F.col("u").alias("vertex"), F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contribs = sym.join(
             ranks, sym["u"] == ranks["vertex"]
@@ -928,25 +936,26 @@ def pagerank(
             F.col("u").alias("_src"),
             (F.col("rank") / F.col("deg")).alias("_c"),
         )
-        summed = contribs.groupBy("_dst").agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_src", "_c"))),
-                    lambda s: s["_c"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_s")
-        )
+        # every vertex of the SYMMETRIZED graph has ≥1 in-edge (deg ≥ 1 and
+        # in-degree = out-degree), so the gather covers all vertices — no
+        # left join back to deg is needed to keep zero-contribution rows
         ranks = (
-            deg.select(F.col("u").alias("vertex"), "deg")
-            .join(summed, F.col("vertex") == F.col("_dst"), "left")
+            contribs.groupBy("_dst")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_src", "_c"))),
+                        lambda s: s["_c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("_s")
+            )
             .select(
-                "vertex",
-                "deg",
+                F.col("_dst").alias("vertex"),
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                    + F.lit(damping) * F.col("_s")
                 ).alias("rank"),
             )
         )
