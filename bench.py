@@ -77,6 +77,7 @@ HEADLINE = [
     "bucketed_join_priority_revenue",
     "graph_pagerank_part_cooccurrence",
     "dedup_incremental_vs_corpus",
+    "embedding_quantize_int8",
 ]
 
 
