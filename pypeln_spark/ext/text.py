@@ -563,3 +563,39 @@ def sql_unigram_lm_score(vocab_size: int = 1000) -> str:
              AS oov_frac
     FROM scored CROSS JOIN total
     """
+
+
+def rrf_fuse(
+    rankings: tp.Sequence[DataFrame],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    (sparse BM25 arm + dense ANN arm, or any N rankings):
+    score(d) = Σ_i 1/(k + rank_i(d)) over the arms that retrieved d.
+
+    Each input must carry (id_col, rank). Scores use only small-integer
+    rank arithmetic — one correctly-rounded IEEE division per arm, summed
+    in ARM ORDER (fixed association) — so fused scores and the final
+    ordering replay bit-identically in SQL; no training, no tuning, which
+    is exactly why RRF is the production default for fusing
+    incomparably-scaled retriever scores. Candidate volume is Σ top-k of
+    the arms (outer join on id), so fusion cost is independent of corpus
+    size. Output: (id, rank_arm<i>..., rrf_score), top-k by score."""
+    fused = None
+    for i, r in enumerate(rankings):
+        arm = r.select(F.col(id_col), F.col("rank").alias(f"rank_arm{i}"))
+        fused = arm if fused is None else fused.join(arm, id_col, "outer")
+    score = None
+    for i in range(len(rankings)):
+        s = F.when(
+            F.col(f"rank_arm{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"rank_arm{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = s if score is None else score + s
+    return (
+        fused.withColumn("rrf_score", score)
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -125,6 +125,7 @@ _PRIORITY = [
     "graph_pagerank_part_cooccurrence",
     "dedup_incremental_vs_corpus",
     "embedding_quantize_int8",
+    "search_hybrid_rrf",
 ]
 
 

@@ -831,3 +831,68 @@ def embedding_quantize_int8(spark, sf_dir):
             / (S.norm(F.col("_orig")) * F.col("_norm"))
         ).alias("cos_recon"),
     )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from pypeln_spark.ext.text import sql_bm25_topk
+
+    from .text import _BM25_TERMS
+
+    bm25 = sql_bm25_topk(_BM25_TERMS, k=20)
+    return f"""
+    WITH {_E_CTE},
+    sp AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rs
+      FROM ({bm25}) bm
+    ),
+    dscored AS (
+      SELECT c.vec_id AS doc_id, {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0
+    ),
+    de AS (
+      SELECT doc_id, rd FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rd
+        FROM dscored)
+      WHERE rd <= 20
+    ),
+    f AS (
+      SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id, sp.rs, de.rd
+      FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id
+    )
+    SELECT doc_id, rs AS rank_arm0, rd AS rank_arm1,
+           (CASE WHEN rs IS NULL THEN 0.0e0
+                 ELSE 1.0e0 / (60.0e0 + CAST(rs AS DOUBLE)) END
+          + CASE WHEN rd IS NULL THEN 0.0e0
+                 ELSE 1.0e0 / (60.0e0 + CAST(rd AS DOUBLE)) END) AS rrf_score
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval via reciprocal-rank fusion (ext/text.rrf_fuse) —
+    the RAG-pipeline default for combining incomparably-scaled retrievers:
+    the sparse arm is BM25 over the fixed keyword query, the dense arm is
+    exact-cosine top-20 for the request's embedding (vector 0; doc and
+    vec ids are aligned 1:1), and RRF scores 1/(60+rank) per arm, summed
+    in arm order. Rank arithmetic only, so fused scores and ordering are
+    bit-identical in the oracle. Fusion cost ∝ Σ arm top-k, independent
+    of corpus size."""
+    from pyspark.sql import Window, functions as F
+
+    from pypeln_spark.ext import text as X
+
+    from .text import _BM25_TERMS
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    sparse = X.bm25_topk(docs, _BM25_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    dense = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("rank")
+    )
+    return X.rrf_fuse([sparse, dense], id_col="doc_id", k_rrf=60, topk=10)

@@ -53,6 +53,7 @@ ALLOW_CARTESIAN = {
 ALLOW_BNLJ = {
     "ann_cosine_topk",
     "ann_knn_classify",  # composes cosine_topk's broadcast theta-join
+    "search_hybrid_rrf",  # composes cosine_topk's broadcast theta-join (dense arm)
     "ann_lsh_bucketed_topk",
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
