@@ -879,10 +879,19 @@ def pagerank(
     b: str = "id_b",
     iters: int = 3,
     damping: float = 0.85,
+    sources: tp.Optional[tp.Sequence[int]] = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an UNDIRECTED graph (edges are
     deduped and symmetrized) — the canonical iterative graph algorithm,
-    engine-reproducible by construction so it keeps a full SQL oracle:
+    engine-reproducible by construction so it keeps a full SQL oracle.
+
+    ``sources`` switches to PERSONALIZED PageRank (the recommendation /
+    related-items form): the walk teleports to the source set instead of
+    everywhere — r0 = 1/|S| on S (0 elsewhere) and the base term becomes
+    (1-d)·[v∈S]/|S| — so ranks measure proximity TO the sources. Sources
+    must be graph vertices (a source with no edges contributes no teleport
+    mass). Same plan shape; membership is a broadcast-free isin over the
+    tiny source list:
 
     - fixed ``iters`` iterations (part of the spec, like kmeans_centroids);
     - r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/deg(u);
@@ -927,7 +936,19 @@ def pagerank(
             sym.sparkSession.sparkContext.defaultParallelism, F.col("u")
         )
     )
-    ranks = deg.select(F.col("u").alias("vertex"), F.lit(1.0 / n).alias("rank"))
+    if sources is None:
+        r0 = F.lit(1.0 / n)
+        def base_term(vcol):
+            return F.lit((1.0 - damping) / n)
+    else:
+        srcs = sorted(set(sources))
+        m = len(srcs)
+        r0 = F.when(F.col("u").isin(srcs), F.lit(1.0 / m)).otherwise(F.lit(0.0))
+        def base_term(vcol):
+            return F.when(vcol.isin(srcs), F.lit((1.0 - damping) / m)).otherwise(
+                F.lit(0.0)
+            )
+    ranks = deg.select(F.col("u").alias("vertex"), r0.alias("rank"))
     for _ in range(iters):
         contribs = sym.join(
             ranks, sym["u"] == ranks["vertex"]
@@ -954,8 +975,7 @@ def pagerank(
             .select(
                 F.col("_dst").alias("vertex"),
                 (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_s")
+                    base_term(F.col("_dst")) + F.lit(damping) * F.col("_s")
                 ).alias("rank"),
             )
         )

@@ -126,6 +126,7 @@ _PRIORITY = [
     "dedup_incremental_vs_corpus",
     "embedding_quantize_int8",
     "search_hybrid_rrf",
+    "graph_ppr_part_cooccurrence",
 ]
 
 

@@ -497,6 +497,70 @@ def _copurchase_edges(spark, sf_dir):
     )
 
 
+def _ppr_oracle(iters: int = 3, d: str = "CAST(0.85 AS DOUBLE)", m: int = 3) -> str:
+    """Personalized-PageRank twin: teleport set = the m smallest vertices
+    (replayable on both sides); base/initial mass concentrated on it."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    srcs AS (SELECT u FROM deg ORDER BY u LIMIT {m}),
+    r0 AS (SELECT d.u AS vertex, d.deg,
+                  CASE WHEN d.u IN (SELECT u FROM srcs)
+                       THEN CAST(1.0 AS DOUBLE) / CAST({m} AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS rank
+           FROM deg d)
+    """.format(m=m)
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (SELECT s.v AS vertex, s.u AS u, r.rank / r.deg AS c
+             FROM sym s JOIN r{i - 1} r ON s.u = r.vertex),
+    s{i} AS (SELECT vertex,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY u)),
+                         (acc, x) -> acc + x) AS s
+             FROM c{i} GROUP BY vertex),
+    r{i} AS (SELECT d.u AS vertex, d.deg,
+                    CASE WHEN d.u IN (SELECT u FROM srcs)
+                         THEN (CAST(1.0 AS DOUBLE) - {d}) / CAST({m} AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END
+                      + {d} * COALESCE(s{i}.s, CAST(0.0 AS DOUBLE)) AS rank
+             FROM deg d
+             LEFT JOIN s{i} ON s{i}.vertex = d.u)
+    """
+    return head + body + f"SELECT vertex, rank FROM r{iters}"
+
+
+@register("graph_ppr_part_cooccurrence", oracle=_ppr_oracle())
+def graph_ppr_part_cooccurrence(spark, sf_dir):
+    """PERSONALIZED PageRank (ext/dedup.pagerank with sources) — the
+    related-items / recommendation form: the walk teleports to a 3-part
+    source set (the graph's three smallest vertex ids — a spec both
+    engines can derive), so ranks measure proximity to those parts in the
+    co-purchase graph rather than global centrality. Same bit-exact
+    ordered-fold gather as global PageRank; the oracle replays teleport
+    membership, the concentrated initial mass, and all three iterations."""
+    from pypeln_spark.ext.dedup import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    srcs = [
+        r.u
+        for r in edges.select(F.explode(F.array("id_a", "id_b")).alias("u"))
+        .distinct()
+        .orderBy("u")
+        .limit(3)
+        .collect()
+    ]
+    return pagerank(edges, iters=3, damping=0.85, sources=srcs)
+
+
 @register("graph_pagerank_part_cooccurrence", oracle=_pagerank_oracle())
 def graph_pagerank_part_cooccurrence(spark, sf_dir):
     """PageRank (ext/dedup.pagerank, 3 power iterations, d=0.85) over the
