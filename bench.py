@@ -78,6 +78,7 @@ HEADLINE = [
     "graph_pagerank_part_cooccurrence",
     "dedup_incremental_vs_corpus",
     "embedding_quantize_int8",
+    "search_hybrid_rrf",
 ]
 
 
