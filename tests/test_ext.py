@@ -1462,3 +1462,37 @@ def test_quantize_int8_error_bound_and_edges(spark):
             assert abs(x - c * r.scale) <= r.scale / 2 * (1 + 1e-12)
             if abs(x) == mx:
                 assert abs(c) == 127
+
+
+def test_personalized_pagerank_concentrates_on_sources(spark):
+    """PPR on the star K1,4 with sources={1}: mass concentrates near the
+    source — the source leaf outranks the other leaves, ranks match a
+    pure-Python replay of the exact spec, and the global variant's uniform
+    teleport differs from PPR's."""
+    from pypeln_spark.ext.dedup import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    got = {r.vertex: r["rank"]
+           for r in pagerank(edges, iters=3, sources=[1]).collect()}
+    d = 0.85
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    rank = {v: (1.0 if v == 1 else 0.0) for v in deg}
+    for _ in range(3):
+        contribs = {v: [] for v in deg}
+        for u in range(1, 5):
+            contribs[u].append((0, rank[0] / deg[0]))
+            contribs[0].append((u, rank[u] / deg[u]))
+        new = {}
+        for v in deg:
+            s = 0.0
+            for _u, c in sorted(contribs[v]):
+                s = s + c
+            base = (1.0 - d) / 1 if v == 1 else 0.0
+            new[v] = base + d * s
+        rank = new
+    assert got == rank
+    assert got[1] > got[2] == got[3] == got[4]
+    glob = {r.vertex: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert glob != got
