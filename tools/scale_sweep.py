@@ -51,6 +51,9 @@ SWEEP = [
     "multimodal_real_decode_pnm",
     "sketch_quantile_global_histogram",
     "streaming_merge_upsert_orders",
+    "graph_pagerank_part_cooccurrence",
+    "search_hybrid_rrf",
+    "embedding_quantize_int8",
 ]
 
 KEYED = {
