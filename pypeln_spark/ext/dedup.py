@@ -439,21 +439,24 @@ def build_corpus_index(
     bands: int = 8,
 ) -> tuple:
     """Build the persistent LSH index for dedup_against_corpus: (shingle
-    arrays, band table). In a deployment both are TABLES maintained
-    append-only as batches are absorbed; in-session, route each through
-    similarity.cached_index so repeated batch absorptions (bench runs,
-    notebooks) pay the corpus scan once."""
+    arrays, band table, params). In a deployment both frames are TABLES
+    maintained append-only as batches are absorbed; in-session, route each
+    through similarity.cached_index so repeated batch absorptions (bench
+    runs, notebooks) pay the corpus scan once. The third element records
+    the (k, n_hashes, bands) the index was built with —
+    dedup_against_corpus verifies them, because an index built with
+    different shingling/banding parameters would silently match wrong."""
     cor_sh = shingle_arrays(spread(corpus_df), text_col, id_col, k)
     cor_bands = lsh_band_table(
         minhash_signatures_wide(cor_sh, id_col, n_hashes),
         id_col, bands, n_hashes // bands,
     )
-    return cor_sh, cor_bands
+    return cor_sh, cor_bands, {"k": k, "n_hashes": n_hashes, "bands": bands}
 
 
 def dedup_against_corpus(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: tp.Optional[DataFrame] = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
@@ -469,13 +472,31 @@ def dedup_against_corpus(
     state a deployment maintains as a persistent LSH index (append-only:
     lsh_band_table rows for each absorbed batch) — so the per-batch cost is
     ∝ |new| × bands for candidates plus the verify joins, while the corpus
-    is scanned once, never self-joined. Pass ``corpus_index=(shingles,
-    band_table)`` (from build_corpus_index, ideally via
-    similarity.cached_index) to reuse a maintained index instead of
-    rebuilding the corpus side per batch. Returns (new_id, corpus_id,
-    jaccard) for matches ≥ threshold; anti-join new_df on new_id against
-    this to keep only novel documents."""
+    is scanned once, never self-joined. Pass ``corpus_index`` (from
+    build_corpus_index, ideally via similarity.cached_index) to reuse a
+    maintained index instead of rebuilding the corpus side per batch —
+    ``corpus_df`` is then unused and may be omitted. An index carrying its
+    build params (the 3-tuple build_corpus_index returns) is verified
+    against this call's (k, n_hashes, bands): mismatched shingling or
+    banding would otherwise produce silently wrong matches, not an error.
+    Returns (new_id, corpus_id, jaccard) for matches ≥ threshold;
+    anti-join new_df on new_id against this to keep only novel
+    documents."""
     retire_pipeline_caches()
+    if corpus_df is None and corpus_index is None:
+        raise ValueError(
+            "dedup_against_corpus: pass corpus_df or corpus_index "
+            "(from build_corpus_index)"
+        )
+    if corpus_index is not None and len(corpus_index) >= 3:
+        got = corpus_index[2]
+        want = {"k": k, "n_hashes": n_hashes, "bands": bands}
+        if got != want:
+            raise ValueError(
+                f"dedup_against_corpus: corpus_index was built with {got}, "
+                f"but this call uses {want} — matches would be silently "
+                "wrong; rebuild the index or align the parameters"
+            )
     rpb = n_hashes // bands
     # eager counts: each shingle table feeds its signature projection AND a
     # verify-join side — racing consumers within one action would each
@@ -483,7 +504,7 @@ def dedup_against_corpus(
     new_sh = pool_persist(shingle_arrays(spread(new_df), text_col, id_col, k))
     new_sh.count()
     if corpus_index is not None:
-        cor_sh, cor_band_raw = corpus_index
+        cor_sh, cor_band_raw = corpus_index[0], corpus_index[1]
     else:
         cor_sh = pool_persist(shingle_arrays(spread(corpus_df), text_col, id_col, k))
         cor_sh.count()

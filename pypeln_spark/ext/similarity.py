@@ -62,6 +62,18 @@ def trained_artifact(spark, key: tuple, build: tp.Callable[[], DataFrame]) -> Da
 _INDEX_CACHE: tp.Dict[tuple, DataFrame] = {}
 
 
+def _session_alive(df: DataFrame) -> bool:
+    """True iff the session that built ``df`` can still run jobs. A
+    persisted frame outlives neither its SparkContext nor its JVM-side
+    session; after stop() the context's _jsc is cleared, and a frame from
+    a dead session fails obscurely at action time."""
+    try:
+        sc = df.sparkSession._sc
+        return sc._jsc is not None and not sc._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
 def cached_index(key: tuple, build: tp.Callable[[], DataFrame]) -> DataFrame:
     """Session-scope persisted INDEX frames (PQ code tables, inverted
     lists) — the 'add' half of the train/add split, complementing
@@ -71,10 +83,17 @@ def cached_index(key: tuple, build: tp.Callable[[], DataFrame]) -> DataFrame:
     in the invocation-scoped pipeline cache pool (retire_pipeline_caches)
     — an index is long-lived state reused across queries, the in-session
     stand-in for the index table a production deployment writes once and
-    scans thereafter. Entries live until the session ends or drop_index()."""
+    scans thereafter. Entries live until the session ends or drop_index().
+    Unlike trained_artifact (which replays collected rows into whatever
+    session asks), a cached frame is BOUND to the session that built it —
+    if that session was stopped and a new one created in-process, the
+    stale entry is discarded and the index rebuilt in the live session."""
     from pyspark import StorageLevel
 
     df = _INDEX_CACHE.get(key)
+    if df is not None and not _session_alive(df):
+        _INDEX_CACHE.pop(key, None)
+        df = None
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
         _INDEX_CACHE[key] = df

@@ -12,6 +12,7 @@ import os
 import typing as tp
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .stage import Stage
 
@@ -221,6 +222,33 @@ def overwrite_partitions(stage_or_df, path: str, partition_by):
         spark.conf.set(key, prev)
 
 
+def _hive_partition_cols(path: str, data_files: tp.List[str]) -> tp.List[str]:
+    """Discover a Hive ``k=v`` directory layout from the data files' paths.
+
+    Returns the ordered partition column names, or [] for a flat layout.
+    Raises on an inconsistent layout (files at mixed depths / mismatched
+    column names) — compacting such a directory would corrupt it."""
+    layouts = set()
+    for f in data_files:
+        rel = os.path.relpath(f, path)
+        dirs = [d for d in os.path.dirname(rel).split(os.sep) if d and d != "."]
+        cols = tuple(d.split("=", 1)[0] for d in dirs if "=" in d)
+        if len(cols) != len(dirs):
+            # a non k=v subdirectory holding data files — not Hive layout;
+            # refuse rather than silently flatten it
+            raise ValueError(
+                f"compact_parquet: non-partition subdirectory in {rel!r}; "
+                "refusing to compact a directory whose layout it would destroy"
+            )
+        layouts.add(cols)
+    if len(layouts) > 1:
+        raise ValueError(
+            f"compact_parquet: inconsistent partition layouts {sorted(layouts)} "
+            f"under {path}"
+        )
+    return list(layouts.pop()) if layouts else []
+
+
 def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
@@ -232,31 +260,106 @@ def compact_parquet(
     task plus footer/open overhead, so a directory of 10k small files can
     be 10-100× slower to read than the same bytes in right-sized files —
     compaction is the standing maintenance job every long-lived dataset
-    runs. Target count = ceil(input bytes / target); the data is rewritten
-    through one round-robin repartition (no key skew — this is layout, not
-    semantics) into a temp sibling, then swapped in. The swap is two
-    renames, not a transaction — a table format (Iceberg/Delta) does this
-    step atomically; on a plain directory, schedule compaction when no
+    runs.
+
+    Hive-partitioned roots (``k=v`` subdirectories) are compacted
+    layout-preserving: the rewrite re-emits the same partitionBy directory
+    tree (partition values round-trip as verbatim strings — type inference
+    is disabled for the compaction read so ``p=3`` comes back as ``p=3``,
+    never retyped), so partition pruning and overwrite_partitions keep
+    working on the compacted root. Each partition gets
+    ceil(partition_bytes / target) output files via an in-partition salt,
+    so one global shuffle sizes every partition's files independently —
+    no driver loop over partitions, no one-giant-file-per-key skew.
+
+    Safety: the rewritten tree is row-count-verified against the original
+    BEFORE anything is deleted; on mismatch the original is untouched and
+    the temp output is removed. The swap itself is two directory renames —
+    not atomic (a table format does this transactionally); if the second
+    rename fails the first is rolled back. Schedule compaction when no
     readers race it. Returns {files_before, files_after, bytes}."""
     import glob as _glob
     import shutil
 
     sp = _spark(spark)
-    parts = [
-        f for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-    ]
+
+    def _data_files(root: str) -> tp.List[str]:
+        out = []
+        for f in _glob.glob(os.path.join(root, "**", "*"), recursive=True):
+            rel = os.path.relpath(f, root)
+            segs = rel.split(os.sep)
+            if os.path.isfile(f) and not any(
+                s.startswith(("_", ".")) for s in segs
+            ):
+                out.append(f)
+        return out
+
+    parts = _data_files(path)
+    part_cols = _hive_partition_cols(path, parts)
     total = sum(os.path.getsize(f) for f in parts)
-    n = max(1, -(-total // int(target_file_bytes)))
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__precompact"
-    sp.read.parquet(path).repartition(int(n)).write.parquet(tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = sp.conf.get(infer_key, "true")
+    sp.conf.set(infer_key, "false")
+    try:
+        src = sp.read.parquet(path)
+        if not part_cols:
+            n = max(1, -(-total // int(target_file_bytes)))
+            src.repartition(int(n)).write.parquet(tmp)
+        else:
+            # per-leaf byte totals → files per partition, keyed on the
+            # verbatim (unescaped) string partition values
+            from urllib.parse import unquote
+
+            leaf_bytes: tp.Dict[tuple, int] = {}
+            for f in parts:
+                rel = os.path.dirname(os.path.relpath(f, path))
+                vals = tuple(
+                    unquote(d.split("=", 1)[1]) for d in rel.split(os.sep)
+                )
+                leaf_bytes[vals] = leaf_bytes.get(vals, 0) + os.path.getsize(f)
+            counts = [
+                vals + (max(1, -(-b // int(target_file_bytes))),)
+                for vals, b in leaf_bytes.items()
+            ]
+            total_n = sum(c[-1] for c in counts)
+            nf = sp.createDataFrame(counts, part_cols + ["__nf"])
+            salted = (
+                src.join(F.broadcast(nf), part_cols)
+                .withColumn(
+                    "__salt",
+                    F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.col("__nf")),
+                )
+            )
+            (
+                salted.repartition(int(total_n), *part_cols, F.col("__salt"))
+                .drop("__nf", "__salt")
+                .write.partitionBy(*part_cols)
+                .parquet(tmp)
+            )
+        # verify before anything is deleted: the original stays authoritative
+        # until the rewrite is proven complete
+        n_src = sp.read.parquet(path).count()
+        n_tmp = sp.read.parquet(tmp).count()
+        if n_src != n_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_parquet: rewrite of {path} produced {n_tmp} rows, "
+                f"expected {n_src}; original left untouched"
+            )
+    finally:
+        sp.conf.set(infer_key, prev_infer)
+
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll the first rename back — dataset stays visible
+        raise
     shutil.rmtree(old)
-    after = [
-        f for f in _glob.glob(os.path.join(path, "*.parquet"))
-        if os.path.isfile(f)
-    ]
+    after = _data_files(path)
     return {"files_before": len(parts), "files_after": len(after), "bytes": total}

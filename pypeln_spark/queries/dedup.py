@@ -367,6 +367,9 @@ def dedup_incremental_vs_corpus(spark, sf_dir):
         ),
     )
     return D.dedup_against_corpus(
-        new, corpus, n_hashes=N_HASHES, bands=BANDS,
-        threshold=JACCARD_THRESHOLD, corpus_index=(cor_sh, cor_bands),
+        new, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+        corpus_index=(
+            cor_sh, cor_bands,
+            {"k": 5, "n_hashes": N_HASHES, "bands": BANDS},
+        ),
     )

@@ -566,9 +566,11 @@ def graph_pagerank_part_cooccurrence(spark, sf_dir):
     """PageRank (ext/dedup.pagerank, 3 power iterations, d=0.85) over the
     same part co-purchase graph as the triangles query — the iterative
     Pregel-style algorithm family, fully oracle-replayed: edge
-    contributions are order-free IEEE divisions and the per-vertex
-    gather folds through decimal(38,18), so DuckDB reproduces every rank
-    bit for bit, unrolled CTE by unrolled CTE."""
+    contributions are order-free IEEE divisions and the per-vertex gather
+    is a source-ordered IEEE-double left-fold (no decimal cast anywhere —
+    both engines fold neighbor contributions in the same sorted order), so
+    DuckDB reproduces every rank bit for bit, unrolled CTE by unrolled
+    CTE."""
     from pypeln_spark.ext.dedup import pagerank
 
     return pagerank(_copurchase_edges(spark, sf_dir), iters=3, damping=0.85)

@@ -1038,7 +1038,15 @@ def streaming_merge_upsert_orders(spark, sf_dir):
 
     ST.staged_foreach_batch(spark, [b0, b1, b2], apply_epoch)
     final = spark.read.parquet(state["path"])
-    return final.groupBy("status").agg(
+    agg = final.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total_price"),
     )
+    # materialize the (≤ #statuses rows) aggregate so the state epochs can
+    # be deleted NOW instead of accumulating across bench/registry sweeps —
+    # the returned frame would otherwise lazily re-read the state parquet
+    rows, schema = agg.collect(), agg.schema
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -16,11 +16,21 @@ paces the source instead of blocking producers.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import typing as tp
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _rm_dirs(*dirs: str) -> None:
+    """Best-effort removal of harness scratch dirs (checkpoints, staged
+    source feeds). Every mkdtemp a drive-to-completion harness creates is
+    dead the moment its query stops — leaving them accumulates unbounded
+    on-disk garbage across bench/registry sweeps."""
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def read_stream_parquet(
@@ -133,6 +143,7 @@ def run_to_memory(
             q.processAllAvailable()
         finally:
             q.stop()
+            _rm_dirs(ckpt)  # memory-sink rows live on the driver, not in ckpt
     return spark.table(name)
 
 
@@ -154,6 +165,7 @@ def run_foreach_batch(
             q.processAllAvailable()
         finally:
             q.stop()
+            _rm_dirs(ckpt)
 
 
 class rocksdb_state:
@@ -217,6 +229,7 @@ def staged_foreach_batch(
                 q.processAllAvailable()
         finally:
             q.stop()
+            _rm_dirs(src_dir, ckpt)
 
 
 def staged_replay(
@@ -253,4 +266,5 @@ def staged_replay(
                 q.processAllAvailable()
         finally:
             q.stop()
+            _rm_dirs(src_dir, ckpt)  # memory-sink rows live on the driver
     return spark.table(name)

@@ -1496,3 +1496,59 @@ def test_personalized_pagerank_concentrates_on_sources(spark):
     assert got[1] > got[2] == got[3] == got[4]
     glob = {r.vertex: r["rank"] for r in pagerank(edges, iters=3).collect()}
     assert glob != got
+
+
+def test_dedup_against_corpus_verifies_index_params(spark):
+    """ADVICE r4: a corpus_index built with different (k, n_hashes, bands)
+    must raise instead of silently matching wrong; corpus_df becomes
+    optional once an index is supplied."""
+    from pypeln_spark.ext import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "the quick brown fox jumps over the lazy dog again"),
+         (3, "completely different text with no overlap whatsoever here")],
+        "doc_id long, text string",
+    )
+    idx = D.build_corpus_index(docs, k=5, n_hashes=32, bands=8)
+    assert len(idx) == 3 and idx[2] == {"k": 5, "n_hashes": 32, "bands": 8}
+    with pytest.raises(ValueError, match="built with"):
+        D.dedup_against_corpus(
+            docs, n_hashes=16, bands=4, corpus_index=idx
+        )
+    with pytest.raises(ValueError, match="corpus_df or corpus_index"):
+        D.dedup_against_corpus(docs)
+    # matching params: runs without corpus_df, finds the 1↔2 duplicate
+    out = D.dedup_against_corpus(
+        docs.filter("doc_id = 1"), n_hashes=32, bands=8, corpus_index=idx
+    )
+    pairs = {(r.new_id, r.corpus_id) for r in out.collect() if r.corpus_id != 1}
+    assert (1, 2) in pairs
+
+
+def test_cached_index_rebuilds_for_dead_session(spark):
+    """ADVICE r4: a cached index frame bound to a stopped SparkSession must
+    be discarded and rebuilt, not handed back to fail obscurely."""
+    from pypeln_spark.ext import similarity as S
+
+    class _DeadSession:
+        @property
+        def _sc(self):
+            raise RuntimeError("session stopped")
+
+    class _DeadFrame:
+        sparkSession = _DeadSession()
+
+    key = ("test_dead_session_idx",)
+    S._INDEX_CACHE[key] = _DeadFrame()
+    try:
+        fresh = spark.range(3)
+        got = S.cached_index(key, lambda: fresh)
+        assert got is not S._INDEX_CACHE.get("never")  # sanity
+        assert not isinstance(got, _DeadFrame)
+        assert got.count() == 3
+        # and a live entry is returned as-is, not rebuilt
+        again = S.cached_index(key, lambda: (_ for _ in ()).throw(AssertionError))
+        assert again is got
+    finally:
+        S.drop_index(key)

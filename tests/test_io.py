@@ -2,6 +2,8 @@
 formats keep the pushdown story (the reference has no connectors at all —
 SURVEY.md §2.2 — so this surface is pure Spark-native addition)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -217,3 +219,42 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert after == before
     assert not (tmp_path / "tiny__compacting").exists()
     assert not (tmp_path / "tiny__precompact").exists()
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """ADVICE r4 (medium): compacting a Hive-partitioned root must keep the
+    k=v directory layout (partition pruning + overwrite_partitions depend
+    on it), re-emit verbatim partition values, and count files recursively
+    on both sides."""
+    import pypeln_spark as pl
+
+    root = str(tmp_path / "parts")
+    df = spark.range(6_000).selectExpr("id AS k", "id % 3 AS p", "id * 2 AS v")
+    df.repartition(16).write.partitionBy("p").parquet(root)
+    before = sorted(
+        (r.k, int(r.p), r.v) for r in spark.read.parquet(root).collect()
+    )
+    stats = pl.compact_parquet(root, target_file_bytes=1 << 30, spark=spark)
+    # layout preserved: the same p=0/1/2 dirs, one data file in each
+    subdirs = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    assert subdirs == ["p=0", "p=1", "p=2"]
+    assert stats["files_before"] >= 16
+    assert 3 <= stats["files_after"] <= 6  # ~1 per partition, counted recursively
+    again = spark.read.parquet(root)
+    # partition column still prunes (still typed at read via inference)
+    assert again.filter("p = 1").count() == 2_000
+    after = sorted((r.k, int(r.p), r.v) for r in again.collect())
+    assert after == before
+
+
+def test_compact_parquet_refuses_non_hive_subdirs(spark, tmp_path):
+    """A data-bearing subdirectory that is NOT k=v layout must raise — the
+    old behavior silently flattened it."""
+    import pypeln_spark as pl
+
+    root = tmp_path / "nested"
+    spark.range(10).write.parquet(str(root / "sub"))
+    with pytest.raises(ValueError, match="non-partition subdirectory"):
+        pl.compact_parquet(str(root), spark=spark)

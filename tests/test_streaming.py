@@ -2,6 +2,8 @@
 multi-microbatch state accumulation, watermark drops across staged batches,
 and as-of join lowering equivalence."""
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -787,3 +789,39 @@ def test_windowed_agg_restart_exactly_once(spark, tmp_path):
     got = sorted((r.ws.hour, r.k, r.n) for r in spark.read.parquet(out).collect())
     # every real window emitted exactly once; the flush window stays open
     assert got == [(0, 1, 2), (1, 2, 1), (2, 2, 1), (3, 1, 1)]
+
+
+def test_harness_scratch_dirs_are_cleaned(spark, tmp_path):
+    """ADVICE r4: staged_replay / staged_foreach_batch / run_to_memory must
+    not leave mkdtemp checkpoint+source garbage behind — a bench sweep runs
+    hundreds of these."""
+    import glob as _glob
+    import tempfile
+
+    def scratch():
+        return {
+            d
+            for d in _glob.glob(
+                os.path.join(tempfile.gettempdir(), "pypeln_spark_*")
+            )
+        }
+
+    before = scratch()
+    b = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = ST.staged_replay(
+        spark, [b, b], lambda s: s.groupBy("v").count(), output_mode="complete"
+    )
+    assert out.count() == 2
+    seen = {"n": 0}
+    ST.staged_foreach_batch(
+        spark, [b], lambda df, eid: seen.__setitem__("n", seen["n"] + df.count())
+    )
+    assert seen["n"] == 2
+    leaked = {
+        d
+        for d in scratch() - before
+        if "pypeln_spark_replay_" in d
+        or "pypeln_spark_cdc_" in d
+        or "pypeln_spark_ckpt_" in d
+    }
+    assert leaked == set(), f"harness left scratch dirs: {leaked}"
