@@ -79,6 +79,11 @@ HEADLINE = [
     "dedup_incremental_vs_corpus",
     "embedding_quantize_int8",
     "search_hybrid_rrf",
+    # -- round-5 additions --
+    "dedup_containment_pairs",
+    "graph_lpa_part_cooccurrence",
+    "ann_recall_eval_ivf",
+    "curation_token_budget",
 ]
 
 

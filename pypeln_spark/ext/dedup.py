@@ -332,11 +332,19 @@ def jaccard_pairs_from_candidates(
     doc_sh: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: join each side's shingle ARRAY onto
     the pair row, one vectorized array_intersect per pair. Two hash joins on
     doc ids; zero per-shingle shuffle. Integer sizes → double division:
     deterministic.
+
+    ``measure="containment"`` swaps the denominator for min(|A|, |B|) —
+    max-containment, the quote/subset-duplication detector: a short doc
+    fully embedded in a long one scores 1.0 where Jaccard stays low
+    (|A∩B|/|A∪B| shrinks with the size gap). Same joins, same intersect;
+    only the final scalar changes, and the output column is named
+    ``containment``.
 
     The explicit repartition on the pair side is load-bearing: AQE sizes the
     candidate shuffle by the bytes it WRITES (skinny (id_a, id_b) rows) and
@@ -354,19 +362,21 @@ def jaccard_pairs_from_candidates(
     a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"))
     b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    if measure == "containment":
+        out_col = "containment"
+        denom = F.least(F.size(F.col("sh_a")), F.size(F.col("sh_b")))
+    elif measure == "jaccard":
+        out_col = "jaccard"
+        denom = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_inter")
+    else:  # pragma: no cover
+        raise ValueError(f"unknown measure {measure!r}")
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("n_inter", n_inter)
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_inter")).cast(
-                "double"
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(out_col, F.col("n_inter").cast("double") / denom.cast("double"))
+        .filter(F.col(out_col) >= threshold)
+        .select("id_a", "id_b", out_col)
     )
 
 
@@ -381,8 +391,17 @@ def minhash_lsh_dedup(
     persist: bool = True,
     hasher=None,
     impl: str = "catalyst",
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    ``measure="containment"`` verifies candidates with max-containment
+    |A∩B| / min(|A|, |B|) instead of Jaccard (see
+    jaccard_pairs_from_candidates) — the quote/subset detector. Note the
+    LSH candidate stage still recalls by JACCARD (MinHash collision
+    probability is the Jaccard), so high-containment pairs with very
+    skewed sizes may not surface as candidates; that selectivity is part
+    of the spec and the oracle replays it.
 
     ``impl="numpy"`` swaps the shingle+signature stage for shingle_sigs_np
     (one vectorized Arrow pass, bit-identical outputs over the same frozen
@@ -427,7 +446,7 @@ def minhash_lsh_dedup(
             wide = pool_persist(wide)
             wide.count()
     cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
-    return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
+    return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold, measure)
 
 
 def build_corpus_index(
@@ -1001,6 +1020,73 @@ def pagerank(
             )
         )
     return ranks.select("vertex", "rank")
+
+
+def label_propagation(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", iters: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over an
+    undirected graph — deterministic by construction so it keeps a full
+    SQL oracle. Unlike min-label connected components (which converges to
+    one label per component), LPA finds DENSE regions inside a component:
+    each vertex adopts the label held by the most of its neighbors.
+
+    Spec (fixed, both engines replay it exactly):
+
+    - label_0(v) = v;
+    - each of the fixed ``iters`` rounds, label_{t+1}(v) = the neighbor
+      label with the highest count, ties broken by SMALLEST label — a
+      total order, so no engine-dependent tie behavior (classic async LPA
+      breaks ties randomly; this is the deterministic synchronous form);
+    - isolated vertices don't occur (every vertex is an edge endpoint).
+
+    Scale shape (mirrors pagerank): the symmetrized edge list is
+    hash-partitioned by neighbor id ONCE and reused every round, so the
+    per-round label join co-locates on that partitioning and only the
+    (vertex, label) frame — |V| skinny rows — reshuffles; the per-(v,
+    label) count is a partial-aggregated groupBy and the argmax is a
+    row_number window over the SAME v-partitioning (no extra exchange).
+    Integer-only state: no float drift anywhere. Per-round lineage is two
+    joins deep; for iters beyond ~10 add the connected_components-style
+    localCheckpoint truncation."""
+    from pyspark.sql import Window
+
+    retire_pipeline_caches()
+    sc = edges.sparkSession.sparkContext
+    # dedupe + symmetrize (multi-edges would inflate a neighbor's vote —
+    # same simple-graph convention as pagerank/triangle_count)
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionAll(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    # partition by u (the label-carrying side of the per-round join) ONCE
+    # and PERSIST — same discipline as pagerank's degree-tagged edge frame:
+    # without the persist each round's lazy plan re-derives the whole
+    # edge-build subtree (.explain showed the co-occurrence join replayed
+    # per round); with it, every round's join reads the cached partitioning
+    sym = pool_persist(sym.repartition(sc.defaultParallelism, F.col("u")))
+    sym.count()
+    labels = sym.select(F.col("u").alias("vertex")).distinct().withColumn(
+        "label", F.col("vertex")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        # labels derives FROM sym, so this is a shared-lineage self-join —
+        # explicit aliases keep the join keys resolving to the intended
+        # sides (attribute-reference equality would be ambiguous)
+        cnt = (
+            sym.alias("s")
+            .join(labels.alias("l"), F.col("s.u") == F.col("l.vertex"))
+            .groupBy(F.col("s.v").alias("v"), F.col("l.label").alias("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("vertex"), "label")
+        )
+    return labels
 
 
 def triangle_count(

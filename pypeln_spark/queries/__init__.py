@@ -56,66 +56,16 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-4 rotation (VERDICT r3 "Next round" #1): the front 50 is exactly the
-# 52-query never-driver-checked set minus the two deferred TPC-H analogues
-# (q13_customer_order_distribution, q14_promo_revenue_share — both already
-# green in the local full-registry DuckDB gate), which lead the r5 window
-# together with any queries added this round. Every name below has zero
-# driver correctness rows across r1–r3; all are green in
-# tests/test_correctness_gate.py. pipeline_datasource_source is deliberately
-# first (VERDICT #6: never drop it from the window).
+# Round-5 rotation: after r4, EVERY pre-r4 registry entry has a driver-green
+# row. The front 50 is therefore (a) the 11 queries added late in r4 that
+# have never been driver-checked, (b) the 4 queries added this round
+# (containment dedup, LPA communities, ANN recall eval, token budget), then
+# (c) re-confirmation of the STALEST green rows — all 13 queries last
+# checked in r1, plus the oldest 22 of the r2 cohort — so regressions can't
+# hide behind old green rows. All 178 entries stay covered every session by
+# the local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
-    "pipeline_datasource_source",
-    "pipeline_flat_map_udtf",
-    "pipeline_observe_metrics",
-    "curation_source_mix",
-    "text_unigram_lm_quality",
-    "ann_pq_adc_topk",
-    "ann_knn_classify",
-    "ann_ivf_pq_topk",
-    "q2_min_cost_supplier",
-    "q4_order_priority_checking",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_part_values",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_excess_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "events_retention_cohorts",
-    "full_outer_month_spenders",
-    "group_map_median_chars",
-    "group_agg_udaf_midrange",
-    "fuzzy_join_supplier_names",
-    "events_gapfill_hourly",
-    "events_scd2_status_intervals",
-    "window_distribution_gauntlet",
-    "merge_upsert_orders",
-    "recursive_cte_ancestry",
-    "variant_nested_event_doc",
-    "variant_props_rollup",
-    "streaming_variant_props_rollup",
-    "quality_expectations_lineitem",
-    "quality_profile_orders",
-    "ivm_orders_priority_merge",
-    "quality_table_diff_orders",
-    "events_value_anomalies",
-    "events_rolling_24h_stats",
-    "histogram_equi_depth_by_type",
-    "bloom_pruned_join_revenue",
-    "zorder_layout_events",
-    "graph_triangles_part_cooccurrence",
-    "streaming_funnel_stages",
-    "asof_join_with_tolerance",
-    "streaming_interval_left_join",
-    "streaming_asof_static_enrich",
-    # -- r5 front: deferred + anything added in round 4 --
+    # -- (a) r4 additions, never driver-checked --
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
     "multimodal_real_decode_pnm",
@@ -127,6 +77,48 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "search_hybrid_rrf",
     "graph_ppr_part_cooccurrence",
+    # -- (b) r5 additions --
+    "dedup_containment_pairs",
+    "graph_lpa_part_cooccurrence",
+    "ann_recall_eval_ivf",
+    "curation_token_budget",
+    # -- (c) stalest greens: the full r1 cohort... --
+    "subquery_orders_above_avg",
+    "correlated_max_quantity_items",
+    "grouping_sets_orders",
+    "array_function_gauntlet",
+    "unpivot_order_status_counts",
+    "manual_median_price_by_priority",
+    "cheapest_item_supplier_per_part",
+    "nation_pair_trade_volume",
+    "not_in_parts_never_shipped",
+    "window_navigation_gauntlet",
+    "listagg_region_nations",
+    "stats_moments_by_event_type",
+    "skew_salted_event_totals",
+    # -- ...then the oldest 22 of the r2 cohort --
+    "pipeline_map_revenue",
+    "pipeline_map_python_udf",
+    "pipeline_map_rows_python",
+    "pipeline_filter_shipdate",
+    "pipeline_flat_map_tokens",
+    "pipeline_flat_map_python",
+    "pipeline_concat_parties",
+    "pipeline_ordered_lineitem",
+    "pipeline_unbounded_pump",
+    "multimodal_asset_feature_stats",
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    "agg_nation_customer_stats",
+    "groupby_having_hot_parts",
+    "count_distinct_parts_by_brand",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_join_auto_orders",
+    "anti_join_idle_customers",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_lag_order_gap_days",
 ]
 
 

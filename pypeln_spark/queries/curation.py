@@ -320,3 +320,58 @@ def curation_source_mix(spark, sf_dir):
             "token_share"
         ),
     )
+
+
+@register(
+    "curation_token_budget",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per),
+    cum AS (
+      SELECT source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY n_tokens DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM per
+    )
+    SELECT c.source, c.n_tokens, c.cum_tokens,
+           c.cum_tokens * 2 <= t.total_tokens AS in_budget
+    FROM cum c CROSS JOIN tot t
+    """,
+)
+def curation_token_budget(spark, sf_dir):
+    """Token-budget planning for a data mix: per-source token totals taken
+    greedily largest-first against a budget of HALF the corpus — the
+    prefix-selection every pretraining recipe computes when deciding which
+    sources fit a token target (the flag is integer-exact: 2·cum ≤ total,
+    no float share). Scale: a partial-aggregated groupBy on the tiny
+    source key space, one single-partition window over #sources rows
+    (fine — the frame IS #sources), and a one-row total broadcast back;
+    no shuffle carries text."""
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    per = (
+        docs.select("source", toks.alias("_t"))
+        .groupBy("source")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    w = (
+        Window.orderBy(F.col("n_tokens").desc(), F.col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(tot))
+        .select(
+            "source", "n_tokens", "cum_tokens",
+            (F.col("cum_tokens") * 2 <= F.col("total_tokens")).alias("in_budget"),
+        )
+    )

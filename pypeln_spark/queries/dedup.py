@@ -125,6 +125,55 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SH_CTE}, {_MH_CTE},
+    banded AS (
+      SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Max-containment near-dedup (ext/dedup.minhash_lsh_dedup with
+    measure="containment"): |A∩B| / min(|A|, |B|) — the quote/subset
+    detector a crawl pipeline runs alongside Jaccard, since a short doc
+    embedded verbatim in a long one scores containment 1.0 while its
+    Jaccard shrinks with the size gap. Same MinHash-LSH candidate stage
+    (recalled BY Jaccard — that selectivity is part of the spec and the
+    oracle replays it); only the verify scalar changes."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, n_hashes=N_HASHES, bands=BANDS,
+        threshold=CONTAINMENT_THRESHOLD, measure="containment",
+    )
+
+
 @register(
     "dedup_minhash_lsh_fast",
     oracle=f"""

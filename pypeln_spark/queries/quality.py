@@ -576,6 +576,52 @@ def graph_pagerank_part_cooccurrence(spark, sf_dir):
     return pagerank(_copurchase_edges(spark, sf_dir), iters=3, damping=0.85)
 
 
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous label-propagation twin of
+    ext/dedup.label_propagation: same edge spec as the other graph queries,
+    per-round most-frequent-neighbor-label argmax with the (count DESC,
+    label ASC) total-order tie-break — integer-only, so bit-identity needs
+    no float convention at all."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    l0 AS (SELECT DISTINCT u AS vertex, u AS label FROM sym)
+    """
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    cnt{i} AS (SELECT s.v AS vertex, l.label, COUNT(*) AS c
+               FROM sym s JOIN l{i - 1} l ON l.vertex = s.u
+               GROUP BY s.v, l.label),
+    l{i} AS (SELECT vertex, label FROM (
+               SELECT vertex, label,
+                      ROW_NUMBER() OVER (PARTITION BY vertex
+                                         ORDER BY c DESC, label) AS rn
+               FROM cnt{i}) WHERE rn = 1)
+    """
+    return head + body + f"SELECT vertex, label FROM l{iters}"
+
+
+@register("graph_lpa_part_cooccurrence", oracle=_lpa_oracle())
+def graph_lpa_part_cooccurrence(spark, sf_dir):
+    """Label-propagation community detection (ext/dedup.label_propagation,
+    3 synchronous rounds, deterministic (count DESC, label ASC) tie-break)
+    over the shared part co-purchase graph — finds DENSE regions inside a
+    component where connected components would collapse everything to one
+    label. Integer-only state, so the unrolled SQL oracle replays every
+    round exactly."""
+    from pypeln_spark.ext.dedup import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf_dir), iters=3)
+
+
 @register(
     "graph_triangles_part_cooccurrence",
     oracle="""

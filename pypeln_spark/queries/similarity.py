@@ -896,3 +896,100 @@ def search_hybrid_rrf(spark, sf_dir):
         F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("rank")
     )
     return X.rrf_fuse([sparse, dense], id_col="doc_id", k_rrf=60, topk=10)
+
+
+@register(
+    "ann_recall_eval_ivf",
+    oracle=f"""
+    WITH {_E_CTE},
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM ex_scored)
+      WHERE rank <= {K}
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {N_CELLS}),
+    ascore AS (
+      SELECT x.vec_id, x.v, x.nrm, c.cid,
+             {_dot("x.v", "c.cv")} / (x.nrm * c.cn) AS ccos
+      FROM n x JOIN cent c ON TRUE
+    ),
+    ranked AS (
+      SELECT vec_id, v, nrm, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+      FROM ascore
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE crank = 1),
+    probes AS (SELECT vec_id, v, nrm, cid FROM ranked
+               WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),
+    iv_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM probes q JOIN cells c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+    ),
+    iv_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM iv_scored)
+      WHERE rank <= {K}
+    ),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM ex_top x JOIN iv_top i
+        ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+      GROUP BY x.query_id
+    ),
+    base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex_top GROUP BY query_id)
+    SELECT b.query_id, b.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+             AS recall
+    FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+    """,
+)
+def ann_recall_eval_ivf(spark, sf_dir):
+    """Retrieval-quality EVALUATION: recall@k of the IVF retriever against
+    the exact brute-force ground truth, per query — the measurement every
+    ANN deployment runs before trading recall for speed (FAISS's
+    eval loop as a query). Both retrievers are the registry's own
+    deterministic pipelines, so the oracle replays retrieval AND
+    ground truth and the recall numbers themselves are value-checked.
+    Scale: ground truth is computed on a SAMPLE of queries (here the
+    N_QUERIES query set) — the corpus-side cost is the guarded brute-force
+    baseline's, which is exactly why recall eval runs on samples, not the
+    full query log."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    ex = S.cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    iv = S.ivf_topk(emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ex.join(iv, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )

@@ -1552,3 +1552,54 @@ def test_cached_index_rebuilds_for_dead_session(spark):
         assert again is got
     finally:
         S.drop_index(key)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each clique its
+    own community (min member id) where connected components would merge
+    everything into one label."""
+    from pypeln_spark.ext.dedup import label_propagation
+
+    k1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        k1 + k2 + [(3, 10)], "id_a long, id_b long"
+    )
+    out = {r.vertex: r.label for r in label_propagation(edges, iters=4).collect()}
+    assert set(out[v] for v in (0, 1, 2)) == {0}
+    assert set(out[v] for v in (11, 12, 13)) == {10}
+    # all 8 vertices labeled, labels drawn from the two clique minima
+    assert len(out) == 8 and set(out.values()) <= {0, 1, 10, 11}
+
+
+def test_label_propagation_ignores_multi_edges(spark):
+    """Duplicate edges must not inflate a neighbor's vote (simple-graph
+    convention shared with pagerank/triangle_count)."""
+    from pypeln_spark.ext.dedup import label_propagation
+
+    # vertex 5's neighbors: 1 (duplicated 3x) and 0; dedup → tie → min label 0
+    edges = spark.createDataFrame(
+        [(1, 5), (1, 5), (5, 1), (0, 5), (0, 1)], "id_a long, id_b long"
+    )
+    out = {r.vertex: r.label for r in label_propagation(edges, iters=1).collect()}
+    assert out[5] == 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment 1.0 even though
+    Jaccard is low."""
+    from pypeln_spark.ext import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    sh = D.shingle_arrays(docs, "text", "doc_id", 5)
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cont = D.jaccard_pairs_from_candidates(
+        cand, sh, threshold=0.9, measure="containment"
+    ).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    jac = D.jaccard_pairs_from_candidates(cand, sh, threshold=0.0).collect()
+    assert jac[0].jaccard < 0.2

@@ -85,6 +85,8 @@ ALLOW_BNLJ = {
     "q15_top_supplier",
     "events_gapfill_hourly",
     "curation_source_mix",  # one-row total-tokens broadcast for the share denominator
+    "curation_token_budget",  # one-row total-tokens broadcast for the budget flag
+    "ann_recall_eval_ivf",  # embeds cosine_topk's broadcast theta-join as ground truth
 }
 
 # Queries whose PURPOSE is the Python execution path (harness / UDF / UDTF /
