@@ -84,6 +84,8 @@ HEADLINE = [
     "graph_lpa_part_cooccurrence",
     "ann_recall_eval_ivf",
     "curation_token_budget",
+    "multimodal_real_decode_wav",
+    "multimodal_video_frame_sample",
 ]
 
 

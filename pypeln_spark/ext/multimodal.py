@@ -220,6 +220,172 @@ def decode_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, schema=out_schema)
 
 
+def synthesize_wav_assets(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL audio files: valid RIFF/WAVE PCM-16 assets
+    written through the stdlib ``wave`` writer (even ids mono, odd
+    stereo; sample rates 8/12/16 kHz; 12-16 frames). Sample bytes are
+    md5-derived (block b = md5(f"wav:{id}:{b}").digest()) so a SQL oracle
+    can replay the decoded little-endian int16 samples value-for-value
+    while Spark runs the genuine container parse (wave.open)."""
+    import hashlib
+    import io
+    import wave as wave_mod
+
+    rows = []
+    for i in range(n):
+        channels = 1 + i % 2
+        rate = 8000 + (i % 3) * 4000
+        n_frames = 12 + i % 5
+        nbytes = n_frames * channels * 2
+        payload = b"".join(
+            hashlib.md5(f"wav:{i}:{b}".encode()).digest()
+            for b in range((nbytes + 15) // 16)
+        )[:nbytes]
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(payload)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(buf.getvalue()),
+                (None, None, rate, n_frames, "wav"),
+            )
+        )
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAVE container with the stdlib
+    ``wave`` reader inside Arrow mapInPandas and emit DECODED properties —
+    channels/sample_rate from the fmt chunk, n_frames derived from the
+    decoded sample array length (proving the data-chunk parse), and the
+    mean of the first 8 interleaved int16 samples. 8 int16 values sum
+    exactly in double and /8.0 is a power of two, so the oracle's SUM/8.0
+    replays the mean bit-identically."""
+    import io
+    import wave as wave_mod
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("mean8", T.DoubleType()),
+        ]
+    )
+
+    def op(batches: tp.Iterator[pd.DataFrame]) -> tp.Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ch, sr, nf, ms = [], [], [], []
+            for media in pdf["media"]:
+                with wave_mod.open(io.BytesIO(bytes(media))) as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("WAV: only PCM-16 supported")
+                    raw = w.readframes(w.getnframes())
+                    samples = np.frombuffer(raw, dtype="<i2")
+                    ch.append(w.getnchannels())
+                    sr.append(w.getframerate())
+                    nf.append(samples.size // w.getnchannels())
+                ms.append(float(samples[:8].astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "channels": ch,
+                    "sample_rate": sr,
+                    "n_frames": nf,
+                    "mean8": ms,
+                }
+            )
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def synthesize_pnm_video_assets(
+    spark, n: int = 24, frames: int = 6
+) -> DataFrame:
+    """Deterministic REAL 'video' files: a PNM STREAM — ``frames``
+    complete P5 grayscale images back to back in one binary payload (the
+    actual pnm/y4m-style raw-video convention). Frame f's raster bytes
+    are md5-derived (block b = md5(f"vid:{id}:{f}:{b}").digest()), so a
+    SQL oracle can replay any sampled frame's pixels; Spark must WALK the
+    stream frame by frame (header parse + raster skip) to get them."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 3, 3 + i % 2
+        nbytes = w * h
+        header = f"P5\n{w} {h}\n255\n".encode()
+        payload = b"".join(
+            header
+            + b"".join(
+                hashlib.md5(f"vid:{i}:{f}:{b}".encode()).digest()
+                for b in range((nbytes + 15) // 16)
+            )[:nbytes]
+            for f in range(frames)
+        )
+        rows.append(
+            (i, "video", bytearray(payload), (w, h, None, frames, "pnm-stream"))
+        )
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame-sampling over a PNM stream: walk the payload decoding
+    every frame header (offset arithmetic through the raster — a frame
+    can't be found without parsing its predecessors), keep every
+    ``every_n``-th frame, and emit the decoded frame count plus the mean
+    over the first 16 pixels of EACH sampled frame (one exact integer sum
+    and one IEEE division — bit-reproducible in SQL)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_sampled", T.IntegerType()),
+            T.StructField("mean12_sampled", T.DoubleType()),
+        ]
+    )
+
+    def op(batches: tp.Iterator[pd.DataFrame]) -> tp.Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nfs, nss, ms = [], [], []
+            for media in pdf["media"]:
+                data = bytes(media)
+                off, idx, total = 0, 0, 0
+                sampled = []
+                while off < len(data):
+                    magic, w, h, maxval, doff = _parse_pnm_header(data[off:])
+                    if magic != b"P5" or maxval != 255:
+                        raise ValueError("pnm-stream: expected P5/255 frames")
+                    frame = data[off + doff : off + doff + w * h]
+                    if len(frame) < w * h:
+                        raise ValueError("pnm-stream: truncated frame")
+                    if idx % every_n == 0:
+                        sampled.append(np.frombuffer(frame[:12], dtype=np.uint8))
+                    off += doff + w * h
+                    idx += 1
+                    total += 1
+                pix = np.concatenate(sampled).astype(np.int64)
+                nfs.append(total)
+                nss.append(len(sampled))
+                ms.append(float(pix.sum()) / float(pix.size))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_frames": nfs,
+                    "n_sampled": nss,
+                    "mean12_sampled": ms,
+                }
+            )
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame, fake_decode: bool = True, batch_note_col: str = "batch_rows"
 ) -> DataFrame:

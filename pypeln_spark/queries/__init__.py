@@ -82,6 +82,8 @@ _PRIORITY = [
     "graph_lpa_part_cooccurrence",
     "ann_recall_eval_ivf",
     "curation_token_budget",
+    "multimodal_real_decode_wav",
+    "multimodal_video_frame_sample",
     # -- (c) stalest greens: the full r1 cohort... --
     "subquery_orders_above_avg",
     "correlated_max_quantity_items",
@@ -117,8 +119,6 @@ _PRIORITY = [
     "semi_join_auto_orders",
     "anti_join_idle_customers",
     "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_lag_order_gap_days",
 ]
 
 

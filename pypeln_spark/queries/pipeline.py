@@ -265,6 +265,88 @@ def multimodal_real_decode_pnm(spark, sf_dir):
 
 
 @register(
+    "multimodal_real_decode_wav",
+    oracle="""
+    WITH ids AS (SELECT range AS asset_id FROM range(48)),
+    bytes AS (
+      SELECT asset_id, CAST(p AS INT) AS p,
+             CAST(concat('0x', substr(
+               md5(concat('wav:', CAST(asset_id AS VARCHAR), ':',
+                          CAST(p // 16 AS VARCHAR))),
+               CAST(2 * (p % 16) + 1 AS INT), 2)) AS INT) AS byte
+      FROM ids CROSS JOIN range(16) tp(p)
+    ),
+    samp AS (
+      SELECT i.asset_id, j, b0.byte + 256 * b1.byte AS u
+      FROM ids i CROSS JOIN range(8) tj(j)
+      JOIN bytes b0 ON b0.asset_id = i.asset_id AND b0.p = 2 * j
+      JOIN bytes b1 ON b1.asset_id = i.asset_id AND b1.p = 2 * j + 1
+    ),
+    signedv AS (
+      SELECT asset_id,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM samp
+    )
+    SELECT asset_id,
+           CAST(1 + asset_id % 2 AS INT) AS channels,
+           CAST(8000 + (asset_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(12 + asset_id % 5 AS INT) AS n_frames,
+           CAST(SUM(s) AS DOUBLE) / 8.0 AS mean8
+    FROM signedv GROUP BY asset_id
+    """,
+)
+def multimodal_real_decode_wav(spark, sf_dir):
+    """The REAL audio-decode path, oracle-verified with zero codec deps:
+    valid RIFF/WAVE PCM-16 files (mono/stereo, md5-derived samples —
+    ext/multimodal.synthesize_wav_assets) parse through the stdlib
+    ``wave`` reader inside Arrow mapInPandas; channels/rate come from the
+    fmt chunk, the frame count from the DECODED sample array, and the
+    mean of the first 8 little-endian int16 samples is exact in double —
+    DuckDB replays container fields and sample values bit for bit. With
+    the PNM image decoder this makes image AND audio genuinely decoded,
+    not faked."""
+    from pypeln_spark.ext import multimodal as M
+
+    assets = M.synthesize_wav_assets(spark, n=48)
+    return M.decode_audio_stats(assets)
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH ids AS (SELECT range AS asset_id FROM range(24)),
+    px AS (
+      SELECT i.asset_id,
+             CAST(concat('0x', substr(
+               md5(concat('vid:', CAST(i.asset_id AS VARCHAR), ':',
+                          CAST(2 * k AS VARCHAR), ':0')),
+               CAST(2 * p + 1 AS INT), 2)) AS INT) AS byte
+      FROM ids i CROSS JOIN range(3) tk(k) CROSS JOIN range(12) tp(p)
+    )
+    SELECT asset_id,
+           CAST(6 AS INT) AS n_frames,
+           CAST(3 AS INT) AS n_sampled,
+           CAST(SUM(byte) AS DOUBLE) / 36.0 AS mean12_sampled
+    FROM px GROUP BY asset_id
+    """,
+)
+def multimodal_video_frame_sample(spark, sf_dir):
+    """The REAL video path: frame-sampling over a raw PNM STREAM (6
+    complete P5 frames per asset back to back —
+    ext/multimodal.synthesize_pnm_video_assets). The decoder must WALK
+    the stream (parse each header, skip each raster) to reach frame f, so
+    the emitted frame count and every-2nd-frame sample prove genuine
+    sequential container decode, not metadata echo; the mean over the
+    sampled frames' first 12 pixels is one exact integer sum and one IEEE
+    division, replayed by the oracle. Completes the modality set: image,
+    audio, video all run REAL decoders in this container."""
+    from pypeln_spark.ext import multimodal as M
+
+    assets = M.synthesize_pnm_video_assets(spark, n=24, frames=6)
+    return M.video_frame_stats(assets, every_n=2)
+
+
+@register(
     "multimodal_asset_feature_stats",
     oracle="""
     WITH ids AS (SELECT range AS asset_id FROM range(96)),

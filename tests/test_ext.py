@@ -1603,3 +1603,61 @@ def test_containment_catches_embedded_doc(spark):
     assert len(cont) == 1 and cont[0].containment == 1.0
     jac = D.jaccard_pairs_from_candidates(cand, sh, threshold=0.0).collect()
     assert jac[0].jaccard < 0.2
+
+
+def test_wav_decode_roundtrip_and_truncation(spark):
+    """The stdlib-wave decode path: synthesized assets decode to the spec'd
+    channels/rate/frames, and a truncated container raises."""
+    import io
+    import wave
+
+    from pypeln_spark.ext import multimodal as M
+
+    out = {r.asset_id: r for r in M.decode_audio_stats(
+        M.synthesize_wav_assets(spark, n=6)
+    ).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        assert out[i].channels == 1 + i % 2
+        assert out[i].sample_rate == 8000 + (i % 3) * 4000
+        assert out[i].n_frames == 12 + i % 5
+    # mean8 replays from the raw payload independently
+    import hashlib
+    import numpy as np
+
+    payload = b"".join(hashlib.md5(f"wav:0:{b}".encode()).digest() for b in range(2))
+    want = float(np.frombuffer(payload[:16], dtype="<i2").astype(np.float64).mean())
+    assert out[0].mean8 == want
+    with pytest.raises(Exception):
+        wave.open(io.BytesIO(b"RIFF\x00\x00\x00\x00WAVEjunk"))
+
+
+def test_video_stream_walk_and_truncation(spark):
+    """Frame-walking a PNM stream: sampled means match an independent
+    replay, and a truncated final frame raises (the walk really reads
+    every header/raster)."""
+    import hashlib
+
+    import numpy as np
+
+    from pypeln_spark.ext import multimodal as M
+
+    out = {r.asset_id: r for r in M.video_frame_stats(
+        M.synthesize_pnm_video_assets(spark, n=4, frames=6), every_n=2
+    ).collect()}
+    assert all(out[i].n_frames == 6 and out[i].n_sampled == 3 for i in range(4))
+    pix = np.concatenate([
+        np.frombuffer(
+            hashlib.md5(f"vid:1:{f}:0".encode()).digest()[:12], dtype=np.uint8
+        )
+        for f in (0, 2, 4)
+    ]).astype(np.int64)
+    assert out[1].mean12_sampled == float(pix.sum()) / float(pix.size)
+    # truncated stream: chop the last raster short
+    df = M.synthesize_pnm_video_assets(spark, n=1, frames=2)
+    row = df.collect()[0]
+    bad = spark.createDataFrame(
+        [(0, "video", bytearray(bytes(row.media)[:-3]), None)], M.ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="truncated"):
+        M.video_frame_stats(bad).collect()
