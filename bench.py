@@ -86,6 +86,8 @@ HEADLINE = [
     "curation_token_budget",
     "multimodal_real_decode_wav",
     "multimodal_video_frame_sample",
+    "graph_kcore_part_cooccurrence",
+    "quality_drift_events_cohorts",
 ]
 
 

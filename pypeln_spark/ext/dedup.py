@@ -1089,6 +1089,50 @@ def label_propagation(
     return labels
 
 
+def kcore_prune(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", k: int = 2, rounds: int = 3
+) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected simple graph:
+    each round drops every vertex whose CURRENT degree is < k (and the
+    edges touching it), then recomputes degrees — the standard iterated
+    peel whose fixpoint is the k-core. ``rounds`` is FIXED and part of
+    the spec (like kmeans/pagerank iterations) so the result is
+    engine-reproducible and fully SQL-oracle-replayable; near-dup and
+    co-occurrence graphs peel to (near-)stability in 2-3 rounds, and a
+    production fixpoint run just raises ``rounds``. Returns the surviving
+    (vertex, degree) — degree measured IN the surviving subgraph.
+
+    Scale shape: per round one partial-aggregated degree count (skinny
+    integer rows) and two semi-joins of the edge list against the
+    surviving-vertex set; each round's edge frame persists eagerly and
+    the previous round's unpersists, so lineage stays O(1) however many
+    rounds (the connected_components discipline). Integer-only: no float
+    convention needed."""
+    retire_pipeline_caches()
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionAll(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    cur = pool_persist(sym)
+    cur.count()
+    prev = None
+    for _ in range(rounds):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("u")
+        nxt = pool_persist(
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+        )
+        nxt.count()
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        prev, cur = cur, nxt
+    return cur.groupBy(F.col("u").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
 def triangle_count(
     edges: DataFrame, a: str = "id_a", b: str = "id_b", orient: str = "degree"
 ) -> DataFrame:

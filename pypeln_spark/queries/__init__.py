@@ -58,12 +58,13 @@ except ImportError:  # pragma: no cover
 #
 # Round-5 rotation: after r4, EVERY pre-r4 registry entry has a driver-green
 # row. The front 50 is therefore (a) the 11 queries added late in r4 that
-# have never been driver-checked, (b) the 4 queries added this round
-# (containment dedup, LPA communities, ANN recall eval, token budget), then
-# (c) re-confirmation of the STALEST green rows — all 13 queries last
-# checked in r1, plus the oldest 22 of the r2 cohort — so regressions can't
-# hide behind old green rows. All 178 entries stay covered every session by
-# the local DuckDB gate (tests/test_correctness_gate.py).
+# have never been driver-checked, (b) the 8 queries added this round
+# (containment dedup, LPA communities, ANN recall eval, token budget, WAV
+# decode, video frame-sampling, k-core, drift monitor), then (c)
+# re-confirmation of the STALEST green rows — all 13 queries last checked
+# in r1, plus the oldest 18 of the r2 cohort — so regressions can't hide
+# behind old green rows. All 182 entries stay covered every session by the
+# local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
     # -- (a) r4 additions, never driver-checked --
     "q13_customer_order_distribution",
@@ -84,6 +85,8 @@ _PRIORITY = [
     "curation_token_budget",
     "multimodal_real_decode_wav",
     "multimodal_video_frame_sample",
+    "graph_kcore_part_cooccurrence",
+    "quality_drift_events_cohorts",
     # -- (c) stalest greens: the full r1 cohort... --
     "subquery_orders_above_avg",
     "correlated_max_quantity_items",
@@ -117,8 +120,6 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "semi_join_auto_orders",
-    "anti_join_idle_customers",
-    "window_top3_orders_per_customer",
 ]
 
 

@@ -609,6 +609,55 @@ def _lpa_oracle(iters: int = 3) -> str:
     return head + body + f"SELECT vertex, label FROM l{iters}"
 
 
+KCORE_K = 18
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled iterated-peel twin of ext/dedup.kcore_prune: per round,
+    degrees over the current edge set, drop vertices with degree < k,
+    keep edges with both endpoints surviving. Integer-only."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 4 = 0) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)
+    """
+    body = ""
+    for i in range(1, rounds + 1):
+        body += f""",
+    d{i} AS (SELECT u, COUNT(*) AS c FROM e{i - 1} GROUP BY u),
+    k{i} AS (SELECT u FROM d{i} WHERE c >= {k}),
+    e{i} AS (SELECT e.u, e.v FROM e{i - 1} e
+             JOIN k{i} ka ON ka.u = e.u
+             JOIN k{i} kb ON kb.u = e.v)
+    """
+    return head + body + (
+        f"SELECT u AS vertex, COUNT(*) AS degree FROM e{rounds} GROUP BY u"
+    )
+
+
+@register("graph_kcore_part_cooccurrence", oracle=_kcore_oracle())
+def graph_kcore_part_cooccurrence(spark, sf_dir):
+    """Bounded-round k-core peeling (ext/dedup.kcore_prune, k=18, 3
+    rounds) over the shared part co-purchase graph — the density filter a
+    graph pipeline runs before community/embedding passes (peripheral
+    low-degree vertices drop, and the CASCADE matters: removing them can
+    drag former neighbors under k in later rounds). Fixed round count is
+    part of the spec, so the unrolled SQL oracle replays every peel
+    exactly; integer-only state."""
+    from pypeln_spark.ext.dedup import kcore_prune
+
+    return kcore_prune(
+        _copurchase_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
+    )
+
+
 @register("graph_lpa_part_cooccurrence", oracle=_lpa_oracle())
 def graph_lpa_part_cooccurrence(spark, sf_dir):
     """Label-propagation community detection (ext/dedup.label_propagation,
@@ -655,3 +704,67 @@ def graph_triangles_part_cooccurrence(spark, sf_dir):
     from pypeln_spark.ext.dedup import triangle_count
 
     return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+DRIFT_PCT = 5  # flag when |p_a - p_b| > 5% (integer cross-multiplied)
+
+
+@register(
+    "quality_drift_events_cohorts",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, CAST(user_id % 2 = 0 AS INT) AS in_a FROM events
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+      FROM tagged GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+      FROM per
+    )
+    SELECT p.event_type, p.n_a, p.n_b,
+           CAST(p.n_a AS DOUBLE) / CAST(t.t_a AS DOUBLE) AS p_a,
+           CAST(p.n_b AS DOUBLE) / CAST(t.t_b AS DOUBLE) AS p_b,
+           ABS(p.n_a * t.t_b - p.n_b * t.t_a) * 100
+             > {DRIFT_PCT} * t.t_a * t.t_b AS drifted
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def quality_drift_events_cohorts(spark, sf_dir):
+    """Distribution-drift monitor: compare the event_type mix between two
+    cohorts (the A/B or train-vs-serving shape) — per-type counts, shares,
+    and a drift flag when the share gap exceeds 5 POINTS. The flag is
+    integer cross-multiplied (|n_a·t_b − n_b·t_a|·100 > 5·t_a·t_b), so no
+    float comparison decides it; each reported share is one IEEE division
+    of exact integers, bit-identical cross-engine. Scale: one scan with
+    partial-aggregated counts on the tiny type key space, a one-row total
+    broadcast back — log-free by design (PSI's ln() is libm-dependent and
+    would break bit-reproducibility; the share-gap test is the auditable
+    stand-in)."""
+    (events,) = tables(spark, sf_dir, "events")
+    in_a = (F.col("user_id") % 2 == 0).cast("int")
+    per = (
+        events.select("event_type", in_a.alias("in_a"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    return per.join(F.broadcast(tot)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.col("t_a").cast("double")).alias("p_a"),
+        (F.col("n_b").cast("double") / F.col("t_b").cast("double")).alias("p_b"),
+        (
+            F.abs(F.col("n_a") * F.col("t_b") - F.col("n_b") * F.col("t_a")) * 100
+            > DRIFT_PCT * F.col("t_a") * F.col("t_b")
+        ).alias("drifted"),
+    )

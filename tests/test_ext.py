@@ -1661,3 +1661,21 @@ def test_video_stream_walk_and_truncation(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         M.video_frame_stats(bad).collect()
+
+
+def test_kcore_prune_cascade(spark):
+    """Path graph a-b-c-d plus a triangle (x,y,z) with k=2: round 1 peels
+    the path endpoints, the CASCADE then peels the whole path over later
+    rounds; the triangle survives with degree 2 everywhere."""
+    from pypeln_spark.ext.dedup import kcore_prune
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    out = {r.vertex: r.degree for r in kcore_prune(edges, k=2, rounds=3).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
+    # bounded rounds are part of the spec: with rounds=1 only the path
+    # endpoints are gone; inner path vertices (now degree 1) still present
+    one = {r.vertex: r.degree for r in kcore_prune(edges, k=2, rounds=1).collect()}
+    assert set(one) == {2, 3, 10, 11, 12} and one[2] == 1

@@ -86,6 +86,7 @@ ALLOW_BNLJ = {
     "events_gapfill_hourly",
     "curation_source_mix",  # one-row total-tokens broadcast for the share denominator
     "curation_token_budget",  # one-row total-tokens broadcast for the budget flag
+    "quality_drift_events_cohorts",  # one-row cohort-totals broadcast for the shares
     "ann_recall_eval_ivf",  # embeds cosine_topk's broadcast theta-join as ground truth
 }
 
