@@ -1679,3 +1679,75 @@ def test_kcore_prune_cascade(spark):
     # endpoints are gone; inner path vertices (now degree 1) still present
     one = {r.vertex: r.degree for r in kcore_prune(edges, k=2, rounds=1).collect()}
     assert set(one) == {2, 3, 10, 11, 12} and one[2] == 1
+
+
+def _pure_lpa(edges, iters):
+    """Pure-Python replay of the label_propagation spec."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            c = Counter(lab[u] for u in adj[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    return lab
+
+
+def _pure_kcore(edges, k, rounds):
+    """Pure-Python replay of the kcore_prune spec (bounded iterated peel)."""
+    from collections import defaultdict
+
+    es = set()
+    for a, b in edges:
+        if a != b:
+            es.add((a, b))
+            es.add((b, a))
+    for _ in range(rounds):
+        deg = defaultdict(int)
+        for u, v in es:
+            deg[u] += 1
+        keep = {u for u, d in deg.items() if d >= k}
+        es = {(u, v) for u, v in es if u in keep and v in keep}
+    deg = defaultdict(int)
+    for u, v in es:
+        deg[u] += 1
+    return dict(deg)
+
+
+def test_graph_ops_match_pure_replay_property(spark):
+    """Property: on random small graphs, the distributed LPA and k-core
+    agree with direct pure-Python replays of their specs — independent of
+    partitioning, join order, and aggregate implementation details."""
+    from pypeln_spark.ext.dedup import kcore_prune, label_propagation
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31),
+        n=st.integers(4, 14),
+        m=st.integers(3, 40),
+        k=st.integers(1, 4),
+    )
+    def check(seed, n, m, k):
+        rng = np.random.default_rng(seed)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got_l = {r.vertex: r.label for r in label_propagation(df, iters=2).collect()}
+        assert got_l == _pure_lpa(edges, 2)
+        got_k = {r.vertex: r.degree for r in kcore_prune(df, k=k, rounds=2).collect()}
+        assert got_k == _pure_kcore(edges, k, 2)
+
+    check()

@@ -54,6 +54,13 @@ SWEEP = [
     "graph_pagerank_part_cooccurrence",
     "search_hybrid_rrf",
     "embedding_quantize_int8",
+    # round-5 additions
+    "dedup_containment_pairs",
+    "graph_lpa_part_cooccurrence",
+    "graph_kcore_part_cooccurrence",
+    "ann_recall_eval_ivf",
+    "curation_token_budget",
+    "quality_drift_events_cohorts",
 ]
 
 KEYED = {
