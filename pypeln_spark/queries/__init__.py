@@ -12,19 +12,14 @@ from .base import REGISTRY, Query, register, tables
 
 # Importing the modules populates REGISTRY in module order; the explicit
 # _PRIORITY reorder below then decides the DRIVER-VISIBLE order. The driver
-# hash-checks the first 50 registered queries per round, so the front of the
-# registry is rotated each round toward the queries with the fewest driver
-# correctness rows. Current front (for the next driver run): the 20 queries
-# never driver-checked in r1/r2 (all streaming, ANN/embedding, asof/range
-# join, sketch CMS/quantiles, simhash pairs, minhash clusters/fast), the
-# three r1 failures whose fixes have only local-gate evidence, and the
-# queries added since r2 — 47 of the 50 checked slots carry no prior green
-# driver row. Later additions (positions 51+) wait for the next rotation;
+# hash-checks the first 50 registered queries per round, so the front of
+# the registry is rotated each round toward the queries with the fewest /
+# stalest driver correctness rows (see the rotation note above _PRIORITY).
 # ALL registry entries are covered every session by the local DuckDB gate
-# (tests/test_correctness_gate.py replays every oracle).
-# Every output schema is contract-tested canonicalizer-safe
-# (assert_driver_safe_schema inside the gate), so front-loading unusual
-# output types is no longer a blast-radius risk the way it was in r1.
+# (tests/test_correctness_gate.py replays every oracle), and every output
+# schema is contract-tested canonicalizer-safe (assert_driver_safe_schema
+# inside the gate), so front-loading unusual output types carries no
+# blast-radius risk.
 from . import pipeline  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
