@@ -88,6 +88,7 @@ HEADLINE = [
     "multimodal_video_frame_sample",
     "graph_kcore_part_cooccurrence",
     "quality_drift_events_cohorts",
+    "streaming_drift_daily_mix",
 ]
 
 

@@ -1050,3 +1050,84 @@ def streaming_merge_upsert_orders(spark, sf_dir):
 
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "streaming_drift_daily_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    day_tot AS (
+      SELECT window_start, CAST(SUM(n) AS BIGINT) AS day_total
+      FROM counts GROUP BY window_start
+    ),
+    base AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS b_n FROM counts GROUP BY event_type
+    ),
+    base_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS b_total FROM counts)
+    SELECT c.window_start, c.event_type, c.n, d.day_total,
+           CAST(c.n AS DOUBLE) / CAST(d.day_total AS DOUBLE) AS p_day,
+           CAST(b.b_n AS DOUBLE) / CAST(t.b_total AS DOUBLE) AS p_base,
+           ABS(c.n * t.b_total - b.b_n * d.day_total) * 20
+             > d.day_total * t.b_total AS drifted
+    FROM counts c
+    JOIN day_tot d ON d.window_start = c.window_start
+    JOIN base b ON b.event_type = c.event_type
+    CROSS JOIN base_tot t
+    """,
+)
+def streaming_drift_daily_mix(spark, sf_dir):
+    """Streaming drift monitor: the event stream maintains per-(day,
+    event_type) counts as native windowed state (complete mode); the
+    batch-side finalize compares each day's type mix against the
+    whole-history baseline and flags days where a type's share moved more
+    than 5 points — the serving-vs-training drift check run as a live
+    query instead of a nightly batch. The flag is integer
+    cross-multiplied like quality_drift_events_cohorts (log-free,
+    bit-reproducible; at extreme row counts the cross-products would need
+    a decimal widening — counts here are far below the long boundary);
+    the two shares are single exact-integer divisions. Scale: streamed
+    state is days × types rows; the finalize joins broadcast one-row /
+    type-keyed totals back over it."""
+    import os
+
+    ev = ST.read_stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    counts = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sunk = ST.run_to_memory(counts, output_mode="complete")
+    # the finalize self-joins the memory-sink view three ways, which trips
+    # conflicting-reference resolution on the shared MemoryPlan; the sink
+    # rows are already driver-resident and tiny (days × types), so rebase
+    # them onto a fresh local frame
+    streamed = spark.createDataFrame(sunk.collect(), sunk.schema)
+    day_tot = streamed.groupBy("window_start").agg(
+        F.sum("n").alias("day_total")
+    )
+    base = streamed.groupBy("event_type").agg(F.sum("n").alias("b_n"))
+    base_tot = streamed.agg(F.sum("n").alias("b_total"))
+    return (
+        streamed.join(day_tot, "window_start")
+        .join(F.broadcast(base), "event_type")
+        .join(F.broadcast(base_tot))
+        .select(
+            "window_start",
+            "event_type",
+            "n",
+            "day_total",
+            (F.col("n").cast("double") / F.col("day_total").cast("double")).alias(
+                "p_day"
+            ),
+            (F.col("b_n").cast("double") / F.col("b_total").cast("double")).alias(
+                "p_base"
+            ),
+            (
+                F.abs(F.col("n") * F.col("b_total") - F.col("b_n") * F.col("day_total"))
+                * 20
+                > F.col("day_total") * F.col("b_total")
+            ).alias("drifted"),
+        )
+    )
