@@ -89,6 +89,7 @@ HEADLINE = [
     "graph_kcore_part_cooccurrence",
     "quality_drift_events_cohorts",
     "streaming_drift_daily_mix",
+    "curation_e2e_pretrain_pack",
 ]
 
 

@@ -170,9 +170,12 @@ def sql_shard_manifest(
     n_shards: int = 32,
     n_buckets: int = 256,
     salt: str = "shard",
+    table: str = "documents",
 ) -> str:
-    """DuckDB twin of shard_manifest over the `documents` view — spelled as
-    the equivalent single window per shard ordered by (bucket, hash, key)."""
+    """DuckDB twin of shard_manifest over ``table`` (default the
+    `documents` view; pass a CTE name to manifest a derived set) — spelled
+    as the equivalent single window per shard ordered by (bucket, hash,
+    key)."""
     from .hashing import sql_h31
 
     h = sql_h31(f"concat('{salt}:', CAST({key_expr} AS VARCHAR))")
@@ -181,7 +184,7 @@ def sql_shard_manifest(
       SELECT {key_expr}, {h} AS _hk,
              {h} % {n_shards} AS shard,
              ({h} // {n_shards}) % {n_buckets} AS _bkt
-      FROM documents
+      FROM {table}
     )
     SELECT {key_expr}, CAST(shard AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (

@@ -53,12 +53,12 @@ except ImportError:  # pragma: no cover
 #
 # Round-5 rotation: after r4, EVERY pre-r4 registry entry has a driver-green
 # row. The front 50 is therefore (a) the 11 queries added late in r4 that
-# have never been driver-checked, (b) the 9 queries added this round
+# have never been driver-checked, (b) the 10 queries added this round
 # (containment dedup, LPA communities, ANN recall eval, token budget, WAV
-# decode, video frame-sampling, k-core, batch + streaming drift monitors), then (c)
+# decode, video frame-sampling, k-core, batch + streaming drift monitors, the e2e curation capstone), then (c)
 # re-confirmation of the STALEST green rows — all 13 queries last checked
-# in r1, plus the oldest 17 of the r2 cohort — so regressions can't hide
-# behind old green rows. All 183 entries stay covered every session by the
+# in r1, plus the oldest 16 of the r2 cohort — so regressions can't hide
+# behind old green rows. All 184 entries stay covered every session by the
 # local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
     # -- (a) r4 additions, never driver-checked --
@@ -83,6 +83,7 @@ _PRIORITY = [
     "graph_kcore_part_cooccurrence",
     "quality_drift_events_cohorts",
     "streaming_drift_daily_mix",
+    "curation_e2e_pretrain_pack",
     # -- (c) stalest greens: the full r1 cohort... --
     "subquery_orders_above_avg",
     "correlated_max_quantity_items",
@@ -97,7 +98,7 @@ _PRIORITY = [
     "listagg_region_nations",
     "stats_moments_by_event_type",
     "skew_salted_event_totals",
-    # -- ...then the oldest 17 of the r2 cohort --
+    # -- ...then the oldest 16 of the r2 cohort --
     "pipeline_map_revenue",
     "pipeline_map_python_udf",
     "pipeline_map_rows_python",
@@ -114,7 +115,6 @@ _PRIORITY = [
     "groupby_having_hot_parts",
     "count_distinct_parts_by_brand",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
 ]
 
 

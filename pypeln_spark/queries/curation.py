@@ -375,3 +375,143 @@ def curation_token_budget(spark, sf_dir):
             (F.col("cum_tokens") * 2 <= F.col("total_tokens")).alias("in_budget"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining curation: quality -> exact dedup -> near dedup ->
+# decontaminate -> shard -> pack. Every stage is a registry operator in its
+# own right; this query chains them into the pipeline a user would actually
+# run, and the oracle replays the WHOLE chain.
+# ---------------------------------------------------------------------------
+
+E2E_NEAR_T = 0.5
+E2E_SHARDS = 8
+E2E_BUCKETS = 64
+E2E_BUDGET = 512
+
+
+def _e2e_oracle() -> str:
+    from pypeln_spark.ext.hashing import MINHASH_PARAMS, sql_shingles
+
+    params = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS[:32])
+    )
+    manifest = C.sql_shard_manifest(
+        "doc_id", E2E_SHARDS, E2E_BUCKETS, table="clean"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({TOKS}, t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+               / CAST(len({TOKS}) AS DOUBLE) AS stopword_ratio
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text, n_tokens FROM scored
+      WHERE n_tokens >= {MIN_TOKENS} AND stopword_ratio >= {MIN_STOPWORD_RATIO}
+    ),
+    keepx AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    uniq AS (SELECT q.* FROM quality q JOIN keepx k ON q.doc_id = k.doc_id),
+    sh AS (
+      SELECT DISTINCT doc_id, {sql_h31('shingle')} AS sh
+      FROM (SELECT doc_id, unnest({sql_shingles('text')}) AS shingle FROM uniq)
+    ),
+    params(j, a, b) AS (VALUES {params}),
+    mh AS (
+      SELECT doc_id, j, MIN((a * sh + b) % 2147483647) AS mh
+      FROM sh CROSS JOIN params GROUP BY doc_id, j
+    ),
+    banded AS (
+      SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    ),
+    dropx AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+            >= {E2E_NEAR_T}
+    ),
+    survivors AS (
+      SELECT u.* FROM uniq u LEFT JOIN dropx d ON u.doc_id = d.doc_id
+      WHERE d.doc_id IS NULL
+    ),
+    bg AS (
+      SELECT DISTINCT unnest({_DGRAMS}) AS g FROM documents WHERE doc_id % 97 = 0
+    ),
+    tg AS (SELECT doc_id, unnest({_DGRAMS}) AS g FROM survivors),
+    cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)),
+    clean AS (
+      SELECT s.doc_id, s.n_tokens FROM survivors s
+      LEFT JOIN cont c ON s.doc_id = c.doc_id WHERE c.doc_id IS NULL
+    ),
+    manifest AS ({manifest}),
+    packed AS (
+      SELECT m.doc_id, m.shard, m.pos, cl.n_tokens
+      FROM manifest m JOIN clean cl ON cl.doc_id = m.doc_id
+    )
+    SELECT doc_id, shard, pos, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {E2E_BUDGET}
+             AS BIGINT) AS seq_id
+    FROM packed
+    """
+
+
+@register("curation_e2e_pretrain_pack", oracle=_e2e_oracle())
+def curation_e2e_pretrain_pack(spark, sf_dir):
+    """THE capstone composition — the full pretraining curation pipeline as
+    one query: quality thresholds → exact-dedup keep-list → MinHash-LSH
+    near-dedup (pairwise smaller-id-wins drop rule: the larger id of every
+    verified Jaccard≥0.5 pair drops — one anti-join, no component pass) →
+    benchmark decontamination (8-gram overlap vs the doc_id%97 eval slice)
+    → deterministic shard manifest → 512-token greedy sequence packing.
+    Every stage is an existing registry operator; the chain is what a user
+    of this engine runs end to end, and the oracle replays ALL of it —
+    shingles to shard positions — bit-exact. Scale: each stage keeps its
+    own documented shape (pushdown filters, hash keep-lists, banded LSH,
+    broadcast eval grams, two-level shard enumeration); nothing about the
+    composition adds a new shuffle beyond the stages' own."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    scored = X.quality_scores(docs).select("doc_id", "n_tokens", "stopword_ratio")
+    quality = (
+        docs.join(scored, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+        )
+        .select("doc_id", "text", "n_tokens")
+    )
+    keep = D.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
+    uniq = quality.join(keep, "doc_id")
+    pairs = D.minhash_lsh_dedup(uniq, n_hashes=32, bands=8, threshold=E2E_NEAR_T)
+    dropx = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = uniq.join(dropx, "doc_id", "left_anti")
+    clean = C.decontaminate(
+        survivors, docs.filter(F.col("doc_id") % 97 == 0), n=DECON_N
+    ).select("doc_id", "n_tokens")
+    m = C.shard_manifest(clean, "doc_id", n_shards=E2E_SHARDS, n_buckets=E2E_BUCKETS)
+    toks = m.join(clean, "doc_id")
+    return C.pack_sequences(toks, "n_tokens", budget=E2E_BUDGET).select(
+        "doc_id", "shard", "pos", "n_tokens", "cum_before", "seq_id"
+    )
