@@ -90,6 +90,7 @@ HEADLINE = [
     "quality_drift_events_cohorts",
     "streaming_drift_daily_mix",
     "curation_e2e_pretrain_pack",
+    "events_transition_matrix",
 ]
 
 

@@ -885,3 +885,55 @@ def sketch_bloom_filter_probe(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS p
+    FROM trans t JOIN outdeg o ON o.prev_type = t.prev_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order user-journey transition matrix: per-user event streams
+    ordered by (ts, event_id) — a total order, so LAG is deterministic —
+    yield (prev_type → next_type) bigram counts and row-normalized
+    transition probabilities (one exact-integer division each). The
+    sequence-model view of the events table that funnels/sessionization
+    don't give. Scale: one window shuffle on user_id (sequences stay
+    within their partition), then partial-aggregated counts on the tiny
+    type-pair key space and a broadcast-sized out-degree join."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outdeg = trans.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    return trans.join(F.broadcast(outdeg), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_out").cast("double")).alias("p"),
+    )

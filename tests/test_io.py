@@ -258,3 +258,32 @@ def test_compact_parquet_refuses_non_hive_subdirs(spark, tmp_path):
     spark.range(10).write.parquet(str(root / "sub"))
     with pytest.raises(ValueError, match="non-partition subdirectory"):
         pl.compact_parquet(str(root), spark=spark)
+
+
+def test_compact_parquet_multilevel_partitions(spark, tmp_path):
+    """Two-level Hive layout (a=.../b=...): compaction preserves the full
+    nested tree and every partition's rows."""
+    root = str(tmp_path / "two_level")
+    df = spark.range(4_000).selectExpr(
+        "id AS k", "id % 2 AS a", "id % 3 AS b", "id * 7 AS v"
+    )
+    df.repartition(12).write.partitionBy("a", "b").parquet(root)
+    before = sorted(
+        (r.k, int(r.a), int(r.b), r.v) for r in spark.read.parquet(root).collect()
+    )
+    stats = pl.compact_parquet(root, target_file_bytes=1 << 30, spark=spark)
+    assert stats["files_before"] > stats["files_after"] >= 6  # 2x3 leaves
+    tree = sorted(
+        os.path.relpath(os.path.join(d, s), root)
+        for d in [os.path.join(root, x) for x in os.listdir(root) if x.startswith("a=")]
+        for s in os.listdir(d) if s.startswith("b=")
+    )
+    assert tree == sorted(
+        f"a={i}/b={j}" for i in range(2) for j in range(3)
+    )
+    after = sorted(
+        (r.k, int(r.a), int(r.b), r.v) for r in spark.read.parquet(root).collect()
+    )
+    assert after == before
+    assert spark.read.parquet(root).filter("a = 1 AND b = 2").count() == \
+        sum(1 for r in before if r[1] == 1 and r[2] == 2)
