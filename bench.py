@@ -91,6 +91,8 @@ HEADLINE = [
     "streaming_drift_daily_mix",
     "curation_e2e_pretrain_pack",
     "events_transition_matrix",
+    "sketch_kmv_overlap_users",
+    "quality_ks_test_value_cohorts",
 ]
 
 

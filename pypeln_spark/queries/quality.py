@@ -768,3 +768,91 @@ def quality_drift_events_cohorts(spark, sf_dir):
             > DRIFT_PCT * F.col("t_a") * F.col("t_b")
         ).alias("drifted"),
     )
+
+
+@register(
+    "quality_ks_test_value_cohorts",
+    oracle="""
+    WITH pts AS (
+      SELECT value AS v,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS b_cnt
+      FROM events GROUP BY value
+    ),
+    tot AS (
+      SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a, CAST(SUM(b_cnt) AS BIGINT) AS n_b
+      FROM pts
+    ),
+    cum AS (
+      SELECT v,
+             CAST(SUM(a_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(SUM(b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+      FROM pts
+    ),
+    d AS (
+      SELECT c.v, ABS(c.ca * t.n_b - c.cb * t.n_a) AS di
+      FROM cum c CROSS JOIN tot t
+    ),
+    mx AS (SELECT MAX(di) AS m FROM d)
+    SELECT t.n_a, t.n_b,
+           CAST(mx.m AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE) AS d_stat,
+           (SELECT MAX(v) FROM d WHERE di = mx.m) AS at_value
+    FROM tot t CROSS JOIN mx
+    """,
+)
+def quality_ks_test_value_cohorts(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test between the user-parity cohorts
+    on event value: D = max |F_a(v) − F_b(v)| over all observed points,
+    computed EXACTLY — the CDF gap at each point is the integer
+    |ca·n_b − cb·n_a|, the max is an integer max, and only the final
+    D = max / (n_a·n_b) is one IEEE division (log-free, rank-free, so it
+    replays bit-identically; ties at the max break to the LARGEST value).
+    Scale: a naive global-order cumulative window funnels every distinct
+    value through one task; instead the CDF is built two-level — per-
+    (floor(v)) bucket windows plus a tiny bucket-offset prefix sum
+    broadcast back (the shard_manifest / gapfill discipline), so no task
+    ever sees more than a bucket's worth of points."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    in_a = (F.col("user_id") % 2 == 0).cast("long")
+    pts = events.groupBy(F.col("value").alias("v")).agg(
+        F.sum(in_a).alias("a_cnt"), F.sum(1 - in_a).alias("b_cnt")
+    ).withColumn("bucket", F.floor("v").cast("long"))
+    btot = pts.groupBy("bucket").agg(
+        F.sum("a_cnt").alias("ba"), F.sum("b_cnt").alias("bb")
+    )
+    woff = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(woff), F.lit(0)).cast("long").alias("off_a"),
+        F.coalesce(F.sum("bb").over(woff), F.lit(0)).cast("long").alias("off_b"),
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.join(F.broadcast(offs), "bucket").select(
+        "v",
+        (F.col("off_a") + F.sum("a_cnt").over(win)).cast("long").alias("ca"),
+        (F.col("off_b") + F.sum("b_cnt").over(win)).cast("long").alias("cb"),
+    )
+    tot = pts.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+    )
+    d = cum.join(F.broadcast(tot)).select(
+        "n_a", "n_b", "v",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("di"),
+    )
+    return d.groupBy("n_a", "n_b").agg(
+        (F.max("di").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double"))
+        .alias("d_stat"),
+        F.max_by("v", F.struct(F.col("di"), F.col("v"))).alias("at_value"),
+    )

@@ -937,3 +937,103 @@ def events_transition_matrix(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.col("n_out").cast("double")).alias("p"),
     )
+
+
+_KMV_M = 63 * 2147483647  # (k-1) * P31 for k = 64
+
+
+@register(
+    "sketch_kmv_overlap_users",
+    oracle=f"""
+    WITH hh AS (
+      SELECT event_type, {sql_h31("CAST(user_id AS VARCHAR)")} AS h FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    sk AS (
+      SELECT event_type, list_slice(list_sort(list(DISTINCT h)), 1, 64) AS kmin
+      FROM hh GROUP BY event_type
+    ),
+    two AS (
+      SELECT (SELECT kmin FROM sk WHERE event_type = 'view') AS ka,
+             (SELECT kmin FROM sk WHERE event_type = 'purchase') AS kb
+    ),
+    comb AS (
+      SELECT ka, kb,
+             list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 64) AS cm
+      FROM two
+    ),
+    est AS (
+      SELECT
+        CAST(len(list_filter(cm,
+              x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT)
+          AS inter_in_sketch,
+        CASE WHEN len(cm) < 64 THEN CAST(len(cm) AS DOUBLE)
+             ELSE CAST({_KMV_M} AS DOUBLE) / CAST(cm[64] AS DOUBLE)
+        END AS union_est,
+        CAST(len(list_filter(cm,
+              x -> list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)
+          / CAST(len(cm) AS DOUBLE) AS jaccard_est
+      FROM comb
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    )
+    SELECT e.inter_in_sketch, e.jaccard_est, e.union_est,
+           e.jaccard_est * e.union_est AS overlap_est, x.n_inter_exact
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def sketch_kmv_overlap_users(spark, sf_dir):
+    """KMV set ALGEBRA: estimate the overlap of two user sets (viewers ∩
+    purchasers) from their bottom-64 sketches alone — combined sketch =
+    bottom-k of the union, Jaccard = fraction of the combined sketch in
+    both, overlap = Jaccard × union estimate. The sketch-join every
+    audience-overlap / cross-corpus dashboard runs without touching raw
+    ids twice; both sketches, the combination rule, and the estimates are
+    value-checked (the exact intersection rides along for reference).
+    Scale: each side is the standard two-phase KMV build; the set algebra
+    happens on two 64-long arrays."""
+    from pypeln_spark.ext import sketch as K
+
+    (events,) = tables(spark, sf_dir, "events")
+    two = events.filter(F.col("event_type").isin("view", "purchase"))
+    sk = K.kmv_sketch(two, ["event_type"], "user_id", k=64)
+    ka = sk.filter(F.col("event_type") == "view").select(F.col("kmin").alias("ka"))
+    kb = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("kmin").alias("kb")
+    )
+    cm = F.slice(F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, 64)
+    in_both = F.size(
+        F.filter(
+            F.col("cm"),
+            lambda x: F.array_contains(F.col("ka"), x)
+            & F.array_contains(F.col("kb"), x),
+        )
+    ).cast("long")
+    union_est = F.when(
+        F.size("cm") < 64, F.size("cm").cast("double")
+    ).otherwise(F.lit(float(_KMV_M)) / F.element_at("cm", 64).cast("double"))
+    exact = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            events.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    return (
+        ka.join(F.broadcast(kb))
+        .withColumn("cm", cm)
+        .withColumn("inter_in_sketch", in_both)
+        .withColumn("jaccard_est", F.col("inter_in_sketch").cast("double") / F.size("cm").cast("double"))
+        .withColumn("union_est", union_est)
+        .withColumn("overlap_est", F.col("jaccard_est") * F.col("union_est"))
+        .join(F.broadcast(exact))
+        .select(
+            "inter_in_sketch", "jaccard_est", "union_est", "overlap_est",
+            "n_inter_exact",
+        )
+    )

@@ -87,6 +87,8 @@ ALLOW_BNLJ = {
     "curation_source_mix",  # one-row total-tokens broadcast for the share denominator
     "curation_token_budget",  # one-row total-tokens broadcast for the budget flag
     "quality_drift_events_cohorts",  # one-row cohort-totals broadcast for the shares
+    "quality_ks_test_value_cohorts",  # one-row totals + bucket-offset broadcasts
+    "sketch_kmv_overlap_users",  # one-row sketch × one-row sketch × one-row exact
     "ann_recall_eval_ivf",  # embeds cosine_topk's broadcast theta-join as ground truth
 }
 
