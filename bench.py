@@ -93,6 +93,7 @@ HEADLINE = [
     "events_transition_matrix",
     "sketch_kmv_overlap_users",
     "quality_ks_test_value_cohorts",
+    "curation_temperature_weights",
 ]
 
 

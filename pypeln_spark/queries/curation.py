@@ -515,3 +515,54 @@ def curation_e2e_pretrain_pack(spark, sf_dir):
     return C.pack_sequences(toks, "n_tokens", budget=E2E_BUDGET).select(
         "doc_id", "shard", "pos", "n_tokens", "cum_before", "seq_id"
     )
+
+
+TEMP_SCALE = 12
+
+
+@register(
+    "curation_temperature_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    sq AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS s FROM per),
+    tot AS (
+      SELECT CAST(SUM(CAST(s AS DECIMAL(38,{TEMP_SCALE}))) AS DOUBLE) AS total
+      FROM sq
+    )
+    SELECT q.source, q.n_tokens, q.s AS sqrt_tokens,
+           q.s / t.total AS weight
+    FROM sq q CROSS JOIN tot t
+    """,
+)
+def curation_temperature_weights(spark, sf_dir):
+    """Temperature-0.5 source-mixing weights: w_i ∝ sqrt(tokens_i) — the
+    standard down-weighting of giant sources in a pretraining mix (e.g.
+    multilingual α-sampling), chosen at α=1/2 precisely because IEEE sqrt
+    is CORRECTLY ROUNDED (a general pow(x, α) is libm-dependent and would
+    not replay cross-engine). Normalization runs through the decimal-cast
+    sum convention so the denominator is order-free; each weight is then
+    one double division. Scale: tiny source key space after a
+    partial-aggregated scan; one-row total broadcast back."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    per = (
+        docs.select("source", toks.alias("_t"))
+        .groupBy("source")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    sq = per.withColumn("s", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = sq.agg(
+        F.sum(F.col("s").cast(f"decimal(38,{TEMP_SCALE})"))
+        .cast("double")
+        .alias("total")
+    )
+    return sq.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.col("s").alias("sqrt_tokens"),
+        (F.col("s") / F.col("total")).alias("weight"),
+    )

@@ -89,6 +89,7 @@ ALLOW_BNLJ = {
     "quality_drift_events_cohorts",  # one-row cohort-totals broadcast for the shares
     "quality_ks_test_value_cohorts",  # one-row totals + bucket-offset broadcasts
     "sketch_kmv_overlap_users",  # one-row sketch × one-row sketch × one-row exact
+    "curation_temperature_weights",  # one-row normalization total broadcast
     "ann_recall_eval_ivf",  # embeds cosine_topk's broadcast theta-join as ground truth
 }
 
