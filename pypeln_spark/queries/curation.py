@@ -493,6 +493,10 @@ def curation_e2e_pretrain_pack(spark, sf_dir):
     broadcast eval grams, two-level shard enumeration); nothing about the
     composition adds a new shuffle beyond the stages' own."""
     (docs,) = tables(spark, sf_dir, "documents")
+    # ONE cache-pool scope for the whole chain (minhash_lsh_dedup would
+    # retire on entry and drop the upstream persists — measured 11.4s vs
+    # ~4s at sf0.1 — so the LSH stages are composed directly here)
+    D.retire_pipeline_caches()
     scored = X.quality_scores(docs).select("doc_id", "n_tokens", "stopword_ratio")
     quality = (
         docs.join(scored, "doc_id")
@@ -503,13 +507,27 @@ def curation_e2e_pretrain_pack(spark, sf_dir):
         .select("doc_id", "text", "n_tokens")
     )
     keep = D.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
-    uniq = quality.join(keep, "doc_id")
-    pairs = D.minhash_lsh_dedup(uniq, n_hashes=32, bands=8, threshold=E2E_NEAR_T)
+    # uniq feeds the shingle pipeline, the near-dup anti-join, AND the
+    # decontamination gram stage — persist it once, eagerly (the quality
+    # scoring's token folds are the chain's most expensive projection)
+    uniq = D.pool_persist(quality.join(keep, "doc_id"))
+    uniq.count()
+    doc_sh = D.pool_persist(D.shingle_arrays(D.spread(uniq), "text", "doc_id", 5))
+    doc_sh.count()
+    wide = D.pool_persist(D.minhash_signatures_wide(doc_sh, "doc_id", 32))
+    wide.count()
+    cand = D.lsh_candidate_pairs(wide, "doc_id", 8, 4)
+    pairs = D.jaccard_pairs_from_candidates(cand, doc_sh, "doc_id", E2E_NEAR_T)
     dropx = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = uniq.join(dropx, "doc_id", "left_anti")
-    clean = C.decontaminate(
-        survivors, docs.filter(F.col("doc_id") % 97 == 0), n=DECON_N
-    ).select("doc_id", "n_tokens")
+    # clean feeds the shard manifest AND the token join back — persist so
+    # the decontamination gram explode runs once
+    clean = D.pool_persist(
+        C.decontaminate(
+            survivors, docs.filter(F.col("doc_id") % 97 == 0), n=DECON_N
+        ).select("doc_id", "n_tokens")
+    )
+    clean.count()
     m = C.shard_manifest(clean, "doc_id", n_shards=E2E_SHARDS, n_buckets=E2E_BUCKETS)
     toks = m.join(clean, "doc_id")
     return C.pack_sequences(toks, "n_tokens", budget=E2E_BUDGET).select(

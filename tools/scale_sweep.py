@@ -61,6 +61,14 @@ SWEEP = [
     "ann_recall_eval_ivf",
     "curation_token_budget",
     "quality_drift_events_cohorts",
+    "streaming_drift_daily_mix",
+    "curation_e2e_pretrain_pack",
+    "events_transition_matrix",
+    "sketch_kmv_overlap_users",
+    "quality_ks_test_value_cohorts",
+    "curation_temperature_weights",
+    "multimodal_real_decode_wav",
+    "multimodal_video_frame_sample",
 ]
 
 KEYED = {
