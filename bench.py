@@ -94,6 +94,7 @@ HEADLINE = [
     "sketch_kmv_overlap_users",
     "quality_ks_test_value_cohorts",
     "curation_temperature_weights",
+    "ann_recall_eval_lsh",
 ]
 
 

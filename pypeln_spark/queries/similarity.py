@@ -993,3 +993,84 @@ def ann_recall_eval_ivf(spark, sf_dir):
             F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
         )
     )
+
+
+@register(
+    "ann_recall_eval_lsh",
+    oracle=f"""
+    WITH {_E_CTE},
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM ex_scored)
+      WHERE rank <= {K}
+    ),
+    bktd AS (SELECT vec_id, v, nrm, CAST({_BUCKET} AS BIGINT) AS bucket FROM n),
+    ls_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM bktd q JOIN bktd c ON q.bucket = c.bucket
+       AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ls_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM ls_scored)
+      WHERE rank <= {K}
+    ),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM ex_top x JOIN ls_top l
+        ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+      GROUP BY x.query_id
+    ),
+    base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex_top GROUP BY query_id)
+    SELECT b.query_id, b.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+             AS recall
+    FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+    """,
+)
+def ann_recall_eval_lsh(spark, sf_dir):
+    """recall@k of the single-probe hyperplane-LSH retriever against exact
+    ground truth — the companion to ann_recall_eval_ivf, so BOTH scale
+    paths carry a value-checked quality measurement (single-probe LSH is
+    the recall-lossy extreme; comparing the two recall tables is exactly
+    the tuning loop a deployment runs when choosing n_planes/probes vs
+    nprobe). Same sampled-query-set cost shape."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    ex = S.cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    ls = S.ann_lsh_topk(emb, queries, k=K, n_planes=N_PLANES, dim=DIM).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ex.join(ls, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )

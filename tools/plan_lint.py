@@ -91,6 +91,7 @@ ALLOW_BNLJ = {
     "sketch_kmv_overlap_users",  # one-row sketch × one-row sketch × one-row exact
     "curation_temperature_weights",  # one-row normalization total broadcast
     "ann_recall_eval_ivf",  # embeds cosine_topk's broadcast theta-join as ground truth
+    "ann_recall_eval_lsh",  # same ground-truth theta-join, LSH retriever arm
 }
 
 # Queries whose PURPOSE is the Python execution path (harness / UDF / UDTF /
