@@ -95,6 +95,7 @@ HEADLINE = [
     "quality_ks_test_value_cohorts",
     "curation_temperature_weights",
     "ann_recall_eval_lsh",
+    "events_time_to_convert_quantiles",
 ]
 
 

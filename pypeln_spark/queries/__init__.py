@@ -53,12 +53,12 @@ except ImportError:  # pragma: no cover
 #
 # Round-5 rotation: after r4, EVERY pre-r4 registry entry has a driver-green
 # row. The front 50 is therefore (a) the 11 queries added late in r4 that
-# have never been driver-checked, (b) the 15 queries added this round
+# have never been driver-checked, (b) the 16 queries added this round
 # (containment dedup, LPA communities, ANN recall eval, token budget, WAV
 # decode, video frame-sampling, k-core, batch + streaming drift monitors, the e2e curation capstone, the event transition matrix, KMV set algebra, the exact KS test), then (c)
 # re-confirmation of the STALEST green rows — all 13 queries last checked
-# in r1, plus the oldest 11 of the r2 cohort — so regressions can't hide
-# behind old green rows. All 189 entries stay covered every session by the
+# in r1, plus the oldest 10 of the r2 cohort — so regressions can't hide
+# behind old green rows. All 190 entries stay covered every session by the
 # local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
     # -- (a) r4 additions, never driver-checked --
@@ -89,6 +89,7 @@ _PRIORITY = [
     "quality_ks_test_value_cohorts",
     "curation_temperature_weights",
     "ann_recall_eval_lsh",
+    "events_time_to_convert_quantiles",
     # -- (c) stalest greens: the full r1 cohort... --
     "subquery_orders_above_avg",
     "correlated_max_quantity_items",
@@ -103,7 +104,7 @@ _PRIORITY = [
     "listagg_region_nations",
     "stats_moments_by_event_type",
     "skew_salted_event_totals",
-    # -- ...then the oldest 11 of the r2 cohort --
+    # -- ...then the oldest 10 of the r2 cohort --
     "pipeline_map_revenue",
     "pipeline_map_python_udf",
     "pipeline_map_rows_python",
@@ -114,7 +115,6 @@ _PRIORITY = [
     "pipeline_ordered_lineitem",
     "pipeline_unbounded_pump",
     "multimodal_asset_feature_stats",
-    "q1_pricing_summary",
 ]
 
 

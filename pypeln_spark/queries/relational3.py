@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from pypeln_spark import relational as R
+from pypeln_spark.ext.hashing import sql_h31
 from pypeln_spark.functions import dsum, dsum_expr
 
 from .base import register, tables
@@ -696,4 +697,85 @@ def window_distribution_gauntlet(spark, sf_dir):
         F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
         F.percent_rank().over(w).alias("price_percent_rank"),
         F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+@register(
+    "events_time_to_convert_quantiles",
+    oracle=f"""
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS t_v FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t_p
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tv.t_v
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT tp.user_id,
+             CAST(epoch_us(tp.t_p) - epoch_us(tv.t_v) AS BIGINT) AS latency_us,
+             {sql_h31('CAST(tp.user_id AS VARCHAR)')} AS h
+      FROM tp JOIN tv ON tv.user_id = tp.user_id
+    ),
+    r AS (
+      SELECT latency_us,
+             ROW_NUMBER() OVER (ORDER BY h, latency_us) AS rn
+      FROM lat
+    ),
+    sv AS (
+      SELECT latency_us,
+             ROW_NUMBER() OVER (ORDER BY latency_us) AS vr,
+             COUNT(*) OVER () AS m
+      FROM r WHERE rn <= 128
+    ),
+    q AS (
+      SELECT CAST(MAX(m) AS BIGINT) AS m_sample,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.5 * m) AS BIGINT))
+                 THEN latency_us END) AS est_p50,
+             MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.9 * m) AS BIGINT))
+                 THEN latency_us END) AS est_p90
+      FROM sv
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lat) AS n_converted,
+           q.m_sample, q.est_p50, q.est_p90
+    FROM q
+    """,
+)
+def events_time_to_convert_quantiles(spark, sf_dir):
+    """Funnel latency distribution: per converting user, the microsecond
+    gap between first view and first subsequent purchase, summarized as
+    p50/p90 via the bottom-k quantile sketch (k=128 — the partition-
+    invariant, cross-engine-exact stand-in for approx_percentile over a
+    latency column; groups under k would be exact). The product-analytics
+    follow-up to events_funnel_conversion: not just HOW MANY convert but
+    HOW FAST. Scale: two user_id-keyed first-passage aggregates (same
+    partitioning, AQE elides the re-exchange) feeding the two-phase
+    bottom-k sample; integer microseconds end to end."""
+    from pypeln_spark.ext import sketch as K
+
+    (events,) = tables(spark, sf_dir, "events")
+    tv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    tp_ = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    lat = tp_.join(tv, "user_id").select(
+        "user_id",
+        (F.unix_micros("t_p") - F.unix_micros("t_v")).alias("latency_us"),
+    )
+    sk = K.bottomk_quantiles(
+        lat, [], "user_id", "latency_us", k=128, probs=(0.5, 0.9)
+    )
+    n = lat.agg(F.count(F.lit(1)).alias("n_converted"))
+    return n.join(F.broadcast(sk)).select(
+        "n_converted", "m_sample", "est_p50", "est_p90"
     )
