@@ -1051,11 +1051,13 @@ def label_propagation(
     localCheckpoint truncation."""
     retire_pipeline_caches()
     sc = edges.sparkSession.sparkContext
-    # dedupe + symmetrize (multi-edges would inflate a neighbor's vote —
-    # same simple-graph convention as pagerank/triangle_count)
+    # dedupe + symmetrize + drop self-loops (a (v,v) edge would let a
+    # vertex vote for its own label — simple-graph convention, matching
+    # pagerank/triangle_count and the pure-Python spec replay in tests)
     sym = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionAll(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     # partition by u (the label-carrying side of the per-round join) ONCE
@@ -1116,9 +1118,13 @@ def kcore_prune(
     advances so a long peel holds at most two cached edge frames.
     Integer-only: no float convention needed."""
     retire_pipeline_caches()
+    # self-loops dropped: a (v,v) edge would inflate its vertex's own
+    # degree and resist the peel — simple-graph convention (see
+    # label_propagation / triangle_count)
     sym = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionAll(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     cur = pool_persist(sym)

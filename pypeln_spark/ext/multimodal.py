@@ -340,7 +340,7 @@ def video_frame_stats(df: DataFrame, every_n: int = 2) -> DataFrame:
     every frame header (offset arithmetic through the raster — a frame
     can't be found without parsing its predecessors), keep every
     ``every_n``-th frame, and emit the decoded frame count plus the mean
-    over the first 16 pixels of EACH sampled frame (one exact integer sum
+    over the first 12 pixels of EACH sampled frame (one exact integer sum
     and one IEEE division — bit-reproducible in SQL)."""
     out_schema = T.StructType(
         [

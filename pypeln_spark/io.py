@@ -312,13 +312,24 @@ def compact_parquet(
         else:
             # per-leaf byte totals → files per partition, keyed on the
             # verbatim (unescaped) string partition values
+            import functools
             from urllib.parse import unquote
+
+            from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+            # Spark writes NULL partition values as this sentinel directory;
+            # reading back yields NULL, so the nf keys must carry real nulls
+            # (and the join below must be null-safe) or those rows vanish
+            # from the rewrite and the row-count verify always aborts.
+            HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
             leaf_bytes: tp.Dict[tuple, int] = {}
             for f in parts:
                 rel = os.path.dirname(os.path.relpath(f, path))
                 vals = tuple(
-                    unquote(d.split("=", 1)[1]) for d in rel.split(os.sep)
+                    None if d.split("=", 1)[1] == HIVE_NULL
+                    else unquote(d.split("=", 1)[1])
+                    for d in rel.split(os.sep)
                 )
                 leaf_bytes[vals] = leaf_bytes.get(vals, 0) + os.path.getsize(f)
             counts = [
@@ -326,12 +337,31 @@ def compact_parquet(
                 for vals, b in leaf_bytes.items()
             ]
             total_n = sum(c[-1] for c in counts)
-            nf = sp.createDataFrame(counts, part_cols + ["__nf"])
+            nf_schema = StructType(
+                [StructField(c, StringType()) for c in part_cols]
+                + [StructField("__nf", LongType())]
+            )
+            nf = sp.createDataFrame(counts, nf_schema).alias("__nf_side")
+            s = src.alias("__src_side")
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [s[c].eqNullSafe(nf[c]) for c in part_cols],
+            )
+            # Salt must be DETERMINISTIC per row: a hash of a
+            # nondeterministic id (monotonically_increasing_id) can reroute
+            # rows on shuffle-map task retry — the classic Spark
+            # nondeterministic-repartition hazard — and the row-count verify
+            # cannot catch an offsetting duplicate+loss pair. Hashing the
+            # row's own columns replays identically on retry.
             salted = (
-                src.join(F.broadcast(nf), part_cols)
+                s.join(F.broadcast(nf), cond)
+                .select("__src_side.*", "__nf_side.__nf")
                 .withColumn(
                     "__salt",
-                    F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.col("__nf")),
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in src.columns]),
+                        F.col("__nf"),
+                    ),
                 )
             )
             (

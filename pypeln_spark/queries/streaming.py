@@ -952,7 +952,16 @@ def streaming_asof_static_enrich(spark, sf_dir):
     as-of exactly (the oracle, DuckDB's native ASOF JOIN). The static
     views side broadcasts once per batch; left rows never wait on
     watermarks. This is the feature-store lookup pattern: late-arriving
-    facts enriched with the most recent static dimension state."""
+    facts enriched with the most recent static dimension state.
+
+    Sink shape: each epoch's enriched rows are APPENDED TO PARQUET from
+    the executors (at scale that parquet IS the output dataset); nothing
+    ever accumulates on the driver. For the registry harness the union is
+    read back and localCheckpoint'ed (materialized in the block manager,
+    distributed) so the scratch dir can be removed immediately."""
+    import shutil
+    import tempfile
+
     from pypeln_spark.ext import asof as A
 
     ev_static = load_table(spark, sf_dir, "events")
@@ -965,20 +974,22 @@ def streaming_asof_static_enrich(spark, sf_dir):
         F.col("event_type") == "purchase"
     ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
 
-    chunks = []
+    root = tempfile.mkdtemp(prefix="pypeln_spark_asof_epochs_")
 
     def enrich(batch_df, epoch_id):
         j = A.asof_join(batch_df, views, on="user_id", right_cols=["view_id"])
-        chunks.append(
-            j.select("purchase_id", "user_id", F.col("view_id_right").alias("view_id"))
-            .collect()
+        (
+            j.select(
+                "purchase_id", "user_id", F.col("view_id_right").alias("view_id")
+            )
+            .write.mode("append")
+            .parquet(root)
         )
 
     ST.run_foreach_batch(stream, enrich)
-    rows = [r for c in chunks for r in c]
-    return spark.createDataFrame(
-        rows, "purchase_id long, user_id long, view_id long"
-    )
+    out = spark.read.parquet(root).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @register(

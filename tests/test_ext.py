@@ -1737,12 +1737,10 @@ def test_graph_ops_match_pure_replay_property(spark):
     )
     def check(seed, n, m, k):
         rng = np.random.default_rng(seed)
-        edges = [
-            (int(a), int(b))
-            for a, b in rng.integers(0, n, size=(m, 2))
-            if a != b
-        ]
-        if not edges:
+        # self-loops are INCLUDED on purpose: both ops must ignore them
+        # (simple-graph convention) exactly like the pure replays do
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))]
+        if not any(a != b for a, b in edges):
             return
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got_l = {r.vertex: r.label for r in label_propagation(df, iters=2).collect()}

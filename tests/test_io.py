@@ -287,3 +287,30 @@ def test_compact_parquet_multilevel_partitions(spark, tmp_path):
     assert after == before
     assert spark.read.parquet(root).filter("a = 1 AND b = 2").count() == \
         sum(1 for r in before if r[1] == 1 and r[2] == 2)
+
+
+def test_compact_parquet_null_partition_values(spark, tmp_path):
+    """ADVICE r5 (low): a NULL partition value is written as the
+    __HIVE_DEFAULT_PARTITION__ sentinel directory and read back as NULL;
+    the per-partition file-count join must be null-safe or those rows
+    vanish from the rewrite and the row-count verify aborts forever."""
+    import pypeln_spark as pl
+
+    root = str(tmp_path / "nullpart")
+    df = spark.range(3_000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id % 3 AS STRING) END AS p",
+        "id * 2 AS v",
+    )
+    df.repartition(12).write.partitionBy("p").parquet(root)
+    assert os.path.isdir(os.path.join(root, "p=__HIVE_DEFAULT_PARTITION__"))
+    before = sorted((r.k, r.p, r.v) for r in spark.read.parquet(root).collect())
+    stats = pl.compact_parquet(root, target_file_bytes=1 << 30, spark=spark)
+    assert stats["files_before"] >= 12
+    assert 3 <= stats["files_after"] <= 6
+    # the null-partition directory survives the rewrite, rows intact
+    assert os.path.isdir(os.path.join(root, "p=__HIVE_DEFAULT_PARTITION__"))
+    again = spark.read.parquet(root)
+    after = sorted((r.k, r.p, r.v) for r in again.collect())
+    assert after == before
+    assert again.filter("p IS NULL").count() == 1_000
