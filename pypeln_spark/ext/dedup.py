@@ -569,16 +569,29 @@ def span_dedup(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stride: tp.Optional[int] = None,
 ) -> DataFrame:
     """Corpus-wide repeated-span accounting: split every document into
-    non-overlapping ``window``-token chunks, hash each chunk (frozen h31
-    family), and keep only the FIRST occurrence of each chunk corpus-wide
-    (first = smallest (doc_id, chunk index)). Output one row per doc:
-    (id, n_chunks, n_kept, kept_frac) — the fixed-window approximation of
-    exact-substring dedup (Lee et al.'s suffix-array pass), which is what
-    production pipelines run when the suffix array doesn't fit.
+    ``window``-token chunks starting every ``stride`` tokens (default
+    stride=window → non-overlapping), hash each chunk (frozen h31 family),
+    and keep only the FIRST occurrence of each chunk corpus-wide (first =
+    smallest (doc_id, chunk index)). Output one row per doc: (id, n_chunks,
+    n_kept, kept_frac) — the windowed approximation of exact-substring
+    dedup (Lee et al.'s suffix-array pass), which is what production
+    pipelines run when the suffix array doesn't fit.
 
-    Scale shape: chunking is a narrow posexplode (rows ∝ tokens/window, no
+    stride < window is the OVERLAPPING (rolling-window) variant: the
+    non-overlapping form only matches a repeated passage whose offset
+    difference between two docs is a multiple of ``window``, so a
+    duplicate shifted by e.g. half a window is invisible to it; with
+    stride s every chunk start lands on a multiple of s, so shifts that
+    are multiples of s (s=window/2 catches the half-window shift) align
+    and are caught, at rows ∝ tokens/s — i.e. recall scales with 1/s at
+    linear cost, stride=1 being the full rolling-hash pass. Shifts NOT
+    ≡ 0 (mod s) remain invisible; closing those needs content-defined
+    boundaries or a suffix array.
+
+    Scale shape: chunking is a narrow posexplode (rows ∝ tokens/stride, no
     shuffle); first-occurrence selection is ONE hash-partitioned window over
     chunk_hash (high-cardinality key → even partitions, tiny groups); the
     per-doc rollup shuffles on doc_id. Nothing is quadratic and no text
@@ -586,11 +599,14 @@ def span_dedup(
     so bytes on the wire ∝ 24B per chunk whatever the document sizes."""
     from pyspark.sql import Window
 
+    s = window if stride is None else int(stride)
+    if not (1 <= s <= window):
+        raise ValueError(f"span_dedup: stride must be in [1, window], got {s}")
     toks = F.split(F.col(text_col), " ")
-    n_chunks = F.floor((F.size(toks) + F.lit(window - 1)) / F.lit(window)).cast("int")
+    n_chunks = F.floor((F.size(toks) + F.lit(s - 1)) / F.lit(s)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda c: F.array_join(F.slice(toks, c * window + 1, window), " "),
+        lambda c: F.array_join(F.slice(toks, c * s + 1, window), " "),
     )
     rows = spread(df).select(
         id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk")
@@ -607,17 +623,18 @@ def span_dedup(
     return out.withColumn("kept_frac", kept_frac)
 
 
-def sql_span_dedup(window: int = 16) -> str:
+def sql_span_dedup(window: int = 16, stride: tp.Optional[int] = None) -> str:
     """DuckDB twin of span_dedup over the `documents` view."""
     from .hashing import sql_h31
 
+    s = window if stride is None else int(stride)
     toks = "string_split(text, ' ')"
     return f"""
     WITH _t AS (SELECT doc_id, {toks} AS toks FROM documents),
     _c AS (
       SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
-             {sql_h31(f"array_to_string(list_slice(toks, u.i*{window}+1, u.i*{window}+{window}), ' ')")} AS _h
-      FROM _t, UNNEST(range(0, (len(toks) + {window - 1}) // {window})) AS u(i)
+             {sql_h31(f"array_to_string(list_slice(toks, u.i*{s}+1, u.i*{s}+{window}), ' ')")} AS _h
+      FROM _t, UNNEST(range(0, (len(toks) + {s - 1}) // {s})) AS u(i)
     ),
     _m AS (
       SELECT doc_id, CASE WHEN ROW_NUMBER() OVER (

@@ -356,6 +356,20 @@ def dedup_span_chunks(spark, sf_dir):
     return D.span_dedup(docs, window=16)
 
 
+@register("dedup_span_overlap", oracle=D.sql_span_dedup(window=16, stride=8))
+def dedup_span_overlap(spark, sf_dir):
+    """OVERLAPPING-window repeated-span accounting (VERDICT r5 #3):
+    stride=8 < window=16, so chunk starts land every 8 tokens and a
+    duplicated passage shifted by any multiple of 8 tokens — including
+    the half-window shift the non-overlapping dedup_span_chunks provably
+    misses (tests/test_ext.py::test_span_dedup_overlap_catches_half_
+    window_shift) — aligns and is caught. Cost is rows ∝ tokens/stride
+    (2× the chunk rows of the fixed variant), same 24 B/chunk shuffle
+    shape: recall buys linearly, never quadratically."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.span_dedup(docs, window=16, stride=8)
+
+
 @register(
     "dedup_incremental_vs_corpus",
     oracle=f"""

@@ -759,6 +759,39 @@ def test_span_dedup_conservation_and_first_wins(spark):
     assert rows[2].kept_frac == 0.0
 
 
+def test_span_dedup_overlap_catches_half_window_shift(spark):
+    """VERDICT r5 #3: a duplicated passage shifted by half a window is
+    PROVABLY invisible to the non-overlapping variant (no chunk of doc 2
+    aligns with doc 1's chunk grid) but caught by stride=window/2 (the
+    shift is a multiple of the stride, so chunk starts align)."""
+    from pypeln_spark.ext import dedup as D
+
+    passage = " ".join(f"p{i}" for i in range(32))  # 2 full 16-token windows
+    prefix8 = " ".join(f"x{i}" for i in range(8))  # half-window shift
+    df = spark.createDataFrame(
+        [(1, passage), (2, prefix8 + " " + passage)],
+        "doc_id long, text string",
+    )
+    # fixed windows: doc 2's grid is offset by 8 tokens → zero chunks match
+    fixed = {r.doc_id: r for r in D.span_dedup(df, window=16).collect()}
+    assert fixed[2].n_kept == fixed[2].n_chunks  # everything "novel" — the miss
+    # stride=8: doc 2's chunks starting at offsets 8 and 16 reproduce doc
+    # 1's chunks starting at 0 and 8 verbatim → caught as duplicates
+    over = {r.doc_id: r for r in D.span_dedup(df, window=16, stride=8).collect()}
+    # doc 2 has 5 chunk starts (40 tokens / stride 8); all but the first
+    # (the only one containing x-prefix tokens) reproduce doc 1 chunks —
+    # starts 8/16/24/32 match doc 1 starts 0/8/16/24 verbatim
+    assert over[2].n_chunks == 5
+    assert over[2].n_kept == 1
+    # stride=window reproduces the fixed variant exactly
+    same = {r.doc_id: r for r in D.span_dedup(df, window=16, stride=16).collect()}
+    assert {k: (v.n_chunks, v.n_kept) for k, v in same.items()} == {
+        k: (v.n_chunks, v.n_kept) for k, v in fixed.items()
+    }
+    with pytest.raises(ValueError, match="stride"):
+        D.span_dedup(df, window=16, stride=17)
+
+
 def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
     """Same rows kept across runs/partitionings; weight=denom keeps all,
     weight=0 keeps none."""
