@@ -390,7 +390,7 @@ E2E_BUCKETS = 64
 E2E_BUDGET = 512
 
 
-def _e2e_oracle() -> str:
+def _e2e_oracle(drop_rule: str = "pairwise") -> str:
     from pypeln_spark.ext.hashing import MINHASH_PARAMS, sql_shingles
 
     params = ", ".join(
@@ -399,8 +399,24 @@ def _e2e_oracle() -> str:
     manifest = C.sql_shard_manifest(
         "doc_id", E2E_SHARDS, E2E_BUCKETS, table="clean"
     )
+    if drop_rule == "pairwise":
+        recursive = ""
+        dropx = "dropx AS (SELECT DISTINCT id_b AS doc_id FROM verified)"
+    else:  # cc: one survivor (min id) per connected component of verified pairs
+        recursive = "RECURSIVE "
+        dropx = """edgesx AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edgesx
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edgesx e ON r.b = e.a
+    ),
+    ccx AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    dropx AS (SELECT doc_id FROM ccx WHERE doc_id <> cluster_id)"""
     return f"""
-    WITH scored AS (
+    WITH {recursive}scored AS (
       SELECT doc_id, text,
              CAST(len({TOKS}) AS BIGINT) AS n_tokens,
              CAST(len(list_filter({TOKS}, t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
@@ -439,14 +455,15 @@ def _e2e_oracle() -> str:
       JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
       GROUP BY c.id_a, c.id_b
     ),
-    dropx AS (
-      SELECT DISTINCT i.id_b AS doc_id
+    verified AS (
+      SELECT i.id_a, i.id_b
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.id_a
       JOIN sizes sb ON sb.doc_id = i.id_b
       WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
             >= {E2E_NEAR_T}
     ),
+    {dropx},
     survivors AS (
       SELECT u.* FROM uniq u LEFT JOIN dropx d ON u.doc_id = d.doc_id
       WHERE d.doc_id IS NULL
@@ -478,20 +495,15 @@ def _e2e_oracle() -> str:
     """
 
 
-@register("curation_e2e_pretrain_pack", oracle=_e2e_oracle())
-def curation_e2e_pretrain_pack(spark, sf_dir):
-    """THE capstone composition — the full pretraining curation pipeline as
-    one query: quality thresholds → exact-dedup keep-list → MinHash-LSH
-    near-dedup (pairwise smaller-id-wins drop rule: the larger id of every
-    verified Jaccard≥0.5 pair drops — one anti-join, no component pass) →
-    benchmark decontamination (8-gram overlap vs the doc_id%97 eval slice)
-    → deterministic shard manifest → 512-token greedy sequence packing.
-    Every stage is an existing registry operator; the chain is what a user
-    of this engine runs end to end, and the oracle replays ALL of it —
-    shingles to shard positions — bit-exact. Scale: each stage keeps its
-    own documented shape (pushdown filters, hash keep-lists, banded LSH,
-    broadcast eval grams, two-level shard enumeration); nothing about the
-    composition adds a new shuffle beyond the stages' own."""
+def _e2e_chain(spark, sf_dir, drop_rule: str):
+    """Shared body of the two e2e capstone variants — identical chain,
+    differing only in near-dup survivor election (``drop_rule``):
+    "pairwise" drops the larger id of every verified pair (one anti-join,
+    no component pass); "cc" clusters the verified pairs with
+    connected_components and keeps ONE doc (the min id) per cluster —
+    the cluster-accurate form: on an A–B, B–C chain where the bridge doc
+    has the largest id, pairwise keeps BOTH endpoints of the cluster
+    (tests/test_ext.py::test_pairwise_vs_cc_survivor_election)."""
     (docs,) = tables(spark, sf_dir, "documents")
     # ONE cache-pool scope for the whole chain (minhash_lsh_dedup would
     # retire on entry and drop the upstream persists — measured 11.4s vs
@@ -518,7 +530,14 @@ def curation_e2e_pretrain_pack(spark, sf_dir):
     wide.count()
     cand = D.lsh_candidate_pairs(wide, "doc_id", 8, 4)
     pairs = D.jaccard_pairs_from_candidates(cand, doc_sh, "doc_id", E2E_NEAR_T)
-    dropx = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    if drop_rule == "pairwise":
+        dropx = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    else:
+        # connected_components is self-managing (materializes per round,
+        # unpersists its edge cache on return) so it nests safely in this
+        # pool scope; non-min cluster members drop
+        cc = D.connected_components(pairs)
+        dropx = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     survivors = uniq.join(dropx, "doc_id", "left_anti")
     # clean feeds the shard manifest AND the token join back — persist so
     # the decontamination gram explode runs once
@@ -533,6 +552,40 @@ def curation_e2e_pretrain_pack(spark, sf_dir):
     return C.pack_sequences(toks, "n_tokens", budget=E2E_BUDGET).select(
         "doc_id", "shard", "pos", "n_tokens", "cum_before", "seq_id"
     )
+
+
+@register("curation_e2e_pretrain_pack", oracle=_e2e_oracle())
+def curation_e2e_pretrain_pack(spark, sf_dir):
+    """THE capstone composition — the full pretraining curation pipeline as
+    one query: quality thresholds → exact-dedup keep-list → MinHash-LSH
+    near-dedup (pairwise smaller-id-wins drop rule: the larger id of every
+    verified Jaccard≥0.5 pair drops — one anti-join, no component pass) →
+    benchmark decontamination (8-gram overlap vs the doc_id%97 eval slice)
+    → deterministic shard manifest → 512-token greedy sequence packing.
+    Every stage is an existing registry operator; the chain is what a user
+    of this engine runs end to end, and the oracle replays ALL of it —
+    shingles to shard positions — bit-exact. Scale: each stage keeps its
+    own documented shape (pushdown filters, hash keep-lists, banded LSH,
+    broadcast eval grams, two-level shard enumeration); nothing about the
+    composition adds a new shuffle beyond the stages' own."""
+    return _e2e_chain(spark, sf_dir, "pairwise")
+
+
+@register("curation_e2e_pretrain_pack_cc", oracle=_e2e_oracle("cc"))
+def curation_e2e_pretrain_pack_cc(spark, sf_dir):
+    """The CLUSTER-ACCURATE capstone variant (VERDICT r5 #4): identical
+    chain to curation_e2e_pretrain_pack, but near-dup survivor election
+    runs connected_components over the verified pairs and keeps exactly
+    one doc (the min id) per duplicate CLUSTER — pairwise drop can keep
+    two docs from one cluster when the bridge doc of an A–B, B–C chain
+    carries the largest id (it is the only id_b, so both endpoints
+    survive). The oracle replays the CC rounds as a recursive-CTE
+    transitive closure (same fixpoint as dedup_minhash_clusters' oracle)
+    inside the full shingles-to-shard-positions replay. Scale: adds the
+    O(diameter)-round min-label propagation over the skinny verified-pair
+    edge list — near-dup clusters are shallow (2-4 rounds); every other
+    stage keeps its documented shape."""
+    return _e2e_chain(spark, sf_dir, "cc")
 
 
 TEMP_SCALE = 12

@@ -792,6 +792,28 @@ def test_span_dedup_overlap_catches_half_window_shift(spark):
         D.span_dedup(df, window=16, stride=17)
 
 
+def test_pairwise_vs_cc_survivor_election(spark):
+    """VERDICT r5 #4: on an A–B, B–C chain cluster where the bridge doc
+    holds the LARGEST id — verified pairs (1,3) and (2,3) — the pairwise
+    smaller-id-wins rule drops only {3} and keeps BOTH 1 and 2 from the
+    one duplicate cluster; CC election keeps exactly the min id {1}.
+    (With a<b pair orientation the cluster min is never an id_b, so
+    pairwise can never drop everything — its failure mode is extra
+    survivors, which CC closes.)"""
+    from pypeln_spark.ext import dedup as D
+
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    pairwise_drop = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    assert pairwise_drop == {3}  # survivors {1, 2} — two from one cluster
+    cc = D.connected_components(pairs)
+    cc_survivors = {
+        r.doc_id for r in cc.filter("doc_id = cluster_id").collect()
+    }
+    cc_dropped = {r.doc_id for r in cc.filter("doc_id != cluster_id").collect()}
+    assert cc_survivors == {1}
+    assert cc_dropped == {2, 3}
+
+
 def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
     """Same rows kept across runs/partitionings; weight=denom keeps all,
     weight=0 keeps none."""
