@@ -975,24 +975,7 @@ def ann_recall_eval_ivf(spark, sf_dir):
     iv = S.ivf_topk(emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE).select(
         "query_id", "neighbor_id"
     )
-    hits = (
-        ex.join(iv, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return (
-        base.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
-        )
-        .withColumn(
-            "recall",
-            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
-        )
-    )
+    return _recall_table(ex, iv)
 
 
 @register(
@@ -1056,8 +1039,17 @@ def ann_recall_eval_lsh(spark, sf_dir):
     ls = S.ann_lsh_topk(emb, queries, k=K, n_planes=N_PLANES, dim=DIM).select(
         "query_id", "neighbor_id"
     )
+    return _recall_table(ex, ls)
+
+
+def _recall_table(ex, approx):
+    """(query_id, n_exact, n_hits, recall) — shared tail of the three
+    recall evals: intersect the approximate arm's top-k with the exact
+    ground truth per query."""
+    from pyspark.sql import functions as F
+
     hits = (
-        ex.join(ls, ["query_id", "neighbor_id"])
+        ex.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -1074,3 +1066,91 @@ def ann_recall_eval_lsh(spark, sf_dir):
             F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
         )
     )
+
+
+@register(
+    "ann_recall_eval_pq",
+    oracle=f"""
+    WITH {_E_CTE},
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM ex_scored)
+      WHERE rank <= {K}
+    ),
+    {_pq_ctes(PQ_M, PQ_K, DIM, PQ_TRAIN_MOD)},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS srank
+        FROM padc) WHERE srank <= {PQ_RERANK}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS score
+      FROM shortlist s
+      JOIN n c ON c.vec_id = s.neighbor_id
+      JOIN n q ON q.vec_id = s.query_id
+    ),
+    pq_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+        FROM rr)
+      WHERE rank <= {K}
+    ),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM ex_top x JOIN pq_top p
+        ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+      GROUP BY x.query_id
+    ),
+    base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex_top GROUP BY query_id)
+    SELECT b.query_id, b.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+             AS recall
+    FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+    """,
+)
+def ann_recall_eval_pq(spark, sf_dir):
+    """recall@k of the PQ-ADC + exact-rerank retriever against exact
+    ground truth (VERDICT r5 #6) — completes the recall-eval trilogy so
+    ALL three production ANN arms (IVF, LSH, PQ) carry an oracle-checked
+    quality measurement, not just unit-tested recall. The oracle replays
+    codebook training, corpus encode, LUT build, the subspace-ordered ADC
+    fold, the rerank AND the recall arithmetic. Reuses the session-cached
+    PQ codebooks/codes (same artifact keys as ann_pq_adc_topk), so back-
+    to-back eval + retrieval never retrains. Same sampled-query-set cost
+    shape as the other evals."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    ex = S.cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+
+    def build():
+        (e,) = tables(spark, sf_dir, "embeddings")
+        return S.pq_train_codebooks(e, m=PQ_M, k=PQ_K, train_mod=PQ_TRAIN_MOD)
+
+    cb = S.trained_artifact(
+        spark, ("pq_codebooks", sf_dir, PQ_M, PQ_K, PQ_TRAIN_MOD), build
+    )
+    codes = S.cached_index(
+        ("pq_codes", sf_dir, PQ_M, PQ_K, PQ_TRAIN_MOD),
+        lambda: S.pq_encode(tables(spark, sf_dir, "embeddings")[0], cb, m=PQ_M),
+    )
+    pq = S.pq_adc_topk(
+        emb, queries, k=K, m=PQ_M, n_codes=PQ_K,
+        train_mod=PQ_TRAIN_MOD, rerank=PQ_RERANK, codebooks=cb, codes=codes,
+    ).select("query_id", "neighbor_id")
+    return _recall_table(ex, pq)
