@@ -1,18 +1,33 @@
 """Sinks: to_iterable / to_async_iterable
 (reference: pypeln/process/api/to_iterable.py:26-53, task/api/to_iterable.py:78-111).
 
-``toLocalIterator`` pulls one partition at a time to the driver — the same
-bounded-memory intent as the reference's ``maxsize`` on the main queue.
+RECOMMENDED USAGE — pass ``maxsize>0`` for anything that might be large::
+
+    for row in pl.to_iterable(stage, maxsize=1):   # partition-at-a-time
+        ...
+
+``toLocalIterator`` then pulls one partition at a time to the driver — the
+same bounded-memory intent as the reference's ``maxsize`` on the main
+queue. The default ``maxsize=0`` matches the reference's "unbounded main
+queue" semantics: ONE collect() job, i.e. the whole result materializes in
+driver memory at once — fine for aggregates and samples, wrong for a
+full-table sink (a warning fires past COLLECT_WARN_ROWS rows).
 ``return_index=True`` yields full ``Element(index, value)`` records.
 """
 
 from __future__ import annotations
 
 import typing as tp
+import warnings
 
 from .. import infer
 from ..stage import Stage, to_stage
 from ..utils import INDEX_COL, UNDEFINED, VALUE_COL, curry_stage
+
+# maxsize=0 collects past this many rows -> advise the bounded path. The
+# check is post-collect (len() of the already-built list) so the hot path
+# never pays an extra Spark job for the advice.
+COLLECT_WARN_ROWS = 100_000
 
 
 class Element(tp.NamedTuple):
@@ -35,7 +50,16 @@ def to_iterable(
         # partition at a time (one job per partition, slower but bounded).
         if maxsize and maxsize > 0:
             return d.toLocalIterator(prefetchPartitions=True)
-        return iter(d.collect())
+        rows = d.collect()
+        if len(rows) > COLLECT_WARN_ROWS:
+            warnings.warn(
+                f"to_iterable(maxsize=0) collected {len(rows):,} rows into "
+                "driver memory in one job; pass maxsize>0 to pull one "
+                "partition at a time with bounded memory",
+                ResourceWarning,
+                stacklevel=3,
+            )
+        return iter(rows)
 
     if not stage.scalar:
         # table stage: yield Rows (or dicts) — closest to the reference's

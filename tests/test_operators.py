@@ -118,6 +118,29 @@ def test_to_iterable_return_index(spark):
     assert elems == [((0,), "a"), ((1,), "b"), ((2,), "c")]
 
 
+def test_to_iterable_collect_warning(spark, monkeypatch):
+    """VERDICT r5 #7: the default maxsize=0 sink is a full collect();
+    past COLLECT_WARN_ROWS it must warn the user toward maxsize>0. The
+    bounded path and small collects stay silent."""
+    import warnings
+
+    import importlib
+
+    # the package re-exports the function under the submodule's name, so a
+    # plain `import ... as TI` binds the function; import_module gets the module
+    TI = importlib.import_module("pypeln_spark.operators.to_iterable")
+
+    monkeypatch.setattr(TI, "COLLECT_WARN_ROWS", 10)
+    stage = pl.from_iterable(range(25))
+    with pytest.warns(ResourceWarning, match="maxsize"):
+        assert len(list(pl.to_iterable(stage, maxsize=0))) == 25
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would fail the test
+        assert len(list(pl.to_iterable(stage, maxsize=1))) == 25
+        small = pl.from_iterable(range(5))
+        assert len(list(pl.to_iterable(small, maxsize=0))) == 5
+
+
 def test_mixed_mode_chain(spark):
     """Reference mixture test analogue (tests/test_mixtures.py)."""
     stage = (
