@@ -96,6 +96,31 @@ HEADLINE = [
     "curation_temperature_weights",
     "ann_recall_eval_lsh",
     "events_time_to_convert_quantiles",
+    # -- round-6 additions: the r6 queries plus the most expensive
+    # previously-unbenched families (VERDICT r5 #8 — the tail can no
+    # longer hide a regression) --
+    "dedup_span_chunks",
+    "dedup_span_overlap",
+    "curation_e2e_pretrain_pack_cc",
+    "ann_recall_eval_pq",
+    "dedup_minhash_clusters_star",
+    "streaming_hll_daily_distinct",
+    "fuzzy_join_supplier_names",
+    "graph_ppr_part_cooccurrence",
+    "streaming_merge_upsert_orders",
+    "streaming_asof_static_enrich",
+    "streaming_session_windows",
+    "streaming_stateful_running_totals",
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q9_product_type_profit",
+    "window_navigation_gauntlet",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "recursive_cte_ancestry",
+    "quality_profile_orders",
+    "events_scd2_status_intervals",
+    "multimodal_asset_feature_stats",
 ]
 
 

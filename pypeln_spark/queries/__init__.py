@@ -51,70 +51,74 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-5 rotation: after r4, EVERY pre-r4 registry entry has a driver-green
-# row. The front 50 is therefore (a) the 11 queries added late in r4 that
-# have never been driver-checked, (b) the 16 queries added this round
-# (containment dedup, LPA communities, ANN recall eval, token budget, WAV
-# decode, video frame-sampling, k-core, batch + streaming drift monitors, the e2e curation capstone, the event transition matrix, KMV set algebra, the exact KS test), then (c)
-# re-confirmation of the STALEST green rows — all 13 queries last checked
-# in r1, plus the oldest 10 of the r2 cohort — so regressions can't hide
-# behind old green rows. All 190 entries stay covered every session by the
-# local DuckDB gate (tests/test_correctness_gate.py).
+# Round-6 rotation (tools/rotate_registry.py 50): after r5, all 190
+# pre-r6 entries are ever-driver-green with zero failures. The front 50
+# is therefore (a) the 3 queries added this round, never driver-checked,
+# (b) the 3 greens whose CODE changed this round (span_dedup grew the
+# stride path, the e2e chain was refactored for the drop rule, the asof
+# enrichment harness swapped its sink) — re-confirm changed code first,
+# then (c) re-confirmation of the STALEST greens: the whole r2 cohort
+# plus the oldest of the r3 cohort, so no entry's last driver check ages
+# past 3 rounds. All 193 entries stay covered every session by the local
+# DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
-    # -- (a) r4 additions, never driver-checked --
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "multimodal_real_decode_pnm",
-    "sketch_quantile_global_histogram",
-    "bucketed_join_priority_revenue",
-    "streaming_merge_upsert_orders",
-    "graph_pagerank_part_cooccurrence",
-    "dedup_incremental_vs_corpus",
-    "embedding_quantize_int8",
-    "search_hybrid_rrf",
-    "graph_ppr_part_cooccurrence",
-    # -- (b) r5 additions --
-    "dedup_containment_pairs",
-    "graph_lpa_part_cooccurrence",
-    "ann_recall_eval_ivf",
-    "curation_token_budget",
-    "multimodal_real_decode_wav",
-    "multimodal_video_frame_sample",
-    "graph_kcore_part_cooccurrence",
-    "quality_drift_events_cohorts",
-    "streaming_drift_daily_mix",
+    # -- (a) r6 additions, never driver-checked --
+    "curation_e2e_pretrain_pack_cc",
+    "dedup_span_overlap",
+    "ann_recall_eval_pq",
+    # -- (b) greens whose code changed in r6 --
+    "dedup_span_chunks",
     "curation_e2e_pretrain_pack",
-    "events_transition_matrix",
-    "sketch_kmv_overlap_users",
-    "quality_ks_test_value_cohorts",
-    "curation_temperature_weights",
-    "ann_recall_eval_lsh",
-    "events_time_to_convert_quantiles",
-    # -- (c) stalest greens: the full r1 cohort... --
-    "subquery_orders_above_avg",
-    "correlated_max_quantity_items",
-    "grouping_sets_orders",
-    "array_function_gauntlet",
-    "unpivot_order_status_counts",
-    "manual_median_price_by_priority",
-    "cheapest_item_supplier_per_part",
-    "nation_pair_trade_volume",
-    "not_in_parts_never_shipped",
-    "window_navigation_gauntlet",
-    "listagg_region_nations",
-    "stats_moments_by_event_type",
-    "skew_salted_event_totals",
-    # -- ...then the oldest 10 of the r2 cohort --
-    "pipeline_map_revenue",
-    "pipeline_map_python_udf",
-    "pipeline_map_rows_python",
-    "pipeline_filter_shipdate",
-    "pipeline_flat_map_tokens",
-    "pipeline_flat_map_python",
-    "pipeline_concat_parties",
-    "pipeline_ordered_lineitem",
-    "pipeline_unbounded_pump",
-    "multimodal_asset_feature_stats",
+    "streaming_asof_static_enrich",
+    # -- (c) stalest greens, oldest driver row first (r2 cohort) --
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    "agg_nation_customer_stats",
+    "groupby_having_hot_parts",
+    "count_distinct_parts_by_brand",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_join_auto_orders",
+    "anti_join_idle_customers",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_lag_order_gap_days",
+    "top_k_expensive_parts",
+    "set_intersect_nations",
+    "set_except_nations",
+    "distinct_order_months",
+    "rollup_order_status_priority",
+    "cube_lineitem_flags",
+    "pivot_priority_by_status",
+    "scalar_function_gauntlet",
+    "date_function_gauntlet",
+    "case_when_price_tiers",
+    "json_extract_event_props",
+    "events_hourly_by_type",
+    "events_sessionization",
+    "curation_pipeline_survivors",
+    "curation_sample_by_hash",
+    "curation_stratified_topn",
+    "curation_decontaminated",
+    "curation_chunk_tokens",
+    "text_token_stats",
+    "text_bpe_ish_token_count",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_length_histogram",
+    "dedup_exact_documents",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_exact",
+    # -- ...then the oldest of the r3 cohort --
+    "pipeline_each_audit_count",
+    "pipeline_to_iterable_roundtrip",
+    "pipeline_to_async_iterable_roundtrip",
+    "curation_train_val_split",
+    "curation_weighted_sample",
+    "curation_shard_manifest",
+    "curation_pack_sequences",
 ]
 
 
