@@ -92,6 +92,7 @@ ALLOW_BNLJ = {
     "curation_temperature_weights",  # one-row normalization total broadcast
     "ann_recall_eval_ivf",  # embeds cosine_topk's broadcast theta-join as ground truth
     "ann_recall_eval_lsh",  # same ground-truth theta-join, LSH retriever arm
+    "ann_recall_eval_pq",  # same ground-truth theta-join, PQ-ADC retriever arm
     "events_time_to_convert_quantiles",  # one-row sketch × one-row count broadcast
 }
 
