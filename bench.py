@@ -101,6 +101,7 @@ HEADLINE = [
     # longer hide a regression) --
     "dedup_span_chunks",
     "dedup_span_overlap",
+    "dedup_cdc_chunks",
     "curation_e2e_pretrain_pack_cc",
     "ann_recall_eval_pq",
     "dedup_minhash_clusters_star",

@@ -649,6 +649,155 @@ def sql_span_dedup(window: int = 16, stride: tp.Optional[int] = None) -> str:
     """
 
 
+def cdc_chunk_dedup(
+    df: DataFrame,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup — the shift-invariant substring pass
+    span_dedup's docstring defers to. A token ENDS a chunk wherever its
+    frozen hash satisfies ``h31(token) % divisor == 0`` (plus the forced
+    final boundary), so chunk boundaries depend only on the local content:
+    the same repeated passage chunks IDENTICALLY no matter what offset it
+    sits at in each document. A duplicate shifted by ANY number of tokens —
+    invisible to fixed-stride windows unless the shift ≡ 0 (mod stride) —
+    shares every interior chunk here; only the boundary-straddling first/
+    last chunks can differ. This is the FastCDC/rsync boundary idea applied
+    at token granularity (window-1 gear: the boundary test hashes one
+    token, which is what makes the whole pass a pure Catalyst projection).
+
+    Expected chunk length = ``divisor`` tokens. No min/max chunk bound: a
+    bound makes the boundary decision depend on the PREVIOUS boundary (a
+    sequential per-doc scan); the unbounded form stays a data-parallel
+    array expression, and a pathological boundary-free document degrades
+    to one whole-doc chunk — i.e. exact dedup — never to an error.
+
+    Output one row per doc: (id, n_chunks, n_kept, n_tokens,
+    kept_token_frac) where a chunk is "kept" iff it is the corpus-wide
+    first occurrence of its content (smallest (doc_id, chunk_idx)), and
+    the fraction is TOKEN-weighted (chunks vary in size, so chunk-counting
+    would over-weight short chunks). All counts are exact integers; the
+    single final division is the only float.
+
+    Scale shape: identical to span_dedup — chunking is a narrow per-doc
+    array projection + posexplode (rows ∝ tokens/divisor, no shuffle);
+    first-occurrence selection is ONE hash-partitioned window over
+    chunk_hash; the rollup shuffles on doc_id. Only (hash, doc, idx, len)
+    rows ever shuffle — ~32 B/chunk regardless of document size."""
+    from pyspark.sql import Window
+
+    d = int(divisor)
+    if d < 1:
+        raise ValueError(f"cdc_chunk_dedup: divisor must be >= 1, got {d}")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    ends0 = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: h31(F.element_at(toks, i)) % F.lit(d) == 0,
+    )
+    # CaseWhen is lazy per-branch; a plain `&` is not, and element_at(-1) on
+    # an empty ends0 (a boundary-free doc) would throw under ANSI mode
+    last_end = F.when(F.size(ends0) > 0, F.element_at(ends0, -1)).otherwise(
+        F.lit(-1)
+    )
+    ends = F.when(last_end == n, ends0).otherwise(F.concat(ends0, F.array(n)))
+    chunks = F.transform(
+        ends,
+        lambda e, j: F.array_join(
+            F.slice(
+                toks,
+                F.when(j == 0, F.lit(0)).otherwise(F.element_at(ends, j)) + 1,
+                e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(ends, j)),
+            ),
+            " ",
+        ),
+    )
+    rows = (
+        spread(df)
+        .filter(n > 0)  # sequence(1, 0) would DESCEND; empty docs have no chunks
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+        .select(
+            id_col,
+            "chunk_idx",
+            h31(F.col("_chunk")).alias("_h"),
+            F.size(F.split(F.col("_chunk"), " ")).cast("long").alias("_ct"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("_h").orderBy(F.col(id_col), F.col("chunk_idx"))
+    )
+    marked = rows.withColumn("_keep", (rn == 1).cast("long"))
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_keep").alias("n_kept"),
+        F.sum("_ct").alias("n_tokens"),
+        F.sum(F.col("_keep") * F.col("_ct")).alias("_kt"),
+    )
+    return out.select(
+        id_col,
+        "n_chunks",
+        "n_kept",
+        "n_tokens",
+        (F.col("_kt").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "kept_token_frac"
+        ),
+    )
+
+
+def sql_cdc_chunk_dedup(divisor: int = 8) -> str:
+    """DuckDB twin of cdc_chunk_dedup over the `documents` view — same
+    frozen boundary hash, same forced final boundary, same token-weighted
+    first-occurrence accounting."""
+    from .hashing import sql_h31
+
+    d = int(divisor)
+    toks = "string_split(text, ' ')"
+    tok_i = "toks[CAST(i AS INT)]"
+    return f"""
+    WITH _t AS (
+      SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0
+    ),
+    _e AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, len(toks) + 1),
+                         i -> {sql_h31(tok_i)} % {d} = 0) AS ends0
+      FROM _t
+    ),
+    _e2 AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(ends0) > 0 AND ends0[-1] = len(toks) THEN ends0
+                  ELSE list_append(ends0, CAST(len(toks) AS BIGINT)) END AS ends
+      FROM _e
+    ),
+    _c AS (
+      SELECT doc_id, CAST(u.j - 1 AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(toks,
+               CASE WHEN u.j = 1 THEN 1
+                    ELSE CAST(ends[CAST(u.j AS INT) - 1] AS INT) + 1 END,
+               CAST(ends[CAST(u.j AS INT)] AS INT)), ' ') AS chunk
+      FROM _e2, UNNEST(range(1, len(ends) + 1)) AS u(j)
+    ),
+    _h AS (
+      SELECT doc_id, chunk_idx, {sql_h31('chunk')} AS _h,
+             CAST(len(string_split(chunk, ' ')) AS BIGINT) AS _ct
+      FROM _c
+    ),
+    _m AS (
+      SELECT doc_id, _ct, CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY _h ORDER BY doc_id, chunk_idx) = 1
+             THEN 1 ELSE 0 END AS _keep
+      FROM _h
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(_keep) AS BIGINT) AS n_kept,
+           CAST(SUM(_ct) AS BIGINT) AS n_tokens,
+           CAST(SUM(_keep * _ct) AS DOUBLE) / CAST(SUM(_ct) AS DOUBLE)
+             AS kept_token_frac
+    FROM _m GROUP BY doc_id
+    """
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

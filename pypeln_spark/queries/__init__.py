@@ -66,6 +66,7 @@ _PRIORITY = [
     "curation_e2e_pretrain_pack_cc",
     "dedup_span_overlap",
     "ann_recall_eval_pq",
+    "dedup_cdc_chunks",
     # -- (b) greens whose code changed in r6 --
     "dedup_span_chunks",
     "curation_e2e_pretrain_pack",

@@ -370,6 +370,22 @@ def dedup_span_overlap(spark, sf_dir):
     return D.span_dedup(docs, window=16, stride=8)
 
 
+@register("dedup_cdc_chunks", oracle=D.sql_cdc_chunk_dedup(divisor=8))
+def dedup_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED chunking dedup — the shift-INVARIANT substring pass
+    that closes span_dedup's documented residual gap (shifts not ≡ 0 mod
+    stride): chunk boundaries fall where the frozen token hash ≡ 0 (mod 8),
+    so a repeated passage chunks identically at ANY offset and every
+    interior chunk of an arbitrary-shift duplicate is caught
+    (tests/test_ext.py::test_cdc_chunk_dedup_catches_arbitrary_shift).
+    Token-weighted first-occurrence accounting; same narrow-projection +
+    one-window shuffle shape as span_dedup (~32 B/chunk on the wire). The
+    oracle replays boundary placement, segmentation, chunk hashing and the
+    keep decision end to end."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.cdc_chunk_dedup(docs, divisor=8)
+
+
 @register(
     "dedup_incremental_vs_corpus",
     oracle=f"""

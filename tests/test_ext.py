@@ -792,6 +792,44 @@ def test_span_dedup_overlap_catches_half_window_shift(spark):
         D.span_dedup(df, window=16, stride=17)
 
 
+def test_cdc_chunk_dedup_catches_arbitrary_shift(spark):
+    """A duplicate shifted by 5 tokens — NOT a multiple of any fixed
+    stride in use — is invisible to span_dedup(stride=8) but fully caught
+    by content-defined chunking: boundaries depend only on token content,
+    so every chunk after the prefix-straddling first one reproduces doc
+    1's chunks verbatim. Expected chunk layout precomputed with py_h31
+    (boundary ends of p0..p47 at divisor 8: 14,17,19,21,23,28,36,39,46 +
+    forced 48 → 10 chunks; the 5 x-prefix tokens hash to no boundary)."""
+    from pypeln_spark.ext import dedup as D
+
+    passage = " ".join(f"p{i}" for i in range(48))
+    prefix5 = " ".join(f"x{i}" for i in range(5))  # shift ≢ 0 (mod 8)
+    df = spark.createDataFrame(
+        [(1, passage), (2, prefix5 + " " + passage)],
+        "doc_id long, text string",
+    )
+    # fixed-stride overlapping windows: shift 5 never aligns → total miss
+    over = {r.doc_id: r for r in D.span_dedup(df, window=16, stride=8).collect()}
+    assert over[2].n_kept == over[2].n_chunks
+    # content-defined: only doc 2's first chunk (x0..x4 p0..p13) is novel
+    cdc = {r.doc_id: r for r in D.cdc_chunk_dedup(df, divisor=8).collect()}
+    assert (cdc[1].n_chunks, cdc[1].n_kept) == (10, 10)
+    assert (cdc[2].n_chunks, cdc[2].n_kept) == (10, 1)
+    assert cdc[2].n_tokens == 53
+    # kept fraction is token-weighted: the one novel chunk is 19 tokens
+    assert cdc[2].kept_token_frac == 19.0 / 53.0
+    # a boundary-free doc degrades to ONE whole-doc chunk (exact dedup)
+    nb = " ".join(["x0", "x1", "x2"])
+    df2 = spark.createDataFrame(
+        [(1, nb), (2, nb)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in D.cdc_chunk_dedup(df2, divisor=8).collect()}
+    assert (rows[1].n_chunks, rows[1].n_kept) == (1, 1)
+    assert (rows[2].n_chunks, rows[2].n_kept) == (1, 0)
+    with pytest.raises(ValueError, match="divisor"):
+        D.cdc_chunk_dedup(df2, divisor=0)
+
+
 def test_pairwise_vs_cc_survivor_election(spark):
     """VERDICT r5 #4: on an A–B, B–C chain cluster where the bridge doc
     holds the LARGEST id — verified pairs (1,3) and (2,3) — the pairwise
