@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_span_chunks",
     "dedup_span_overlap",
     "dedup_cdc_chunks",
+    "search_tfidf_cosine_topk",
     "curation_e2e_pretrain_pack_cc",
     "ann_recall_eval_pq",
     "dedup_minhash_clusters_star",

@@ -416,6 +416,168 @@ def sql_tfidf_top_terms(k: int = 3) -> str:
     """
 
 
+def tfidf_cosine_topk(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPARSE similarity search: top-k most similar documents per query
+    document by TF-IDF cosine, via an INVERTED-INDEX equi-join on term —
+    the lexical complement of the dense ANN arms (ext/similarity.py). A
+    dense retriever must bucket/quantize to avoid the all-pairs scan; the
+    sparse one gets scale for free, because "shares at least one term" IS
+    an equi-join, and pairs with zero shared terms (cosine 0) never
+    materialize. Output (query_id, neighbor_id, cos, rank), queries =
+    the ``n_queries`` smallest ids, self excluded.
+
+    Determinism contract: tf/df/N are exact integers; idf is the log-free
+    rational (N+1)/(df+1) (the tfidf_top_terms convention); each weight is
+    ONE multiply of ONE division; the per-pair dot product and the per-doc
+    norms are folded IN TERM ORDER (array_sort → left fold), never a
+    float groupBy sum — so cosines replay bit-identically in SQL.
+
+    Scale shape: weights = one explode + (doc, term) partial-agg count +
+    ONE window over term for df (high-cardinality key, even partitions);
+    per-doc norms partial-aggregate on doc. The query side is a filter of
+    the SAME weights frame — tiny (n_queries docs) — and BROADCASTS into
+    the term join, so the corpus side never shuffles for the join; the
+    per-pair fold then shuffles only (query, neighbor, term-products) for
+    pairs that actually share terms. Nothing is quadratic in the corpus:
+    candidate count ∝ posting-list collisions, exactly like the LSH band
+    join."""
+    from pyspark.sql import Window
+
+    dt = (
+        spread(df)
+        .select(id_col, F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    wt = Window.partitionBy("term")
+    weights = (
+        dt.withColumn("df", F.count(F.lit(1)).over(wt))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf").cast("double")
+            * (
+                (F.col("_n").cast("double") + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
+            ),
+        )
+        .select(id_col, "term", "w")
+    )
+
+    def _norms(wf: DataFrame, out_id: str, out_nrm: str) -> DataFrame:
+        folded = wf.groupBy(id_col).agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("term"), (F.col("w") * F.col("w")).alias("w2"))
+                        )
+                    ),
+                    lambda s: s["w2"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_ss")
+        )
+        return folded.select(
+            F.col(id_col).alias(out_id), F.sqrt(F.col("_ss")).alias(out_nrm)
+        )
+
+    q = weights.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    pairs = (
+        weights.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("term"),
+                                (F.col("wq") * F.col("w")).alias("p"),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_num")
+        )
+    )
+    cn = _norms(weights, "neighbor_id", "_cn")
+    qn = _norms(weights.filter(F.col(id_col) < n_queries), "query_id", "_qn")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.join(cn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cos", F.col("_num") / (F.col("_qn") * F.col("_cn")))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def sql_tfidf_cosine_topk(n_queries: int = 8, k: int = 5) -> str:
+    """DuckDB twin of tfidf_cosine_topk over the `documents` view —
+    identical integer counts, identical weight arithmetic, identical
+    term-ordered folds (list(... ORDER BY term) → list_reduce left fold
+    == array_sort → F.aggregate)."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list({expr} ORDER BY {ord})), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*) AS _n FROM documents),
+    weights AS (
+      SELECT doc_id, term,
+             CAST(tf AS DOUBLE) *
+               ((CAST(_n AS DOUBLE) + 1.0) /
+                (CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) + 1.0)) AS w
+      FROM dt CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, sqrt({fold.format(expr='w * w', ord='term')}) AS nrm
+      FROM weights GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             {fold.format(expr='q.w * c.w', ord='q.term')} AS num
+      FROM weights q JOIN weights c ON c.term = q.term
+      WHERE q.doc_id < {n_queries} AND c.doc_id <> q.doc_id
+      GROUP BY q.doc_id, c.doc_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT p.query_id, p.neighbor_id,
+             p.num / (qn.nrm * cn.nrm) AS cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+                    ORDER BY p.num / (qn.nrm * cn.nrm) DESC,
+                             p.neighbor_id ASC) AS INT) AS rank
+      FROM pairs p
+      JOIN norms qn ON qn.doc_id = p.query_id
+      JOIN norms cn ON cn.doc_id = p.neighbor_id)
+    WHERE rank <= {k}
+    """
+
+
 def deletion_keys(c: Column) -> Column:
     """FastSS deletion neighborhood: the string itself plus every
     single-character deletion (distinct). Two strings within Levenshtein

@@ -67,6 +67,7 @@ _PRIORITY = [
     "dedup_span_overlap",
     "ann_recall_eval_pq",
     "dedup_cdc_chunks",
+    "search_tfidf_cosine_topk",
     # -- (b) greens whose code changed in r6 --
     "dedup_span_chunks",
     "curation_e2e_pretrain_pack",

@@ -293,3 +293,19 @@ def text_unigram_lm_quality(spark, sf_dir):
     exact OOV fraction against the 500-term vocab."""
     (docs,) = tables(spark, sf_dir, "documents")
     return X.unigram_lm_score(docs, vocab_size=500)
+
+
+@register(
+    "search_tfidf_cosine_topk", oracle=X.sql_tfidf_cosine_topk(n_queries=8, k=5)
+)
+def search_tfidf_cosine_topk(spark, sf_dir):
+    """SPARSE top-k document similarity: TF-IDF cosine via an
+    inverted-index equi-join on term (ext/text.tfidf_cosine_topk) — the
+    lexical complement of the dense ANN arms. Pairs sharing zero terms
+    never materialize (the posting-list join IS the candidate generator),
+    so nothing is quadratic in the corpus; the tiny query side broadcasts.
+    Weights use the log-free rational idf; the pair dot products and the
+    document norms fold IN TERM ORDER, so every cosine — and therefore
+    every rank boundary — replays bit-identically in the oracle."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return X.tfidf_cosine_topk(docs, n_queries=8, k=5)

@@ -741,6 +741,34 @@ def test_bm25_topk_scores_monotone_and_deterministic(spark, sf_dir):
     assert [r.asDict() for r in out] == [r.asDict() for r in again]
 
 
+def test_tfidf_cosine_topk_ranks_near_copy_first(spark):
+    """A near-copy of a query document must rank first with cos close to 1;
+    a document sharing zero terms must never appear as its neighbor; the
+    result is partitioning-invariant (the term-ordered folds make the float
+    path deterministic, not just approximately stable)."""
+    from pypeln_spark.ext import text as X
+
+    rows = [
+        (0, "spark join shuffle window sort merge"),
+        (1, "totally different words entirely here"),
+        (2, "spark join shuffle window sort merge extra"),  # near-copy of 0
+        (3, "unrelated vocabulary nothing shared"),
+        (4, "spark join"),  # partial overlap with 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.tfidf_cosine_topk(df, n_queries=1, k=3).collect()
+    by_rank = {r.rank: r for r in out if r.query_id == 0}
+    # the one extra term is rare (high idf) so it costs real mass: cos ≈ 0.83
+    assert by_rank[1].neighbor_id == 2 and by_rank[1].cos > 0.8
+    assert by_rank[2].neighbor_id == 4
+    neighbors = {r.neighbor_id for r in out}
+    assert 1 not in neighbors and 3 not in neighbors  # zero shared terms
+    again = X.tfidf_cosine_topk(df.repartition(7), n_queries=1, k=3).collect()
+    assert sorted(map(lambda r: r.asDict(), out), key=lambda d: d["rank"]) == sorted(
+        map(lambda r: r.asDict(), again), key=lambda d: d["rank"]
+    )
+
+
 def test_span_dedup_conservation_and_first_wins(spark):
     """n_kept sums to the number of distinct chunk hashes; a corpus of two
     identical docs keeps every chunk exactly once, attributed to the lower

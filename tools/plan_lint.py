@@ -70,6 +70,7 @@ ALLOW_BNLJ = {
     "q22_dormant_customers",
     "text_length_histogram",
     "text_tfidf_top_terms",
+    "search_tfidf_cosine_topk",  # one-row corpus-count broadcast for the idf
     "text_unigram_lm_quality",
     "search_bm25_topk",
     "sketch_quantile_doc_lengths",
