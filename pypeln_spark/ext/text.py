@@ -430,7 +430,12 @@ def tfidf_cosine_topk(
     sparse one gets scale for free, because "shares at least one term" IS
     an equi-join, and pairs with zero shared terms (cosine 0) never
     materialize. Output (query_id, neighbor_id, cos, rank), queries =
-    the ``n_queries`` smallest ids, self excluded.
+    the docs with ``id_col < n_queries`` — under the repo's testdata
+    convention (dense 0-based doc ids) these are the n_queries smallest
+    ids; with SPARSE or OFFSET ids the query set is whatever ids fall
+    below the literal threshold (possibly empty). Pre-rank ids (a
+    row_number over id_col) before calling if "the n smallest ids" is
+    the contract you need.
 
     Determinism contract: tf/df/N are exact integers; idf is the log-free
     rational (N+1)/(df+1) (the tfidf_top_terms convention); each weight is

@@ -352,14 +352,27 @@ def compact_parquet(
             # rows on shuffle-map task retry — the classic Spark
             # nondeterministic-repartition hazard — and the row-count verify
             # cannot catch an offsetting duplicate+loss pair. Hashing the
-            # row's own columns replays identically on retry.
+            # row's own columns replays identically on retry. Two fixups:
+            # xxhash64 REJECTS MapType (anywhere in the type, incl. nested
+            # in arrays/structs), so only hashable columns feed the hash;
+            # and fully-identical rows would all share one salt — collapsing
+            # a duplicate-heavy partition into one file regardless of __nf —
+            # so input_file_name() (stable per row across retries: a row's
+            # source file never changes) is mixed in to spread identical
+            # rows that arrive from different input files. Rows identical
+            # within ONE input file still share a salt; that residual skew
+            # is accepted — there is no per-row key that is both
+            # deterministic under retry and distinct within a file.
+            hashable = [
+                F.col(c) for c, t in src.dtypes if "map<" not in t
+            ]
             salted = (
                 s.join(F.broadcast(nf), cond)
                 .select("__src_side.*", "__nf_side.__nf")
                 .withColumn(
                     "__salt",
                     F.pmod(
-                        F.xxhash64(*[F.col(c) for c in src.columns]),
+                        F.xxhash64(*hashable, F.input_file_name()),
                         F.col("__nf"),
                     ),
                 )

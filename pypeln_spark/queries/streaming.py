@@ -958,9 +958,18 @@ def streaming_asof_static_enrich(spark, sf_dir):
     the executors (at scale that parquet IS the output dataset); nothing
     ever accumulates on the driver. For the registry harness the union is
     read back and localCheckpoint'ed (materialized in the block manager,
-    distributed) so the scratch dir can be removed immediately."""
+    distributed) so the scratch dir can be removed immediately. The sink
+    dir is SEEDED with an empty, explicitly-typed parquet file before the
+    stream starts (repartition(1) forces a real footer even for 0 rows),
+    so a stream that yields zero epochs still reads back as a typed empty
+    result instead of 'Unable to infer schema'. NOTE: the scratch dir is
+    driver-local tempfile space — correct on local[*]; on a real cluster
+    this root must live on shared storage (HDFS/S3), exactly like any
+    other executor-written sink path."""
     import shutil
     import tempfile
+
+    from pyspark.sql import types as T
 
     from pypeln_spark.ext import asof as A
 
@@ -975,6 +984,16 @@ def streaming_asof_static_enrich(spark, sf_dir):
     ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
 
     root = tempfile.mkdtemp(prefix="pypeln_spark_asof_epochs_")
+    out_schema = T.StructType(
+        [
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("view_id", T.LongType()),
+        ]
+    )
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(root)
 
     def enrich(batch_df, epoch_id):
         j = A.asof_join(batch_df, views, on="user_id", right_cols=["view_id"])

@@ -314,3 +314,50 @@ def test_compact_parquet_null_partition_values(spark, tmp_path):
     after = sorted((r.k, r.p, r.v) for r in again.collect())
     assert after == before
     assert again.filter("p IS NULL").count() == 1_000
+
+
+def test_compact_parquet_map_column(spark, tmp_path):
+    """ADVICE r6 (medium): xxhash64 rejects MapType, so the deterministic
+    salt must hash only hashable columns — a Hive-partitioned dataset
+    carrying a map column compacted fine before the r6 salt change and
+    must keep doing so."""
+    import pypeln_spark as pl
+
+    root = str(tmp_path / "mapcol")
+    df = spark.range(2_000).selectExpr(
+        "id AS k", "id % 2 AS p", "map('a', id, 'b', id * 2) AS m"
+    )
+    df.repartition(8).write.partitionBy("p").parquet(root)
+    before = sorted(
+        (r.k, int(r.p), tuple(sorted(r.m.items())))
+        for r in spark.read.parquet(root).collect()
+    )
+    stats = pl.compact_parquet(root, target_file_bytes=1 << 30, spark=spark)
+    assert stats["files_before"] >= 8
+    after = sorted(
+        (r.k, int(r.p), tuple(sorted(r.m.items())))
+        for r in spark.read.parquet(root).collect()
+    )
+    assert after == before
+
+
+def test_compact_parquet_duplicate_rows_still_split(spark, tmp_path):
+    """ADVICE r6 (medium): fully-identical rows all hash to the same salt;
+    without a tiebreaker a duplicate-dominated partition collapses into
+    ONE file no matter what __nf says. input_file_name() in the salt keeps
+    identical rows from different input files apart, so the file-sizing
+    split survives (identical rows within one input file still share a
+    salt — the documented residual)."""
+    import pypeln_spark as pl
+
+    root = str(tmp_path / "dups")
+    one = spark.sql("SELECT 'x' AS k, 1 AS v, 0 AS p")
+    for _ in range(4):  # 4 separate input files of the SAME single row
+        one.coalesce(1).write.mode("append").partitionBy("p").parquet(root)
+    assert len(os.listdir(os.path.join(root, "p=0"))) >= 4
+    stats = pl.compact_parquet(root, target_file_bytes=1, spark=spark)
+    # target=1 byte → __nf > 1 for the p=0 leaf; the old all-column hash
+    # gave every copy the same salt → 1 file; the file-name mix keeps the
+    # split alive
+    assert stats["files_after"] >= 2
+    assert spark.read.parquet(root).count() == 4
