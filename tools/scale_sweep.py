@@ -9,7 +9,9 @@ sf0.1 and at the synthetic sf1 and reports the time ratio next to the 10x
 data ratio. A plan that survives scale shows ~linear (or better) growth;
 a quadratic or driver-bound plan shows up immediately.
 
-Usage: python tools/scale_sweep.py [outdir]  (default /tmp/pypeln_sfscale)
+Usage: python tools/scale_sweep.py [outdir] [query ...]
+(default outdir /tmp/pypeln_sfscale; with query names, only that subset
+of SWEEP runs — the per-round refresh times just the round's additions).
 Writes one JSON line; human detail on stderr. Results are recorded in
 SCALING.md ("Scale-sweep evidence").
 """
@@ -69,6 +71,12 @@ SWEEP = [
     "curation_temperature_weights",
     "multimodal_real_decode_wav",
     "multimodal_video_frame_sample",
+    # round-6 additions
+    "dedup_cdc_chunks",
+    "search_tfidf_cosine_topk",
+    "curation_e2e_pretrain_pack_cc",
+    "ann_recall_eval_pq",
+    "dedup_span_overlap",
 ]
 
 KEYED = {
@@ -137,6 +145,13 @@ def main() -> None:
     from pypeln_spark.session import get_spark
 
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pypeln_sfscale"
+    subset = sys.argv[2:]
+    sweep = SWEEP
+    if subset:
+        unknown = [n for n in subset if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        sweep = subset
     spark = get_spark(app_name="pypeln_scale_sweep")
     if not os.path.exists(os.path.join(outdir, "lineitem.parquet")):
         synthesize(spark, outdir)
@@ -150,7 +165,7 @@ def main() -> None:
         return min(ts)
 
     results = {}
-    for name in SWEEP:
+    for name in sweep:
         q = REGISTRY[name]
         q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
