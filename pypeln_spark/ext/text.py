@@ -422,6 +422,7 @@ def tfidf_cosine_topk(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    champions: tp.Optional[int] = None,
 ) -> DataFrame:
     """SPARSE similarity search: top-k most similar documents per query
     document by TF-IDF cosine, via an INVERTED-INDEX equi-join on term —
@@ -451,7 +452,31 @@ def tfidf_cosine_topk(
     per-pair fold then shuffles only (query, neighbor, term-products) for
     pairs that actually share terms. Nothing is quadratic in the corpus:
     candidate count ∝ posting-list collisions, exactly like the LSH band
-    join."""
+    join.
+
+    ``champions`` (None = exact) enables CHAMPION-LIST pruning — the
+    production fix for the one remaining hot spot: stop-word-grade terms
+    whose posting lists approach the corpus size make the candidate join
+    ∝ n_queries × |corpus| again. With champions=N, CANDIDATE GENERATION
+    runs on each term's N highest-weight postings only (w desc, id asc
+    tiebreak — the classic champion list / impact-ordered index prefix),
+    capping candidates per query term at N regardless of df; the
+    surviving shortlist is then scored EXACTLY (full postings, full
+    norms) — the same shortlist-then-exact-rerank shape as the PQ-ADC
+    arm. Index-only scoring (folding just the pruned postings) would
+    underestimate surviving pairs' cosines and mis-rank them; measured on
+    the sf0.01 corpus it costs ~4× the recall of rerank at equal N. Cost
+    shape: ONE more row_number window over the SAME term partitioning the
+    df window already established, plus broadcast semi-joins of the tiny
+    candidate set; the weights frame (the inverted index, which feeds
+    candidate generation, the corpus side, the query side and both
+    norms) materializes ONCE via the invocation cache pool — in
+    production weights and champion lists are precomputed index TABLES,
+    so this is the in-query stand-in. Net plan: strictly FEWER distinct
+    data shuffles than the exact arm (tests/test_plans.py asserts it).
+    Recall@k vs the exact arm is measured by the
+    search_tfidf_pruned_recall_eval registry entry, the same
+    quality-measurement contract as the ANN recall trilogy."""
     from pyspark.sql import Window
 
     dt = (
@@ -495,13 +520,52 @@ def tfidf_cosine_topk(
             F.col(id_col).alias(out_id), F.sqrt(F.col("_ss")).alias(out_nrm)
         )
 
+    if champions is not None:
+        # the weights frame feeds candidate generation, the corpus semi
+        # side, the query side AND both norms — persist it once (the
+        # invocation-scoped pool, ext/dedup discipline) so the pruned plan
+        # reads ONE materialized inverted index instead of recomputing the
+        # tokenize→count→df subtree per consumer. In production the
+        # weights/champion tables are precomputed index artifacts; the
+        # cache is the in-query stand-in.
+        from .dedup import pool_persist, retire_pipeline_caches
+
+        retire_pipeline_caches()
+        weights = pool_persist(weights)
+        weights.count()
     q = weights.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "term", F.col("w").alias("wq")
     )
-    pairs = (
-        weights.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(q), "term")
+    corpus = weights.withColumnRenamed(id_col, "neighbor_id")
+    cand = None
+    if champions is not None:
+        wc = Window.partitionBy("term").orderBy(F.desc("w"), F.asc(id_col))
+        champs = (
+            weights.withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= champions)
+            .select(F.col(id_col).alias("neighbor_id"), "term")
+        )
+        # shortlist pairs: duplicates (several shared champion terms) are
+        # harmless — cand only ever feeds broadcast semi-joins, so no
+        # distinct (a distinct here would be the one new shuffle)
+        cand = (
+            champs.join(F.broadcast(q.select("query_id", "term")), "term")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        corpus = corpus.join(
+            F.broadcast(cand.select("neighbor_id")), "neighbor_id", "left_semi"
+        )
+    pairs_src = (
+        corpus.join(F.broadcast(q), "term")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    if cand is not None:
+        pairs_src = pairs_src.join(
+            F.broadcast(cand), ["query_id", "neighbor_id"], "left_semi"
+        )
+    pairs = (
+        pairs_src
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.aggregate(
@@ -580,6 +644,90 @@ def sql_tfidf_cosine_topk(n_queries: int = 8, k: int = 5) -> str:
       JOIN norms qn ON qn.doc_id = p.query_id
       JOIN norms cn ON cn.doc_id = p.neighbor_id)
     WHERE rank <= {k}
+    """
+
+
+def sql_tfidf_pruned_recall_eval(
+    n_queries: int = 8, k: int = 5, champions: int = 64
+) -> str:
+    """DuckDB twin of the champion-list recall eval: replays the EXACT
+    retriever, the PRUNED retriever (champion-list candidate generation
+    by the identical w-desc/id-asc truncation rule, then exact scoring of
+    the shortlist), and the per-query recall arithmetic — so the measured
+    recall numbers themselves are value-checked, the same contract as the
+    ANN recall-eval trilogy."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list({expr} ORDER BY {ord})), (acc, x) -> acc + x)"
+    )
+    topk = """
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, p.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                      ORDER BY p.num / (qn.nrm * cn.nrm) DESC,
+                               p.neighbor_id ASC) AS rank
+        FROM {pairs} p
+        JOIN norms qn ON qn.doc_id = p.query_id
+        JOIN norms cn ON cn.doc_id = p.neighbor_id)
+      WHERE rank <= {k}
+    """
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*) AS _n FROM documents),
+    weights AS (
+      SELECT doc_id, term,
+             CAST(tf AS DOUBLE) *
+               ((CAST(_n AS DOUBLE) + 1.0) /
+                (CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) + 1.0)) AS w
+      FROM dt CROSS JOIN n
+    ),
+    champs AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY term
+                      ORDER BY w DESC, doc_id ASC) AS crank
+        FROM weights)
+      WHERE crank <= {champions}
+    ),
+    cand AS (
+      SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+      FROM weights q JOIN champs c ON c.term = q.term
+      WHERE q.doc_id < {n_queries} AND c.doc_id <> q.doc_id
+    ),
+    norms AS (
+      SELECT doc_id, sqrt({fold.format(expr='w * w', ord='term')}) AS nrm
+      FROM weights GROUP BY doc_id
+    ),
+    pairs_ex AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             {fold.format(expr='q.w * c.w', ord='q.term')} AS num
+      FROM weights q JOIN weights c ON c.term = q.term
+      WHERE q.doc_id < {n_queries} AND c.doc_id <> q.doc_id
+      GROUP BY q.doc_id, c.doc_id
+    ),
+    pairs_pr AS (
+      SELECT p.* FROM pairs_ex p
+      SEMI JOIN cand x
+        ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+    ),
+    ex_top AS ({topk.format(pairs='pairs_ex', k=k)}),
+    pr_top AS ({topk.format(pairs='pairs_pr', k=k)}),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM ex_top x JOIN pr_top p
+        ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+      GROUP BY x.query_id
+    ),
+    base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex_top GROUP BY query_id)
+    SELECT b.query_id, b.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+             AS recall
+    FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
     """
 
 

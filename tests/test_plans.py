@@ -288,6 +288,43 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert p.count("FileScan parquet spark_catalog.default.bkt_") == 2
 
 
+def test_tfidf_champion_pruning_adds_no_shuffle(spark):
+    """VERDICT r6 #4 contract: the champion-list variant of
+    tfidf_cosine_topk prunes with ONE extra row_number window over the
+    SAME term partitioning the df window already created, materializes
+    the inverted index ONCE (pool persist — every consumer reads
+    InMemoryTableScan instead of recomputing tokenize→count→df), and
+    feeds the shortlist through broadcast semi-joins. Net: STRICTLY FEWER
+    distinct hash-partitioned Exchanges than the exact arm. Distinct
+    plan_ids, not line counts — the plan printer repeats the cached
+    subtree under every InMemoryTableScan reference."""
+    import re as _re
+
+    from pypeln_spark.ext import text as X
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, SF, "documents")
+
+    def hash_exchanges(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        ids = set()
+        for l in p.splitlines():
+            if "Exchange hashpartitioning" in l:
+                m = _re.search(r"plan_id=(\d+)", l)
+                ids.add(m.group(1) if m else l)
+        return len(ids), p
+
+    n_ex, p_ex = hash_exchanges(X.tfidf_cosine_topk(docs, n_queries=4, k=3))
+    n_pr, p_pr = hash_exchanges(
+        X.tfidf_cosine_topk(docs, n_queries=4, k=3, champions=16)
+    )
+    assert n_pr < n_ex, f"pruning should shuffle less: {n_ex} -> {n_pr}\n{p_pr}"
+    # the index really materializes once, and the shortlist joins are
+    # broadcast semi-joins, not shuffled ones
+    assert "InMemoryTableScan" in p_pr and "InMemoryTableScan" not in p_ex
+    assert "BroadcastHashJoin" in p_pr and "LeftSemi" in p_pr
+
+
 def test_plan_lint_whole_registry(spark):
     """Mechanical antipattern sweep over every non-streaming registry plan
     (tools/plan_lint.py): no cartesian products outside the guarded

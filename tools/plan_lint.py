@@ -71,6 +71,7 @@ ALLOW_BNLJ = {
     "text_length_histogram",
     "text_tfidf_top_terms",
     "search_tfidf_cosine_topk",  # one-row corpus-count broadcast for the idf
+    "search_tfidf_pruned_recall_eval",  # same one-row idf broadcast (both arms)
     "text_unigram_lm_quality",
     "search_bm25_topk",
     "sketch_quantile_doc_lengths",
