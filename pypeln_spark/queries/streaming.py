@@ -1011,6 +1011,225 @@ def streaming_asof_static_enrich(spark, sf_dir):
     return out
 
 
+def _incr_stream_oracle() -> str:
+    """Oracle for streaming_incremental_dedup: replays the 3-epoch ingest
+    gate — per epoch, match the arriving batch against the CURRENT corpus
+    index (banded-LSH candidates + exact-Jaccard verify, min-corpus-id
+    survivor pick), then absorb the epoch's novel docs into the corpus
+    before the next epoch. Unrolled (3 fixed epochs), because the epoch
+    ORDER is the semantics: a doc absorbed in epoch 0 must be matchable
+    in epochs 1-2."""
+    from .dedup import JACCARD_THRESHOLD, _MH_CTE, _SH_CTE
+
+    ctes = [
+        f"{_SH_CTE}",
+        f"{_MH_CTE}",
+        """banded AS (
+          SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+          FROM mh GROUP BY doc_id, j // 4
+        )""",
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)",
+        "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)",
+    ]
+    finals = []
+    for e in range(3):
+        cls = 2 * e + 1  # doc_id % 6 ∈ {1, 3, 5} → epochs 0, 1, 2
+        ctes.append(
+            f"n{e} AS (SELECT doc_id FROM documents WHERE doc_id % 6 = {cls})"
+        )
+        ctes.append(f"""m{e} AS (
+          SELECT new_id, corpus_id, jaccard FROM (
+            SELECT i.new_id, i.corpus_id,
+                   CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+            FROM (
+              SELECT p.new_id, p.corpus_id, COUNT(*) AS n_inter
+              FROM (
+                SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+                FROM banded nb
+                JOIN banded cb ON nb.band = cb.band AND nb.sig = cb.sig
+                JOIN n{e} ON n{e}.doc_id = nb.doc_id
+                JOIN c{e} ON c{e}.doc_id = cb.doc_id
+              ) p
+              JOIN sh a ON a.doc_id = p.new_id
+              JOIN sh b ON b.doc_id = p.corpus_id AND b.sh = a.sh
+              GROUP BY p.new_id, p.corpus_id
+            ) i
+            JOIN sizes sa ON sa.doc_id = i.new_id
+            JOIN sizes sb ON sb.doc_id = i.corpus_id)
+          WHERE jaccard >= {JACCARD_THRESHOLD}
+        )""")
+        ctes.append(f"""p{e} AS (
+          SELECT new_id, corpus_id, jaccard FROM (
+            SELECT new_id, corpus_id, jaccard,
+                   ROW_NUMBER() OVER (PARTITION BY new_id
+                                      ORDER BY corpus_id ASC) AS rn
+            FROM m{e})
+          WHERE rn = 1
+        )""")
+        ctes.append(f"""c{e + 1} AS (
+          SELECT doc_id FROM c{e}
+          UNION ALL
+          SELECT n{e}.doc_id FROM n{e}
+          ANTI JOIN p{e} ON p{e}.new_id = n{e}.doc_id
+        )""")
+        finals.append(
+            f"""SELECT n{e}.doc_id, CAST({e} AS INTEGER) AS epoch,
+                 p{e}.corpus_id AS dup_of, p{e}.jaccard AS jaccard
+          FROM n{e} LEFT JOIN p{e} ON p{e}.new_id = n{e}.doc_id"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("streaming_incremental_dedup", oracle=_incr_stream_oracle())
+def streaming_incremental_dedup(spark, sf_dir):
+    """The PRODUCTION INGEST GATE for a continuously crawled training set,
+    run as a real stream (VERDICT r6 #8): new documents (odd doc_ids,
+    three epochs by doc_id % 6) arrive through foreachBatch; each epoch
+    band-joins against the corpus LSH index (even doc_ids, the SAME
+    session-cached shingle/band frames the batch
+    dedup_incremental_vs_corpus maintains), verifies candidates with
+    exact Jaccard, emits one keep/drop decision per arriving doc — (doc,
+    epoch, dup_of = min matching corpus id or NULL, jaccard) — APPENDED
+    TO PARQUET FROM THE EXECUTORS, and then ABSORBS the epoch's novel
+    docs into the index, so a near-dup of an epoch-0 novel doc arriving
+    in epoch 2 is caught (tests/test_streaming.py plants exactly that).
+
+    Scale shape: per epoch, only batch-side shingling/signatures are
+    computed (∝ |batch|); candidates come from the band equi-join
+    (new × index, never index × index); the growing index is the
+    append-only band/shingle table a deployment maintains — here
+    union+persist per epoch with the superseded generation unpersisted
+    (at 100 TB the union is an append to the index TABLE, and the
+    decisions parquet IS the output dataset). Within-batch (new × new)
+    duplicates are deliberately out of scope — that is the batch
+    minhash_lsh_dedup's job upstream. The oracle unrolls the three
+    epochs and replays banding, verification, survivor pick AND the
+    absorb step, so epoch ordering itself is value-checked."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    from .dedup import BANDS, JACCARD_THRESHOLD, N_HASHES
+
+    rpb = N_HASHES // BANDS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    epochs = [docs.filter(F.col("doc_id") % 6 == c) for c in (1, 3, 5)]
+
+    # initial index: the SAME session-cached frames as the batch query —
+    # one maintained index, two consumers (batch absorb + streaming gate)
+    cor_sh = S.cached_index(
+        ("lsh_corpus_shingles", sf_dir),
+        lambda: D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5),
+    )
+    cor_bands = S.cached_index(
+        ("lsh_corpus_bands", sf_dir, N_HASHES, BANDS),
+        lambda: D.lsh_band_table(
+            D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+            "doc_id", BANDS, rpb,
+        ),
+    )
+
+    root = tempfile.mkdtemp(prefix="pypeln_spark_incrdedup_")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(root)
+
+    state = {"sh": cor_sh, "bands": cor_bands, "own": []}
+
+    def gate(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        D.retire_pipeline_caches()
+        new_sh = D.pool_persist(
+            D.shingle_arrays(D.spread(batch_df), "text", "doc_id", 5)
+        )
+        new_sh.count()
+        new_bands = D.lsh_band_table(
+            D.minhash_signatures_wide(new_sh, "doc_id", N_HASHES),
+            "doc_id", BANDS, rpb,
+        )
+        nb = new_bands.select(
+            F.col("doc_id").alias("new_id"), "sigh", F.col("sig").alias("sig_n")
+        )
+        cb = state["bands"].select(
+            F.col("doc_id").alias("corpus_id"), "sigh", F.col("sig").alias("sig_c")
+        )
+        cand = (
+            nb.join(cb, "sigh")
+            .filter(F.col("sig_n") == F.col("sig_c"))
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("sh_a"))
+        b = state["sh"].select(
+            F.col("doc_id").alias("corpus_id"), F.col("sh_arr").alias("sh_b")
+        )
+        n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        matches = (
+            cand.join(a, "new_id")
+            .join(b, "corpus_id")
+            .withColumn("n_inter", n_inter)
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (
+                    F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_inter")
+                ).cast("double"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        # survivor pick: min corpus id (struct-min — corpus_id leads, so
+        # the attached jaccard is that pair's, deterministically)
+        pick = matches.groupBy("new_id").agg(
+            F.min(F.struct("corpus_id", "jaccard")).alias("m")
+        )
+        (
+            batch_df.select("doc_id")
+            .join(pick, F.col("doc_id") == F.col("new_id"), "left")
+            .select(
+                "doc_id",
+                F.expr("CAST(((doc_id % 6) - 1) DIV 2 AS INT)").alias("epoch"),
+                F.col("m.corpus_id").alias("dup_of"),
+                F.col("m.jaccard").alias("jaccard"),
+            )
+            .write.mode("append")
+            .parquet(root)
+        )
+        # absorb: novel docs join the index before the next epoch
+        dropped = pick.select(F.col("new_id").alias("doc_id"))
+        nov_sh = new_sh.join(dropped, "doc_id", "left_anti")
+        nov_bands = new_bands.join(dropped, "doc_id", "left_anti")
+        sh2 = state["sh"].unionByName(nov_sh).persist()
+        bd2 = state["bands"].unionByName(nov_bands).persist()
+        sh2.count()
+        bd2.count()
+        for old in state["own"]:
+            old.unpersist(blocking=False)
+        state.update(sh=sh2, bands=bd2, own=[sh2, bd2])
+
+    ST.staged_foreach_batch(spark, epochs, gate)
+    D.retire_pipeline_caches()
+    for old in state["own"]:
+        old.unpersist(blocking=False)
+    out = spark.read.parquet(root).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register(
     "streaming_merge_upsert_orders",
     oracle=f"""

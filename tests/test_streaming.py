@@ -825,3 +825,36 @@ def test_harness_scratch_dirs_are_cleaned(spark, tmp_path):
         or "pypeln_spark_ckpt_" in d
     }
     assert leaked == set(), f"harness left scratch dirs: {leaked}"
+
+
+def test_streaming_incremental_dedup_absorbs_novel_docs(spark, tmp_path):
+    """The streaming ingest gate must catch a near-dup of a doc that was
+    NOVEL in an earlier epoch (absorbed into the index mid-stream) — the
+    property that distinguishes a maintained index from a static one. The
+    planted corpus: doc 0 is the static corpus; epoch 0 brings a copy of
+    it (1) plus a novel doc (7); epoch 1 brings a copy of the NOVEL doc
+    (3 → must drop with dup_of=7); epoch 2 brings a fresh doc (5 → kept)
+    and a copy of the original corpus doc (17 → the static index still
+    matches after two absorb generations)."""
+    from pypeln_spark.ext import similarity as S
+    from pypeln_spark.queries import REGISTRY
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "red orange yellow green blue indigo violet umber ochre teal"
+    c = "one two three four five six seven eight nine ten"
+    rows = [(0, a), (1, a), (7, b), (3, b), (5, c), (17, a)]
+    sf = str(tmp_path / "planted")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    S.drop_index()  # planted dir must not hit another test's cached index
+    out = {
+        r.doc_id: (r.epoch, r.dup_of, r.jaccard)
+        for r in REGISTRY["streaming_incremental_dedup"].fn(spark, sf).collect()
+    }
+    S.drop_index()
+    assert out[1] == (0, 0, 1.0)      # corpus match, epoch 0
+    assert out[7] == (0, None, None)  # novel → absorbed
+    assert out[3] == (1, 7, 1.0)      # matches the ABSORBED doc
+    assert out[5] == (2, None, None)  # fresh → kept
+    assert out[17] == (2, 0, 1.0)     # static corpus still matchable
