@@ -495,6 +495,65 @@ def _e2e_oracle(drop_rule: str = "pairwise") -> str:
     """
 
 
+def _e2e_prefix(spark, sf_dir):
+    """The twins' IDENTICAL prefix — quality thresholds → exact-dedup
+    keep-list (``uniq``) and the verified MinHash-LSH near-dup ``pairs``
+    — as session-cached artifacts (VERDICT r6 #7, the model-store
+    pattern, keyed on (table, thresholds/params) exactly like the PQ
+    codebooks): whichever capstone variant runs first builds and
+    materializes both frames; the other reads them from the index cache
+    instead of re-running the quality folds and the whole LSH pipeline
+    (~5s of the pair's combined bench at sf0.1). Standalone correctness
+    is preserved by construction — on a cold session either query builds
+    the prefix itself. The pool_persists for the LSH intermediates
+    (doc_sh, wide) live only inside the build closure; the cached
+    ``uniq``/``pairs`` frames are NOT pool-enrolled, so the next
+    pipeline's retire can't drop them."""
+    from pypeln_spark.ext import similarity as S
+
+    def build_uniq():
+        (docs,) = tables(spark, sf_dir, "documents")
+        scored = X.quality_scores(docs).select(
+            "doc_id", "n_tokens", "stopword_ratio"
+        )
+        quality = (
+            docs.join(scored, "doc_id")
+            .filter(
+                (F.col("n_tokens") >= MIN_TOKENS)
+                & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+            )
+            .select("doc_id", "text", "n_tokens")
+        )
+        keep = D.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
+        return quality.join(keep, "doc_id")
+
+    uniq = S.cached_index(
+        ("e2e_uniq", sf_dir, MIN_TOKENS, MIN_STOPWORD_RATIO), build_uniq
+    )
+
+    def build_pairs():
+        doc_sh = D.pool_persist(
+            D.shingle_arrays(D.spread(uniq), "text", "doc_id", 5)
+        )
+        doc_sh.count()
+        wide = D.pool_persist(D.minhash_signatures_wide(doc_sh, "doc_id", 32))
+        wide.count()
+        cand = D.lsh_candidate_pairs(wide, "doc_id", 8, 4)
+        return D.jaccard_pairs_from_candidates(cand, doc_sh, "doc_id", E2E_NEAR_T)
+
+    pairs = S.cached_index(
+        ("e2e_pairs", sf_dir, MIN_TOKENS, MIN_STOPWORD_RATIO, 5, 32, 8, E2E_NEAR_T),
+        build_pairs,
+    )
+    # eager: on a build, pairs must materialize WHILE the closure's pooled
+    # LSH intermediates are still cached (a later action would recompute
+    # them cold after the next pipeline's retire); on a hit both counts
+    # just touch the cache
+    uniq.count()
+    pairs.count()
+    return uniq, pairs
+
+
 def _e2e_chain(spark, sf_dir, drop_rule: str):
     """Shared body of the two e2e capstone variants — identical chain,
     differing only in near-dup survivor election (``drop_rule``):
@@ -503,33 +562,15 @@ def _e2e_chain(spark, sf_dir, drop_rule: str):
     connected_components and keeps ONE doc (the min id) per cluster —
     the cluster-accurate form: on an A–B, B–C chain where the bridge doc
     has the largest id, pairwise keeps BOTH endpoints of the cluster
-    (tests/test_ext.py::test_pairwise_vs_cc_survivor_election)."""
+    (tests/test_ext.py::test_pairwise_vs_cc_survivor_election). The
+    quality→uniq→LSH-pairs prefix is shared between the twins through
+    the session artifact cache (_e2e_prefix); ONE cache-pool scope for
+    the rest (minhash_lsh_dedup would retire on entry and drop the
+    upstream persists — measured 11.4s vs ~4s at sf0.1 — so the LSH
+    stages are composed directly in the prefix builder)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    # ONE cache-pool scope for the whole chain (minhash_lsh_dedup would
-    # retire on entry and drop the upstream persists — measured 11.4s vs
-    # ~4s at sf0.1 — so the LSH stages are composed directly here)
     D.retire_pipeline_caches()
-    scored = X.quality_scores(docs).select("doc_id", "n_tokens", "stopword_ratio")
-    quality = (
-        docs.join(scored, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= MIN_TOKENS)
-            & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
-        )
-        .select("doc_id", "text", "n_tokens")
-    )
-    keep = D.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
-    # uniq feeds the shingle pipeline, the near-dup anti-join, AND the
-    # decontamination gram stage — persist it once, eagerly (the quality
-    # scoring's token folds are the chain's most expensive projection)
-    uniq = D.pool_persist(quality.join(keep, "doc_id"))
-    uniq.count()
-    doc_sh = D.pool_persist(D.shingle_arrays(D.spread(uniq), "text", "doc_id", 5))
-    doc_sh.count()
-    wide = D.pool_persist(D.minhash_signatures_wide(doc_sh, "doc_id", 32))
-    wide.count()
-    cand = D.lsh_candidate_pairs(wide, "doc_id", 8, 4)
-    pairs = D.jaccard_pairs_from_candidates(cand, doc_sh, "doc_id", E2E_NEAR_T)
+    uniq, pairs = _e2e_prefix(spark, sf_dir)
     if drop_rule == "pairwise":
         dropx = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     else:
