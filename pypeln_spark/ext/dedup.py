@@ -673,6 +673,14 @@ def cdc_chunk_dedup(
     array expression, and a pathological boundary-free document degrades
     to one whole-doc chunk — i.e. exact dedup — never to an error.
 
+    Measured recall (tools/substring_recall.py, planted arbitrary-shift
+    overlaps; table in SCALING.md): with d=8, detection of a planted
+    span reaches ≥95% by L≈3d tokens and 100% by L≈6d; token recall
+    approaches 1 − ~2d/L (the boundary-straddling first/last partial
+    chunks). Both residuals scale with ``divisor`` — pipelines needing
+    ~8-token sensitivity run d=4 at exactly 2× rows, which is why no
+    second-level pass exists: the knob already buys the same trade.
+
     Output one row per doc: (id, n_chunks, n_kept, n_tokens,
     kept_token_frac) where a chunk is "kept" iff it is the corpus-wide
     first occurrence of its content (smallest (doc_id, chunk_idx)), and

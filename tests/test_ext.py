@@ -1870,3 +1870,35 @@ def test_graph_ops_match_pure_replay_property(spark):
         assert got_k == _pure_kcore(edges, k, 2)
 
     check()
+
+
+def test_substring_recall_cdc_beats_fixed_stride_on_shifts(spark):
+    """Pins the measured substring-recall story (SCALING.md r7 table):
+    on ARBITRARILY-SHIFTED planted spans of 24 tokens, fixed
+    non-overlapping 16-token windows detect ≈1/stride of the plants
+    (≤10%) while CDC chunking (d=8, L=3d) detects ≥90% — the
+    quantified reason cdc_chunk_dedup exists. Uses the committed
+    experiment's own corpus builder, so the test and the SCALING
+    numbers can never drift apart."""
+    import random
+
+    import tools.substring_recall as R
+    from pypeln_spark.ext import dedup as D
+
+    rows, target_len = R.build_corpus(random.Random(R.SEED))
+    keep = {d for d, L in target_len.items() if L == 24}
+    keep |= {d - 1 for d in keep}  # the matching source docs
+    sub = [r for r in rows if r[0] in keep]
+    docs = spark.createDataFrame(sub, "doc_id long, text string")
+
+    def detect_rate(out):
+        hits = {
+            r["doc_id"]: r["n_chunks"] - r["n_kept"] > 0 for r in out.collect()
+        }
+        tgt = [d for d in hits if d in target_len and target_len[d] == 24]
+        return sum(hits[d] for d in tgt) / len(tgt)
+
+    fixed = detect_rate(D.span_dedup(docs, window=16))
+    cdc = detect_rate(D.cdc_chunk_dedup(docs, divisor=8))
+    assert fixed <= 0.10, f"fixed stride should miss shifted spans: {fixed}"
+    assert cdc >= 0.90, f"CDC should catch shifted spans: {cdc}"
