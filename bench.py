@@ -123,6 +123,10 @@ HEADLINE = [
     "quality_profile_orders",
     "events_scd2_status_intervals",
     "multimodal_asset_feature_stats",
+    # round-7 additions
+    "search_tfidf_pruned_recall_eval",
+    "streaming_incremental_dedup",
+    "semantic_dedup_clusters",
 ]
 
 

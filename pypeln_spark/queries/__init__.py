@@ -51,76 +51,79 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-6 rotation (tools/rotate_registry.py 50): after r5, all 190
-# pre-r6 entries are ever-driver-green with zero failures. The front 50
-# is therefore (a) the 3 queries added this round, never driver-checked,
-# (b) the 3 greens whose CODE changed this round (span_dedup grew the
-# stride path, the e2e chain was refactored for the drop rule, the asof
-# enrichment harness swapped its sink) — re-confirm changed code first,
-# then (c) re-confirmation of the STALEST greens: the whole r2 cohort
-# plus the oldest of the r3 cohort, so no entry's last driver check ages
-# past 3 rounds. All 193 entries stay covered every session by the local
+# Round-7 rotation — EXACTLY 50 names (the driver samples 50; r6 listed
+# 55 and the last five silently missed the window —
+# tests/test_correctness_gate.py::test_driver_window_rotation_invariants
+# now pins the size, the no-duplicates rule, front-of-registry equality,
+# and that every never-driver-checked query sits inside the window).
+# After r6 the registry holds 198 entries (195 + the 3 added this
+# round), 195/195 pre-r7 ever-driver-green, zero failures. The front 50
+# is (a) the 3 queries added this round, never driver-checked, (b) the
+# 3 greens whose CODE changed this round (the asof harness gained the
+# typed empty-sink seed; the two e2e capstones now share their prefix
+# through the session artifact cache), then (c) the r3-stale cohort —
+# 44 of its 47, led by the five that overflowed r6's window. The four
+# entries left out — text_top_tokens, text_tfidf_top_terms,
+# sketch_bloom_filter_probe (r3-stale, untouched pure-Catalyst queries)
+# and search_tfidf_cosine_topk (r6-fresh; gained an inert default
+# champions=None param this round, default path plan-identical) — go
+# first in r8. ALL 198 entries stay covered every session by the local
 # DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
-    # -- (a) r6 additions, never driver-checked --
-    "curation_e2e_pretrain_pack_cc",
-    "dedup_span_overlap",
-    "ann_recall_eval_pq",
-    "dedup_cdc_chunks",
-    "search_tfidf_cosine_topk",
-    # -- (b) greens whose code changed in r6 --
-    "dedup_span_chunks",
-    "curation_e2e_pretrain_pack",
+    # -- (a) r7 additions, never driver-checked --
+    "search_tfidf_pruned_recall_eval",
+    "streaming_incremental_dedup",
+    "semantic_dedup_clusters",
+    # -- (b) greens whose code changed in r7 --
     "streaming_asof_static_enrich",
-    # -- (c) stalest greens, oldest driver row first (r2 cohort) --
-    "q1_pricing_summary",
-    "q6_revenue_delta",
-    "agg_nation_customer_stats",
-    "groupby_having_hot_parts",
-    "count_distinct_parts_by_brand",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_join_auto_orders",
-    "anti_join_idle_customers",
-    "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_lag_order_gap_days",
-    "top_k_expensive_parts",
-    "set_intersect_nations",
-    "set_except_nations",
-    "distinct_order_months",
-    "rollup_order_status_priority",
-    "cube_lineitem_flags",
-    "pivot_priority_by_status",
-    "scalar_function_gauntlet",
-    "date_function_gauntlet",
-    "case_when_price_tiers",
-    "json_extract_event_props",
-    "events_hourly_by_type",
-    "events_sessionization",
-    "curation_pipeline_survivors",
-    "curation_sample_by_hash",
-    "curation_stratified_topn",
-    "curation_decontaminated",
-    "curation_chunk_tokens",
-    "text_token_stats",
-    "text_bpe_ish_token_count",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_length_histogram",
-    "dedup_exact_documents",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_exact",
-    # -- ...then the oldest of the r3 cohort --
-    "pipeline_each_audit_count",
-    "pipeline_to_iterable_roundtrip",
+    "curation_e2e_pretrain_pack",
+    "curation_e2e_pretrain_pack_cc",
+    # -- (c) the r3-stale cohort: first the five that overflowed r6 --
     "pipeline_to_async_iterable_roundtrip",
     "curation_train_val_split",
     "curation_weighted_sample",
     "curation_shard_manifest",
     "curation_pack_sequences",
+    # -- ...then the rest of the r3 cohort --
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_lsh_multiprobe_topk",
+    "asof_join_purchase_to_view",
+    "asof_join_view_to_next_purchase",
+    "range_join_purchase_after_signup",
+    "dedup_minhash_lsh_fast",
+    "dedup_minhash_clusters",
+    "dedup_minhash_clusters_star",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_near_pairs",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "semantic_dedup_pairs",
+    "search_bm25_topk",
+    "pipeline_pickled_objects",
+    "pipeline_task_async_enrich",
+    "q10_returned_item_ranking",
+    "events_funnel_conversion",
+    "sketch_kmv_distinct_users",
+    "sketch_hll_distinct_users",
+    "sketch_cms_heavy_hitters",
+    "sketch_quantile_doc_lengths",
+    "streaming_tumbling_hourly",
+    "streaming_sliding_1h_30m",
+    "streaming_session_windows",
+    "streaming_watermark_late_drop",
+    "streaming_stateful_running_totals",
+    "streaming_static_enrich_nation",
+    "streaming_interval_join_purchase_signup",
+    "streaming_dedup_events",
+    "streaming_doc_quality_counts",
+    "streaming_kmv_daily_distinct",
+    "streaming_hll_daily_distinct",
+    "streaming_cms_daily_heavy_hitters",
+    "text_pii_scrub",
+    "text_repetition_stats",
 ]
 
 

@@ -390,6 +390,63 @@ def semantic_dedup_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_E_CTE},
+    {_KM_CTE},
+    ascore AS (
+      SELECT x.vec_id, x.v, x.nrm, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_dot("x.v", "c.cv")} / (x.nrm * c.cn) DESC, c.cid) AS crank
+      FROM n x JOIN {_KM_FINAL} c ON TRUE
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM ascore WHERE crank = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_dot("a.v", "b.v")} / (a.nrm * b.nrm) >= {NEAR_DUP_T}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup COMPLETED: the within-cell cosine pairs clustered into
+    duplicate groups — (vec_id, cluster_id = min reachable id), keep-list
+    = ``cluster_id == vec_id``. This is the step SemDeDup actually ships
+    (one representative per semantic-duplicate cluster); the pairwise
+    entry above exposes the raw pairs, this one the survivor election —
+    the same pairs→components relationship the MinHash family has
+    (dedup_minhash_lsh → dedup_minhash_clusters). Spark runs min-label
+    propagation to the exact fixpoint over the verified pair graph; the
+    oracle replays training, assignment, within-cell pairing AND the
+    transitive closure (recursive CTE), so the cluster labeling itself is
+    value-checked. Scale: the pair stage is the cell-bucketed equi-join
+    (never all-pairs); CC rounds ∝ cluster diameter — semantic-dup
+    clusters are shallow, like their lexical cousins."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import dedup as D
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    pairs = S.semantic_near_dup(
+        emb, threshold=NEAR_DUP_T, n_cells=N_CELLS, iters=KMEANS_ITERS,
+        train_mod=KMEANS_TRAIN_MOD, centroids=_kmeans_artifact(spark, sf_dir),
+    ).select("id_a", "id_b")
+    return D.connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (ADC + exact rerank) — ext/similarity.pq_adc_topk
 # ---------------------------------------------------------------------------

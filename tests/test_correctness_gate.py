@@ -111,3 +111,32 @@ def test_entry_contract():
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_driver_window_rotation_invariants():
+    """The driver hash-checks the FIRST 50 registered queries per round;
+    r6's hand-pasted _PRIORITY held 55 names and five silently missed the
+    window (VERDICT r6 'What's missing' #3). Pin the invariants
+    mechanically: the list is EXACTLY window-sized, every name resolves,
+    the registry front equals it, and — the property the rotation exists
+    for — every query with no driver correctness row yet sits inside the
+    window (a new query must be driver-checked in its debut round)."""
+    import glob
+    import json
+
+    import pypeln_spark.queries as Q
+
+    window = 50
+    assert len(Q._PRIORITY) == window, len(Q._PRIORITY)
+    assert len(set(Q._PRIORITY)) == window  # no duplicates eating slots
+    unknown = [n for n in Q._PRIORITY if n not in REGISTRY]
+    assert unknown == [], unknown
+    assert list(REGISTRY)[:window] == Q._PRIORITY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        checked.update(json.load(open(path)))
+    never = [n for n in REGISTRY if n not in checked]
+    outside = [n for n in never if n not in Q._PRIORITY]
+    assert outside == [], f"never-driver-checked queries outside the window: {outside}"

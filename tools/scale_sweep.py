@@ -77,6 +77,10 @@ SWEEP = [
     "curation_e2e_pretrain_pack_cc",
     "ann_recall_eval_pq",
     "dedup_span_overlap",
+    # round-7 additions
+    "search_tfidf_pruned_recall_eval",
+    "streaming_incremental_dedup",
+    "semantic_dedup_clusters",
 ]
 
 KEYED = {
