@@ -548,9 +548,15 @@ def dedup_against_corpus(
     a = new_sh.select(F.col(id_col).alias("new_id"), F.col("sh_arr").alias("sh_a"))
     b = cor_sh.select(F.col(id_col).alias("corpus_id"), F.col("sh_arr").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # shuffle_hash hints: both shingle-array sides grow with the data and
+    # must never broadcast (the docstring's "corpus is scanned once, never
+    # self-joined" claim) — Spark's size estimate for array columns runs
+    # low enough that the 64m session ceiling admitted a corpus broadcast
+    # at 10× data and OOM'd the driver build (measured on the streaming
+    # twin of this join, r7 sweep; same fix both places)
     return (
-        cand.join(a, "new_id")
-        .join(b, "corpus_id")
+        cand.join(a.hint("shuffle_hash"), "new_id")
+        .join(b.hint("shuffle_hash"), "corpus_id")
         .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",

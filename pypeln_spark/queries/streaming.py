@@ -1098,10 +1098,11 @@ def streaming_incremental_dedup(spark, sf_dir):
     Scale shape: per epoch, only batch-side shingling/signatures are
     computed (∝ |batch|); candidates come from the band equi-join
     (new × index, never index × index); the growing index is the
-    append-only band/shingle table a deployment maintains — here
-    union+persist per epoch with the superseded generation unpersisted
-    (at 100 TB the union is an append to the index TABLE, and the
-    decisions parquet IS the output dataset). Within-batch (new × new)
+    append-only band/shingle table a deployment maintains — here a LAZY
+    union over the session-cached initial frames plus per-epoch persisted
+    novel DELTAS, so no epoch re-copies the corpus (at 100 TB the delta
+    append is an append to the index TABLE, and the decisions parquet IS
+    the output dataset). Within-batch (new × new)
     duplicates are deliberately out of scope — that is the batch
     minhash_lsh_dedup's job upstream. The oracle unrolls the three
     epochs and replays banding, verification, survivor pick AND the
@@ -1174,14 +1175,22 @@ def streaming_incremental_dedup(spark, sf_dir):
             .select("new_id", "corpus_id")
             .distinct()
         )
+        cand = cand.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism,
+            F.col("new_id"),
+        )
         a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("sh_a"))
         b = state["sh"].select(
             F.col("doc_id").alias("corpus_id"), F.col("sh_arr").alias("sh_b")
         )
         n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        # shuffle_hash hints: the shingle-array sides are corpus-sized and
+        # must NEVER broadcast — the session's 64m auto-broadcast ceiling
+        # underestimates array columns badly enough that at 10× data Spark
+        # picked a broadcast here and the driver build OOM'd (r7 sweep)
         matches = (
-            cand.join(a, "new_id")
-            .join(b, "corpus_id")
+            cand.join(a.hint("shuffle_hash"), "new_id")
+            .join(b.hint("shuffle_hash"), "corpus_id")
             .withColumn("n_inter", n_inter)
             .withColumn(
                 "jaccard",
@@ -1209,17 +1218,26 @@ def streaming_incremental_dedup(spark, sf_dir):
             .write.mode("append")
             .parquet(root)
         )
-        # absorb: novel docs join the index before the next epoch
+        # absorb: novel docs join the index before the next epoch.
+        # APPEND-ONLY: only the epoch's novel DELTA persists (must
+        # materialize now — it derives from the pool-persisted new_sh,
+        # which the next epoch's retire drops); the index stays a LAZY
+        # union over the cached initial frames + cached deltas, so no
+        # epoch ever re-copies the whole corpus (the first cut persisted
+        # the full union per epoch — an O(corpus) copy every epoch, ~2×
+        # the sf0.1 wall and the dominant super-linear term at 10×).
+        # Unbounded streams would periodically compact the delta chain
+        # into the index table; three epochs don't need it.
         dropped = pick.select(F.col("new_id").alias("doc_id"))
-        nov_sh = new_sh.join(dropped, "doc_id", "left_anti")
-        nov_bands = new_bands.join(dropped, "doc_id", "left_anti")
-        sh2 = state["sh"].unionByName(nov_sh).persist()
-        bd2 = state["bands"].unionByName(nov_bands).persist()
-        sh2.count()
-        bd2.count()
-        for old in state["own"]:
-            old.unpersist(blocking=False)
-        state.update(sh=sh2, bands=bd2, own=[sh2, bd2])
+        nov_sh = new_sh.join(dropped, "doc_id", "left_anti").persist()
+        nov_bands = new_bands.join(dropped, "doc_id", "left_anti").persist()
+        nov_sh.count()
+        nov_bands.count()
+        state["own"] += [nov_sh, nov_bands]
+        state.update(
+            sh=state["sh"].unionByName(nov_sh),
+            bands=state["bands"].unionByName(nov_bands),
+        )
 
     ST.staged_foreach_batch(spark, epochs, gate)
     D.retire_pipeline_caches()

@@ -769,6 +769,39 @@ def test_tfidf_cosine_topk_ranks_near_copy_first(spark):
     )
 
 
+def test_tfidf_champion_pruning_is_exact_on_shortlist(spark):
+    """The champion-list arm is candidate-generation + EXACT rerank, so
+    two properties must hold on any corpus: (a) every (query, neighbor)
+    the pruned arm returns carries the IDENTICAL cosine the exact arm
+    computes for that pair (pruning may drop candidates, never distort a
+    survivor's score), and (b) with champions ≥ the longest posting list
+    nothing prunes at all — the pruned output equals the exact output
+    row for row, rank for rank."""
+    import random
+
+    from pypeln_spark.ext import text as X
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in X.tfidf_cosine_topk(df, n_queries=4, k=30).collect()
+    }
+    pruned = X.tfidf_cosine_topk(df, n_queries=4, k=5, champions=3).collect()
+    assert pruned, "champion lists of 3 should still surface candidates"
+    for r in pruned:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cos  # bit-identical
+    full = X.tfidf_cosine_topk(df, n_queries=4, k=5, champions=10_000).collect()
+    base = X.tfidf_cosine_topk(df, n_queries=4, k=5).collect()
+    assert sorted(map(lambda r: r.asDict(), full), key=lambda d: (d["query_id"], d["rank"])) == \
+        sorted(map(lambda r: r.asDict(), base), key=lambda d: (d["query_id"], d["rank"]))
+
+
 def test_span_dedup_conservation_and_first_wins(spark):
     """n_kept sums to the number of distinct chunk hashes; a corpus of two
     identical docs keeps every chunk exactly once, attributed to the lower

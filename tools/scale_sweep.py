@@ -117,10 +117,29 @@ def synthesize(spark, outdir: str) -> None:
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(r * strides[k]))
             if name == "documents":
-                # tag texts per replica: replicas are near-dups WITHIN a
-                # replica exactly like the base corpus, but never across
+                # salt texts per replica so replicas keep their WITHIN-
+                # replica dup structure but never form cross-replica
+                # near-dup pairs. The original one-token suffix tag did
+                # NOT achieve this: it changes only ~5 of ~90 5-shingles,
+                # leaving cross-replica Jaccard ≈ 0.9 — far above every
+                # verify threshold — so dup clusters grew ∝ replicas and
+                # near-dup sweep lines read super-linear on fixture
+                # artifact alone (measured r7: the streaming ingest
+                # gate's drop rate went 6% → 82% at 10×). Replacing
+                # every 8th token touches ~5/8 of all 5-shingles and
+                # most ~8-token CDC chunks, pushing cross-replica
+                # similarity below threshold, while two near-dups within
+                # one replica receive the SAME transformation and stay
+                # near-dups.
                 df = df.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
+                    "text",
+                    F.array_join(
+                        F.expr(
+                            "transform(split(text, ' '), "
+                            f"(t, i) -> IF(i % 8 = 7, 'rep{r}salt', t))"
+                        ),
+                        " ",
+                    ),
                 )
             if name == "embeddings":
                 df = df.withColumn(
