@@ -70,3 +70,84 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_sweep_fixture_preserves_similarity_structure(spark, sf_dir, tmp_path):
+    """The 10x sweep fixture's replica transforms must not manufacture OR
+    destroy similarity structure — three fixture bugs in a row (r6 suffix
+    tag: cross-replica J=0.95; r7 position salt: unrelated within-replica
+    J doubled 0.17->0.34, a ~16x LSH-candidate explosion read as a 45x
+    "scale defect"; r7 embedding nudge: cross-replica cosine 1.0) each
+    turned a sweep line super-linear on artifact alone, so the invariants
+    are now pinned:
+
+      text:  per-replica char bijection => every within-replica pairwise
+             5-gram Jaccard is preserved BIT-EXACTLY; a doc's cross-
+             replica copies share ~no shingles.
+      embed: per-replica signed permutation (orthogonal) => within-
+             replica pairwise cosines preserved to float tolerance;
+             cross-replica same-vector cosine far below dup thresholds.
+    """
+    import itertools
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from scale_sweep import synthesize
+
+    out = str(tmp_path / "fixture")
+    synthesize(spark, out, src=sf_dir, replicas=2)
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_base = base.count()
+    docs = (
+        spark.read.parquet(os.path.join(out, "documents.parquet"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(docs) == 2 * n_base
+    r0 = {d.doc_id: d.text for d in docs[:n_base]}
+    # replica-1 ids are shifted by stride = max(doc_id)+1 of the base
+    stride = max(r0) + 1
+    r1 = {d.doc_id - stride: d.text for d in docs[n_base:]}
+
+    def grams(s, k=5):
+        return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+    def jac(a, b):
+        ga, gb = grams(a), grams(b)
+        return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+    ids = sorted(r0)[:12]
+    # (a) cross-replica copies of the SAME doc: no shared letter shingles
+    for i in ids:
+        assert jac(r0[i], r1[i]) < 0.05, f"doc {i} still near-dups its copy"
+    # (b) within-replica pairwise J preserved bit-exactly by the bijection
+    for i, j in itertools.combinations(ids, 2):
+        assert jac(r0[i], r0[j]) == pytest.approx(jac(r1[i], r1[j]), abs=0)
+
+    emb = (
+        spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    n_emb = len(emb) // 2
+    e0 = {e.vec_id: e.embedding for e in emb[:n_emb]}
+    estride = max(e0) + 1
+    e1 = {e.vec_id - estride: e.embedding for e in emb[n_emb:]}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    vids = sorted(e0)[:12]
+    # (a) a vector vs its transformed copy: far below every dup threshold
+    for i in vids:
+        assert abs(cos(e0[i], e1[i])) < 0.6, f"vec {i} still near-dups its copy"
+    # (b) within-replica pairwise cosines preserved (orthogonal transform)
+    for i, j in itertools.combinations(vids, 2):
+        assert cos(e0[i], e0[j]) == pytest.approx(cos(e1[i], e1[j]), abs=1e-5)

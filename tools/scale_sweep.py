@@ -2,9 +2,10 @@
 
 Synthesizes a ~sf1 dataset (10 x sf0.1, keys shifted per replica so join
 cardinalities and dup-cluster sizes grow linearly, not quadratically:
-documents get a per-replica tag token appended so replicas don't form
-cross-replica near-dup pairs; embeddings get a deterministic per-replica
-first-component nudge), then times a representative headline slice at
+documents pass through a per-replica character bijection and embeddings
+through a per-replica orthogonal transform, so each replica keeps its
+internal dup/similarity structure bit-exactly while replicas never form
+cross-replica near-dup pairs), then times a representative headline slice at
 sf0.1 and at the synthetic sf1 and reports the time ratio next to the 10x
 data ratio. A plan that survives scale shows ~linear (or better) growth;
 a quadratic or driver-bound plan shows up immediately.
@@ -94,7 +95,9 @@ KEYED = {
 }
 
 
-def synthesize(spark, outdir: str) -> None:
+def synthesize(
+    spark, outdir: str, src: str = SRC, replicas: int = REPLICAS
+) -> None:
     from pyspark.sql import functions as F
 
     from pypeln_spark.queries.base import load_table
@@ -103,54 +106,77 @@ def synthesize(spark, outdir: str) -> None:
     for name in [
         "region", "nation", "part", "supplier",  # dims: copy as-is
     ]:
-        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+        load_table(spark, src, name).write.mode("overwrite").parquet(
             os.path.join(outdir, f"{name}.parquet")
         )
     for name, keys in KEYED.items():
-        base = load_table(spark, SRC, name)
+        base = load_table(spark, src, name)
         strides = {
             k: (base.agg(F.max(k)).first()[0] or 0) + 1 for k in keys
         }
         parts = []
-        for r in range(REPLICAS):
+        for r in range(replicas):
             df = base
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(r * strides[k]))
-            if name == "documents":
-                # salt texts per replica so replicas keep their WITHIN-
-                # replica dup structure but never form cross-replica
-                # near-dup pairs. The original one-token suffix tag did
-                # NOT achieve this: it changes only ~5 of ~90 5-shingles,
-                # leaving cross-replica Jaccard ≈ 0.9 — far above every
-                # verify threshold — so dup clusters grew ∝ replicas and
-                # near-dup sweep lines read super-linear on fixture
-                # artifact alone (measured r7: the streaming ingest
-                # gate's drop rate went 6% → 82% at 10×). Replacing
-                # every 8th token touches ~5/8 of all 5-shingles and
-                # most ~8-token CDC chunks, pushing cross-replica
-                # similarity below threshold, while two near-dups within
-                # one replica receive the SAME transformation and stay
-                # near-dups.
+            if name == "documents" and r > 0:
+                # Per-replica CHARACTER BIJECTION (rotated alphabet via
+                # translate). The requirement is three-way: (a) a doc's
+                # copies in two replicas must NOT be near-dups, (b)
+                # within-replica near-dup pairs must STAY near-dups, and
+                # (c) within-replica UNRELATED pairs must stay unrelated.
+                # Two earlier salting schemes each failed one leg,
+                # measured on 5-char-gram Jaccard (the dedup shingle,
+                # ext/hashing.shingles): a one-token suffix tag left
+                # cross-replica J ≈ 0.95 (fails a — dup clusters grew
+                # ∝ replicas; the streaming ingest gate's drop rate went
+                # 6% → 82% at 10×); replacing every 2nd token with a
+                # (replica, position) salt fixed (a) but gave ALL docs in
+                # a replica identical tokens at odd positions, doubling
+                # unrelated-pair J 0.171 → 0.341 (fails c — LSH band
+                # collisions ∝ J^4 exploded ~16× per pair, quadratic in
+                # replica size; streaming_incremental_dedup read 45×).
+                # A bijection on characters is a bijection on 5-grams
+                # AND on tokens, so EVERY within-replica pairwise
+                # Jaccard — char-gram or token — is preserved bit-exactly
+                # ((b) and (c) by construction, verified: unrelated mean
+                # 0.171 → 0.171 exact), while a doc's cross-replica copies
+                # share only letter-free shingles (measured J = 0.000).
+                lo = "abcdefghijklmnopqrstuvwxyz"
+                up = lo.upper()
+                dg = "0123456789"
+                s, t = r % 26, r % 10
                 df = df.withColumn(
                     "text",
-                    F.array_join(
-                        F.expr(
-                            "transform(split(text, ' '), "
-                            f"(t, i) -> IF(i % 8 = 7, 'rep{r}salt', t))"
-                        ),
-                        " ",
+                    F.translate(
+                        F.col("text"),
+                        lo + up + dg,
+                        lo[s:] + lo[:s] + up[s:] + up[:s] + dg[t:] + dg[:t],
                     ),
                 )
-            if name == "embeddings":
+            if name == "embeddings" and r > 0:
+                # Per-replica ORTHOGONAL transform (coordinate roll +
+                # deterministic sign flips). Same three-way requirement
+                # as documents, in cosine space. The old first-component
+                # nudge (+r·1e-3 on one of 64 dims) left cross-replica
+                # copies at cosine 1.000000 (measured) — every vector
+                # formed a 10-wide cross-replica near-dup cluster, so
+                # semantic-dedup cell verification grew super-linearly.
+                # A signed permutation is orthogonal: all within-replica
+                # dot products and norms are preserved bit-for-bit
+                # (measured max pairwise-cosine error 5.6e-17), while a
+                # vector vs its transformed copy measures cosine
+                # mean −0.02 / max 0.30 — far below every near-dup
+                # threshold. y[i] = x[(i − 7r) mod 64] · s_i with
+                # s_i = −1 iff (13i + 5r) % 3 = 0.
+                sh = (7 * r) % 64
                 df = df.withColumn(
                     "embedding",
-                    F.concat(
-                        F.array(
-                            (F.element_at("embedding", 1) + F.lit(r * 1e-3)).cast(
-                                "float"
-                            )
-                        ),
-                        F.slice("embedding", 2, 63),
+                    F.expr(
+                        "transform(sequence(0, 63), i -> CAST("
+                        f"element_at(embedding, ((i - {sh} + 64) % 64) + 1)"
+                        f" * (CASE WHEN (13 * i + {5 * r}) % 3 = 0"
+                        " THEN -1.0 ELSE 1.0 END) AS FLOAT))"
                     ),
                 )
             parts.append(df)
@@ -160,7 +186,7 @@ def synthesize(spark, outdir: str) -> None:
         out.repartition(32).write.mode("overwrite").parquet(
             os.path.join(outdir, f"{name}.parquet")
         )
-        print(f"# wrote {name} x{REPLICAS}", file=sys.stderr)
+        print(f"# wrote {name} x{replicas}", file=sys.stderr)
 
 
 def main() -> None:
