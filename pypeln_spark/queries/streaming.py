@@ -1239,6 +1239,14 @@ def streaming_incremental_dedup(spark, sf_dir):
             bands=state["bands"].unionByName(nov_bands),
         )
 
+    # The 4-partition streaming default (state_partitions) is load-bearing
+    # here even though this query keeps NO state stores: the gate runs
+    # ~10 shuffling operators per epoch on epoch-sized (|docs|/6) inputs,
+    # and with AQE off under streaming nothing coalesces them — measured
+    # at sf0.1, widening the gate to defaultParallelism=32 REGRESSED
+    # 15.1s → 34.0s (task-launch overhead on tiny shuffles), so the
+    # epoch-volume-sized default stands. A deployment whose epochs carry
+    # millions of docs sizes this up via PYPELN_SPARK_STREAM_PARTITIONS.
     ST.staged_foreach_batch(spark, epochs, gate)
     D.retire_pipeline_caches()
     for old in state["own"]:
