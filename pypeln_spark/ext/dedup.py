@@ -836,6 +836,63 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold)
 
 
+def lsh_recall_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    allow_large: bool = False,
+) -> DataFrame:
+    """Measured LSH S-curve: per Jaccard decile, how many exact
+    above-threshold pairs does the production banding capture?
+
+    Ground truth = the inverted-shingle-index exact baseline (any shared
+    shingle → exact Jaccard verify — complete above any threshold, since
+    J > 0 requires a shared shingle); approximate arm = the banding's
+    candidate pairs. Verified-LSH output is exact ∩ candidates by
+    construction (the verify IS the exact Jaccard), so recall per decile
+    is capture probability — the empirical curve to hold against the
+    banding theory 1−(1−J^r)^b when tuning bands vs verify cost.
+
+    Output: (j_decile = floor(jaccard·10) as int, n_exact, n_lsh, recall).
+    The exact arm is the guarded quadratic baseline — run this on a doc
+    SAMPLE (the registry query samples doc_id % 4), exactly as the ANN
+    recall evals sample their query set. One shared shingle scan feeds
+    both arms."""
+    guard_quadratic(df, "lsh_recall_table ground truth", allow_large)
+    retire_pipeline_caches()
+    doc_sh = pool_persist(shingle_arrays(spread(df), text_col, id_col, k))
+    doc_sh.count()  # eager — two candidate arms + the verify consume it
+    sh = doc_sh.select(id_col, F.explode("sh_arr").alias("s"))
+    ea = sh.select(F.col(id_col).alias("id_a"), "s")
+    eb = sh.select(F.col(id_col).alias("id_b"), "s")
+    cand_ex = (
+        ea.join(eb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = jaccard_pairs_from_candidates(cand_ex, doc_sh, id_col, threshold)
+    wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
+    cand_lsh = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
+    hit = cand_lsh.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["id_a", "id_b"], "left")
+        .groupBy(F.floor(F.col("jaccard") * 10).cast("int").alias("j_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count(F.col("hit")).alias("n_lsh"),
+            (
+                F.count(F.col("hit")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

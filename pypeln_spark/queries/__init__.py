@@ -56,24 +56,26 @@ except ImportError:  # pragma: no cover
 # tests/test_correctness_gate.py::test_driver_window_rotation_invariants
 # now pins the size, the no-duplicates rule, front-of-registry equality,
 # and that every never-driver-checked query sits inside the window).
-# After r6 the registry holds 198 entries (195 + the 3 added this
+# After r6 the registry holds 199 entries (195 + the 4 added this
 # round), 195/195 pre-r7 ever-driver-green, zero failures. The front 50
-# is (a) the 3 queries added this round, never driver-checked, (b) the
+# is (a) the 4 queries added this round, never driver-checked, (b) the
 # 3 greens whose CODE changed this round (the asof harness gained the
 # typed empty-sink seed; the two e2e capstones now share their prefix
 # through the session artifact cache), then (c) the r3-stale cohort —
-# 44 of its 47, led by the five that overflowed r6's window. The four
+# 43 of its 47, led by the five that overflowed r6's window. The five
 # entries left out — text_top_tokens, text_tfidf_top_terms,
-# sketch_bloom_filter_probe (r3-stale, untouched pure-Catalyst queries)
-# and search_tfidf_cosine_topk (r6-fresh; gained an inert default
-# champions=None param this round, default path plan-identical) — go
-# first in r8. ALL 198 entries stay covered every session by the local
-# DuckDB gate (tests/test_correctness_gate.py).
+# sketch_bloom_filter_probe, text_repetition_stats (r3-stale,
+# untouched pure-Catalyst queries) and search_tfidf_cosine_topk
+# (r6-fresh; gained an inert default champions=None param this round,
+# default path plan-identical) — go first in r8. ALL 199 entries stay
+# covered every session by the local DuckDB gate
+# (tests/test_correctness_gate.py).
 _PRIORITY = [
     # -- (a) r7 additions, never driver-checked --
     "search_tfidf_pruned_recall_eval",
     "streaming_incremental_dedup",
     "semantic_dedup_clusters",
+    "dedup_lsh_recall_eval",
     # -- (b) greens whose code changed in r7 --
     "streaming_asof_static_enrich",
     "curation_e2e_pretrain_pack",
@@ -123,7 +125,6 @@ _PRIORITY = [
     "streaming_hll_daily_distinct",
     "streaming_cms_daily_heavy_hitters",
     "text_pii_scrub",
-    "text_repetition_stats",
 ]
 
 

@@ -125,6 +125,83 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
+RECALL_SAMPLE_MOD = 4  # ground truth on the doc_id % 4 == 0 doc sample
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {sql_h31('shingle')} AS sh
+      FROM (SELECT doc_id, unnest({sql_shingles('text')}) AS shingle
+            FROM documents WHERE doc_id % {RECALL_SAMPLE_MOD} = 0)
+    ),
+    {_MH_CTE},
+    banded AS (
+      SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // 4
+    ),
+    cand_lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    cand_ex AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand_ex c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    ),
+    exact AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.n_inter AS DOUBLE)
+               / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+              / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(FLOOR(e.jaccard * 10) AS INTEGER) AS j_decile,
+           COUNT(*) AS n_exact,
+           COUNT(l.id_a) AS n_lsh,
+           CAST(COUNT(l.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact e
+    LEFT JOIN cand_lsh l ON l.id_a = e.id_a AND l.id_b = e.id_b
+    GROUP BY CAST(FLOOR(e.jaccard * 10) AS INTEGER)
+    """,
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    """Dedup-quality EVALUATION — the MinHash family's counterpart to the
+    ANN recall-eval trilogy: the MEASURED LSH S-curve. Ground truth is the
+    exact inverted-index Jaccard baseline on a deterministic doc sample
+    (doc_id % 4 — sampled for the same reason the ANN evals sample their
+    query set: exact all-pairs is the guarded baseline, never the prod
+    path); the approximate arm is the production banding (b=8, r=4).
+    Verified-LSH output is exact ∩ candidates by construction, so per
+    Jaccard decile: recall = captured/exact — the empirical capture curve
+    a deployment compares against 1-(1-J^r)^b when tuning bands vs
+    verify-cost (pairs at J≈threshold are the ones banding loses; J≥0.9
+    capture should read ~1.0). One shared shingle scan feeds both arms;
+    the oracle replays shingling, signatures, banding, BOTH candidate
+    sets, the verify, and the decile rollup, so the recall numbers
+    themselves are hash-checked."""
+    from pyspark.sql import functions as F
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % RECALL_SAMPLE_MOD == 0)
+    return D.lsh_recall_table(
+        sample, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.6
 
 

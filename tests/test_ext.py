@@ -1935,3 +1935,45 @@ def test_substring_recall_cdc_beats_fixed_stride_on_shifts(spark):
     cdc = detect_rate(D.cdc_chunk_dedup(docs, divisor=8))
     assert fixed <= 0.10, f"fixed stride should miss shifted spans: {fixed}"
     assert cdc >= 0.90, f"CDC should catch shifted spans: {cdc}"
+
+
+def test_lsh_recall_table_structure_and_exact_copy_capture(spark):
+    """The measured S-curve's structural invariants: the LSH arm can never
+    capture MORE than exact truth (n_lsh <= n_exact per decile, recall in
+    [0,1]); identical documents (J = 1.0, decile 10) are ALWAYS captured
+    (identical shingle sets give identical signatures, so every band
+    collides); and the table is partitioning-invariant (frozen hashes +
+    exact verify — nothing in it depends on layout)."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    for i in range(20):  # unrelated base docs
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    for i in range(5):  # exact copies: planted J = 1.0 pairs
+        rows.append((100 + i, rows[i][1]))
+    for i in range(5, 12):  # mid-J pairs: share a prefix, diverge after
+        base = rows[i][1].split()
+        half = len(base) // 2
+        tail = [rng.choice(vocab) for _ in range(len(base) - half)]
+        rows.append((200 + i, " ".join(base[:half] + tail)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.j_decile: r for r in D.lsh_recall_table(df, threshold=0.3).collect()}
+    assert out, "planted pairs must produce at least one decile row"
+    for r in out.values():
+        assert 0 <= r.n_lsh <= r.n_exact
+        assert 0.0 <= r.recall <= 1.0
+        assert r.recall == r.n_lsh / r.n_exact
+    assert 10 in out and out[10].recall == 1.0  # exact copies always captured
+    assert out[10].n_exact >= 5
+    assert any(d < 10 for d in out), "mid-J planted pairs must appear"
+    again = {
+        r.j_decile: r
+        for r in D.lsh_recall_table(df.repartition(7), threshold=0.3).collect()
+    }
+    assert {k: v.asDict() for k, v in out.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }

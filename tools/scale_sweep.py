@@ -82,6 +82,7 @@ SWEEP = [
     "search_tfidf_pruned_recall_eval",
     "streaming_incremental_dedup",
     "semantic_dedup_clusters",
+    "dedup_lsh_recall_eval",
 ]
 
 KEYED = {
