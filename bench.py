@@ -128,6 +128,7 @@ HEADLINE = [
     "streaming_incremental_dedup",
     "semantic_dedup_clusters",
     "dedup_lsh_recall_eval",
+    "embedding_near_dup_recall_eval",
 ]
 
 

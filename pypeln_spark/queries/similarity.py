@@ -359,6 +359,75 @@ def embedding_near_dup_lsh(spark, sf_dir):
     return S.near_dup_lsh(emb, threshold=NEAR_DUP_T, n_planes=N_PLANES, dim=DIM)
 
 
+NEARDUP_SAMPLE_MOD = 4  # recall-eval ground truth on the vec_id % 4 sample
+
+_E_SAMPLE_CTE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % {mod} = 0),
+n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)
+""".format(mod=NEARDUP_SAMPLE_MOD, vv=_dot("v", "v"))
+
+
+@register(
+    "embedding_near_dup_recall_eval",
+    oracle=f"""
+    WITH {_E_SAMPLE_CTE},
+    exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE {_dot("a.v", "b.v")} / (a.nrm * b.nrm) >= {NEAR_DUP_T}
+    ),
+    bktd AS (SELECT vec_id, v, nrm, CAST({_BUCKET} AS BIGINT) AS bucket FROM n),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bktd a JOIN bktd b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(FLOOR(e.cos * 20) AS INTEGER) AS c_bucket,
+           COUNT(*) AS n_exact,
+           COUNT(l.id_a) AS n_lsh,
+           CAST(COUNT(l.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact e
+    LEFT JOIN cand l ON l.id_a = e.id_a AND l.id_b = e.id_b
+    GROUP BY CAST(FLOOR(e.cos * 20) AS INTEGER)
+    """,
+)
+def embedding_near_dup_recall_eval(spark, sf_dir):
+    """Completes the recall-eval matrix: every approximate similarity arm
+    in the engine now carries a measured, oracle-replayed quality number —
+    ANN retrieval (IVF/LSH/PQ evals), sparse retrieval (champion-list
+    eval), lexical near-dup pairs (the LSH S-curve), and now COSINE
+    near-dup pairs: per 0.05-wide cosine bucket, the capture rate of the
+    hyperplane bucketing vs the exact all-pairs ground truth on a
+    deterministic vec_id % 4 sample (sampled for the same reason every
+    other eval samples — the exact arm is the guarded baseline). Per-plane
+    miss probability is angle/π, so capture should fall as cos approaches
+    the threshold from above — the curve a deployment reads when trading
+    n_planes against verify cost. Verified-LSH output is exact ∩ bucketed
+    by construction, so recall needs no second verify pass."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % NEARDUP_SAMPLE_MOD == 0)
+    exact = S.near_dup_pairs(sample, threshold=NEAR_DUP_T)
+    cand = S.near_dup_lsh(
+        sample, threshold=NEAR_DUP_T, n_planes=N_PLANES, dim=DIM
+    ).select("id_a", "id_b")
+    hit = cand.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["id_a", "id_b"], "left")
+        .groupBy(F.floor(F.col("cos") * 20).cast("int").alias("c_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count(F.col("hit")).alias("n_lsh"),
+            (
+                F.count(F.col("hit")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 @register(
     "semantic_dedup_pairs",
     oracle=f"""

@@ -1977,3 +1977,54 @@ def test_lsh_recall_table_structure_and_exact_copy_capture(spark):
     assert {k: v.asDict() for k, v in out.items()} == {
         k: v.asDict() for k, v in again.items()
     }
+
+
+def test_near_dup_lsh_recall_structure(spark):
+    """Cosine S-curve invariants mirroring the lexical one: identical
+    vectors (cos = 1.0 → bucket 20) land in the SAME hyperplane bucket by
+    construction (equal plane dots, equal signs), so their capture is
+    always 1.0; per bucket the LSH arm never exceeds exact truth; and the
+    eval is partitioning-invariant (deterministic plane family + IEEE
+    left-fold dots)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(24):  # random base vectors
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    for i in range(6):  # exact duplicates: planted cos = 1.0 pairs
+        rows.append((100 + i, rows[i][1]))
+
+    def table(df):
+        exact = S.near_dup_pairs(df, threshold=0.2)
+        cand = S.near_dup_lsh(df, threshold=0.2, n_planes=6, dim=64).select(
+            "id_a", "id_b"
+        )
+        return (
+            exact.join(cand.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left")
+            .groupBy(F.floor(F.col("cos") * 20).cast("int").alias("c_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count(F.col("hit")).alias("n_lsh"),
+            )
+        )
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.c_bucket: r for r in table(df).collect()}
+    assert out
+    for r in out.values():
+        assert 0 <= r.n_lsh <= r.n_exact
+    # identical vectors: cos is 1.0 up to IEEE rounding of dot/(sqrt·sqrt),
+    # so the planted pairs land in bucket 19 or 20 — but ALWAYS captured
+    # (equal plane dots give equal signs, hence the same bucket)
+    top = [r for b, r in out.items() if b >= 19]
+    assert sum(r.n_exact for r in top) >= 6
+    assert all(r.n_lsh == r.n_exact for r in top)
+    again = {r.c_bucket: r for r in table(df.repartition(5)).collect()}
+    assert {k: v.asDict() for k, v in out.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }

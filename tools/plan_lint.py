@@ -45,6 +45,7 @@ SF = os.environ.get("PYPELN_SPARK_LINT_SF", "/root/testdata/sf0.01")
 ALLOW_CARTESIAN = {
     "dedup_ngram_jaccard_exact",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_recall_eval",  # embeds the exact arm as ground truth
 }
 
 # Deliberate broadcast theta-joins: a tiny broadcast side crossed/range-
@@ -95,6 +96,7 @@ ALLOW_BNLJ = {
     "ann_recall_eval_ivf",  # embeds cosine_topk's broadcast theta-join as ground truth
     "ann_recall_eval_lsh",  # same ground-truth theta-join, LSH retriever arm
     "ann_recall_eval_pq",  # same ground-truth theta-join, PQ-ADC retriever arm
+    "embedding_near_dup_recall_eval",  # exact-pairs ground truth, like the ANN evals
     "events_time_to_convert_quantiles",  # one-row sketch × one-row count broadcast
 }
 

@@ -83,6 +83,7 @@ SWEEP = [
     "streaming_incremental_dedup",
     "semantic_dedup_clusters",
     "dedup_lsh_recall_eval",
+    "embedding_near_dup_recall_eval",
 ]
 
 KEYED = {
