@@ -129,6 +129,7 @@ HEADLINE = [
     "semantic_dedup_clusters",
     "dedup_lsh_recall_eval",
     "embedding_near_dup_recall_eval",
+    "dedup_simhash_recall_eval",
 ]
 
 

@@ -940,6 +940,20 @@ def simhash_near_pairs(
     it. Shuffle ∝ 4·docs either way; candidate set identical."""
     retire_pipeline_caches()
     fp = pool_persist(fp)
+    cands = _simhash_candidates(fp, id_col)
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_candidates(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The pigeonhole candidate stage shared by simhash_near_pairs and
+    simhash_capture_table: 4 keyed rows per doc (key = band*256 + byte),
+    one self-equi-join — (id_a < id_b, sh_a, sh_b), distinct."""
     keys = F.array(
         *[
             (F.lit(b * 256) + F.expr(f"shiftright(simhash, {8 * b}) & 255")).cast("long")
@@ -949,18 +963,59 @@ def simhash_near_pairs(
     e = fp.select(F.col(id_col), F.col("simhash"), F.explode(keys).alias("k"))
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "k")
     bb = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "k")
-    cands = (
+    return (
         a.join(bb, "k")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    return (
-        cands.withColumn(
+
+
+def simhash_capture_table(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    max_eval_hamming: int = 8,
+    allow_large: bool = False,
+) -> DataFrame:
+    """Measured pigeonhole capture curve: per hamming distance 0..max,
+    how many exact fingerprint pairs does the 4-byte band join surface?
+
+    The pigeonhole theorem says hd ≤ 3 capture is EXACTLY 1.0 (3 flipped
+    bits leave ≥1 of 4 bytes intact) — this turns the comment into a
+    measurement, and shows the falloff past the guarantee (an hd-4 pair
+    survives only if no byte straddles all four flips), which is what a
+    deployment reads before retuning max_hamming upward. Exact ground
+    truth is the all-pairs XOR popcount on the (1 long per doc)
+    fingerprint sample — the guarded baseline; candidates are the
+    IDENTICAL stage the production operator uses (_simhash_candidates).
+    Output: (hamming, n_exact, n_cand, capture)."""
+    guard_quadratic(fp, "simhash_capture_table ground truth", allow_large)
+    retire_pipeline_caches()
+    fp = pool_persist(fp)
+    fp.count()  # eager — candidate stage + both exact-arm sides consume it
+    cand = _simhash_candidates(fp, id_col).select("id_a", "id_b")
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    exact = (
+        fa.join(fb, F.col("id_a") < F.col("id_b"))
+        .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_eval_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+    hit = cand.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["id_a", "id_b"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count(F.col("hit")).alias("n_cand"),
+            (
+                F.count(F.col("hit")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("capture"),
+        )
     )
 
 

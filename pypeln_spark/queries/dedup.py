@@ -344,6 +344,66 @@ def dedup_simhash_near_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_recall_eval",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {_TH} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id % {RECALL_SAMPLE_MOD} = 0)
+    ),
+    contrib AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    ),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ),
+    keys AS (
+      SELECT doc_id, b * 256 + ((simhash >> CAST(8 * b AS INT)) & 255) AS k
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+    )
+    SELECT e.hamming,
+           COUNT(*) AS n_exact,
+           COUNT(c.id_a) AS n_cand,
+           CAST(COUNT(c.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS capture
+    FROM exact e
+    LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    GROUP BY e.hamming
+    """,
+)
+def dedup_simhash_recall_eval(spark, sf_dir):
+    """The SimHash leg of the recall-eval matrix: per hamming distance
+    0..8, the capture rate of the 4-byte pigeonhole band join against the
+    exact all-pairs XOR-popcount ground truth on the doc_id % 4 sample
+    (ext/dedup.simhash_capture_table). hd ≤ 3 capture must measure
+    EXACTLY 1.0 — the pigeonhole theorem the near-pairs docstring cites,
+    now a value-checked number — and the hd 4-8 falloff is what a
+    deployment reads before retuning max_hamming. The candidate stage is
+    the IDENTICAL code path production uses (_simhash_candidates); the
+    oracle replays fingerprints, keys, both pair sets and the rollup."""
+    from pyspark.sql import functions as F
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % RECALL_SAMPLE_MOD == 0)
+    return D.simhash_capture_table(D.simhash_fingerprints(sample))
+
+
+@register(
     "dedup_minhash_clusters",
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_MH_CTE},

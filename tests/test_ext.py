@@ -2028,3 +2028,32 @@ def test_near_dup_lsh_recall_structure(spark):
     assert {k: v.asDict() for k, v in out.items()} == {
         k: v.asDict() for k, v in again.items()
     }
+
+
+def test_simhash_capture_table_hand_constructed(spark):
+    """Fully deterministic capture table from hand-built fingerprints:
+
+      id 0: 0x00000000
+      id 1: 0x00000007  (3 bits, all in byte 0 -> hd 3 vs id 0)
+      id 2: 0x01010101  (1 bit per byte)
+      id 3: 0x000000FF  (8 bits, all in byte 0)
+
+    Expected pairs (hd <= 8): (0,1) hd3 SHARED bytes 1-3 -> captured;
+    (0,2) hd4, every byte differs -> missed; (0,3) hd8, bytes 1-3 intact
+    -> captured; (1,2) hd5, no equal byte -> missed; (1,3) hd5, bytes 1-3
+    intact -> captured; (2,3) hd10 -> outside the eval range. So the
+    table must read hd3: 1/1, hd4: 0/1, hd5: 1/2, hd8: 1/1 — the
+    pigeonhole guarantee AND a concrete miss, both pinned by value."""
+    from pypeln_spark.ext import dedup as D
+
+    fp = spark.createDataFrame(
+        [(0, 0x00000000), (1, 0x00000007), (2, 0x01010101), (3, 0x000000FF)],
+        "doc_id long, simhash long",
+    )
+    out = {r.hamming: r for r in D.simhash_capture_table(fp).collect()}
+    assert set(out) == {3, 4, 5, 8}
+    assert (out[3].n_exact, out[3].n_cand) == (1, 1)
+    assert (out[4].n_exact, out[4].n_cand) == (1, 0)
+    assert (out[5].n_exact, out[5].n_cand) == (2, 1)
+    assert (out[8].n_exact, out[8].n_cand) == (1, 1)
+    assert out[5].capture == 0.5

@@ -46,6 +46,7 @@ ALLOW_CARTESIAN = {
     "dedup_ngram_jaccard_exact",
     "embedding_near_dup_pairs",
     "embedding_near_dup_recall_eval",  # embeds the exact arm as ground truth
+    "dedup_simhash_recall_eval",  # exact XOR-popcount all-pairs ground truth
 }
 
 # Deliberate broadcast theta-joins: a tiny broadcast side crossed/range-
@@ -97,6 +98,7 @@ ALLOW_BNLJ = {
     "ann_recall_eval_lsh",  # same ground-truth theta-join, LSH retriever arm
     "ann_recall_eval_pq",  # same ground-truth theta-join, PQ-ADC retriever arm
     "embedding_near_dup_recall_eval",  # exact-pairs ground truth, like the ANN evals
+    "dedup_simhash_recall_eval",  # same ground-truth theta-join, simhash arm
     "events_time_to_convert_quantiles",  # one-row sketch × one-row count broadcast
 }
 

@@ -84,6 +84,7 @@ SWEEP = [
     "semantic_dedup_clusters",
     "dedup_lsh_recall_eval",
     "embedding_near_dup_recall_eval",
+    "dedup_simhash_recall_eval",
 ]
 
 KEYED = {
