@@ -876,7 +876,11 @@ def lsh_recall_table(
         .distinct()
     )
     exact = jaccard_pairs_from_candidates(cand_ex, doc_sh, id_col, threshold)
-    wide = minhash_signatures_wide(doc_sh, id_col, n_hashes)
+    # persist the signatures: both sides of the band self-join read them and
+    # the fold is the expensive projection (same reasoning as
+    # minhash_lsh_dedup's second persist point)
+    wide = pool_persist(minhash_signatures_wide(doc_sh, id_col, n_hashes))
+    wide.count()
     cand_lsh = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
     hit = cand_lsh.withColumn("hit", F.lit(1))
     return (
