@@ -1106,7 +1106,11 @@ def streaming_incremental_dedup(spark, sf_dir):
     duplicates are deliberately out of scope — that is the batch
     minhash_lsh_dedup's job upstream. The oracle unrolls the three
     epochs and replays banding, verification, survivor pick AND the
-    absorb step, so epoch ordering itself is value-checked."""
+    absorb step, so epoch ordering itself is value-checked. The decisions
+    sink is seeded with a typed empty parquet file and the scratch dir is
+    driver-local tempfile space — correct on local[*]; on a real cluster
+    the root must live on shared storage (HDFS/S3), same as the asof
+    harness above."""
     import shutil
     import tempfile
 
