@@ -56,20 +56,21 @@ except ImportError:  # pragma: no cover
 # tests/test_correctness_gate.py::test_driver_window_rotation_invariants
 # now pins the size, the no-duplicates rule, front-of-registry equality,
 # and that every never-driver-checked query sits inside the window).
-# After r6 the registry holds 201 entries (195 + the 6 added this
+# After r6 the registry holds 202 entries (195 + the 7 added this
 # round), 195/195 pre-r7 ever-driver-green, zero failures. The front 50
-# is (a) the 6 queries added this round, never driver-checked, (b) the
+# is (a) the 7 queries added this round, never driver-checked, (b) the
 # 3 greens whose CODE changed this round (the asof harness gained the
 # typed empty-sink seed; the two e2e capstones now share their prefix
 # through the session artifact cache; simhash_near_pairs' candidate
 # stage was factored into the shared _simhash_candidates), then (c) the
-# r3-stale cohort — 41 of its 47, led by the five that overflowed r6's
-# window. The seven entries left out — text_top_tokens,
+# r3-stale cohort — 40 of its 47, led by the five that overflowed r6's
+# window. The eight entries left out — text_top_tokens,
 # text_tfidf_top_terms, sketch_bloom_filter_probe,
-# text_repetition_stats, text_pii_scrub, streaming_cms_daily_heavy_hitters
+# text_repetition_stats, text_pii_scrub,
+# streaming_cms_daily_heavy_hitters, streaming_hll_daily_distinct
 # (r3-stale, untouched queries) and search_tfidf_cosine_topk (r6-fresh;
 # gained an inert default champions=None param this round, default path
-# plan-identical) — go first in r8. ALL 201 entries stay covered every
+# plan-identical) — go first in r8. ALL 202 entries stay covered every
 # session by the local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
     # -- (a) r7 additions, never driver-checked --
@@ -79,6 +80,7 @@ _PRIORITY = [
     "dedup_lsh_recall_eval",
     "embedding_near_dup_recall_eval",
     "dedup_simhash_recall_eval",
+    "ann_recall_eval_ivf_kmeans",
     # -- (b) greens whose code changed in r7 --
     "streaming_asof_static_enrich",
     "curation_e2e_pretrain_pack",
@@ -125,7 +127,6 @@ _PRIORITY = [
     "streaming_dedup_events",
     "streaming_doc_quality_counts",
     "streaming_kmv_daily_distinct",
-    "streaming_hll_daily_distinct",
 ]
 
 

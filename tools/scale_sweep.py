@@ -85,6 +85,7 @@ SWEEP = [
     "dedup_lsh_recall_eval",
     "embedding_near_dup_recall_eval",
     "dedup_simhash_recall_eval",
+    "ann_recall_eval_ivf_kmeans",
 ]
 
 KEYED = {
