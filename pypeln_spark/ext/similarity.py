@@ -100,6 +100,18 @@ def cached_index(key: tuple, build: tp.Callable[[], DataFrame]) -> DataFrame:
     return df
 
 
+def clear_session_artifacts() -> None:
+    """Reset BOTH session-scope caches — the collected model artifacts
+    (trained_artifact) and the persisted index frames (cached_index) — so
+    the next invocation of any train-once query pays its full cold path.
+    This is the measurement knob behind `tools/scale_sweep.py --cold`: the
+    r7 sweep's e2e capstone rows timed an artifact-cache hit at both scale
+    factors (flagged 1.0x, SCALING.md), which is honest production steady
+    state but says nothing about how the TRAINING/indexing half scales."""
+    _MODEL_STORE.clear()
+    drop_index()
+
+
 def drop_index(key: tuple | None = None) -> None:
     """Unpersist one cached index (or all with key=None)."""
     keys = [key] if key is not None else list(_INDEX_CACHE)

@@ -528,9 +528,17 @@ def tfidf_cosine_topk(
         # tokenize→count→df subtree per consumer. In production the
         # weights/champion tables are precomputed index artifacts; the
         # cache is the in-query stand-in.
-        from .dedup import pool_persist, retire_pipeline_caches
+        # COMPOSITION-SAFE: deliberately no retire_pipeline_caches() here
+        # (unlike the pipeline entry points in ext/dedup). An early draft
+        # retired on entry, which made the operator a pipeline boundary
+        # only when champions was set — a caller composing it after its
+        # own pool_persist frames (the documented minhash_lsh_dedup
+        # hazard) silently lost those caches in pruned mode only (ADVICE
+        # r7 low #4). The eager count bounds this operator's pool
+        # contribution to exactly one frame; the ENCLOSING pipeline's
+        # next entry point owns retirement, as everywhere else.
+        from .dedup import pool_persist
 
-        retire_pipeline_caches()
         weights = pool_persist(weights)
         weights.count()
     q = weights.filter(F.col(id_col) < n_queries).select(

@@ -113,6 +113,19 @@ def test_entry_contract():
     assert len(qs) >= 10
 
 
+def test_readme_registry_count_matches():
+    """README's registry-size claim drifted twice (200→201 in r6, 201→202
+    caught by the r7 judge, ADVICE low #1). Pin it: the literal 'holds\\nN
+    entries' sentence must carry len(REGISTRY)."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"registry holds\s+(\d+) entries", text)
+    assert m, "README registry-count sentence missing"
+    assert int(m.group(1)) == len(REGISTRY), (m.group(1), len(REGISTRY))
+
+
 def test_driver_window_rotation_invariants():
     """The driver hash-checks the FIRST 50 registered queries per round;
     r6's hand-pasted _PRIORITY held 55 names and five silently missed the

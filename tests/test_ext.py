@@ -802,6 +802,32 @@ def test_tfidf_champion_pruning_is_exact_on_shortlist(spark):
         sorted(map(lambda r: r.asDict(), base), key=lambda d: (d["query_id"], d["rank"]))
 
 
+def test_tfidf_champion_mode_is_composition_safe(spark):
+    """The pruned arm pool-persists its weights frame but must NOT act as
+    a pipeline entry point: an early draft called retire_pipeline_caches()
+    when champions was set, silently unpersisting any caller-owned pooled
+    frames in pruned mode only (ADVICE r7 low #4). Pin the fix: a frame a
+    caller pool-persisted BEFORE the call is still cached after it."""
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import text as X
+
+    D.retire_pipeline_caches()  # own the scope for this test
+    mine = D.pool_persist(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    mine.count()
+    assert mine.storageLevel.useMemory or mine.storageLevel.useDisk
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 5} shared") for i in range(12)],
+        "doc_id long, text string",
+    )
+    X.tfidf_cosine_topk(df, n_queries=2, k=3, champions=4).collect()
+    assert mine.storageLevel.useMemory or mine.storageLevel.useDisk, (
+        "champions mode retired a caller-owned pooled frame"
+    )
+    D.retire_pipeline_caches()  # leave the pool clean for other tests
+
+
 def test_span_dedup_conservation_and_first_wins(spark):
     """n_kept sums to the number of distinct chunk hashes; a corpus of two
     identical docs keeps every chunk exactly once, attributed to the lower

@@ -10,9 +10,14 @@ sf0.1 and at the synthetic sf1 and reports the time ratio next to the 10x
 data ratio. A plan that survives scale shows ~linear (or better) growth;
 a quadratic or driver-bound plan shows up immediately.
 
-Usage: python tools/scale_sweep.py [outdir] [query ...]
+Usage: python tools/scale_sweep.py [--cold] [outdir] [query ...]
 (default outdir /tmp/pypeln_sfscale; with query names, only that subset
 of SWEEP runs — the per-round refresh times just the round's additions).
+--cold clears the session artifact caches (trained_artifact model store,
+cached_index frames) before EVERY invocation, so queries that train once
+per session (the e2e capstones' shared prefix, kmeans/PQ-backed ANN) get
+honest cold-path rows at both scale factors instead of timing a cache hit
+(the r7 sweep's flagged 1.0x e2e ratio, SCALING.md "artifact-cached").
 Writes one JSON line; human detail on stderr. Results are recorded in
 SCALING.md ("Scale-sweep evidence").
 """
@@ -28,6 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICAS = 10
 SRC = "/root/testdata/sf0.1"
+
+# Bumped whenever the synthesize() transforms change. main() stamps this
+# (plus the replica count and source dir) into the fixture dir and
+# re-synthesizes on mismatch — before the stamp existed, a fixture built
+# by the r4 contaminated transforms (suffix tag / position salt /
+# component nudge) was silently reused by any later sweep, reproducing
+# exactly the phantom-similarity artifacts r7 fixed (ADVICE r7 low #2).
+FIXTURE_SCHEME = "bijection-orthogonal-v2"
+STAMP_NAME = "_fixture_version.json"
 
 SWEEP = [
     "q1_pricing_summary",
@@ -106,6 +120,13 @@ def synthesize(
 
     from pypeln_spark.queries.base import load_table
 
+    # 26 distinct letter rotations exist (identity + 25); past that, two
+    # replicas would share a bijection and their documents would become
+    # exact cross-replica duplicates — the contamination class the scheme
+    # exists to prevent. A >26-replica fixture needs a richer bijection
+    # family (e.g. per-replica random permutations), not a bigger shift.
+    if replicas > 26:
+        raise ValueError(f"replicas={replicas} > 26 distinct char rotations")
     os.makedirs(outdir, exist_ok=True)
     for name in [
         "region", "nation", "part", "supplier",  # dims: copy as-is
@@ -149,7 +170,13 @@ def synthesize(
                 lo = "abcdefghijklmnopqrstuvwxyz"
                 up = lo.upper()
                 dg = "0123456789"
-                s, t = r % 26, r % 10
+                # shift derived so NO replica beyond 0 maps to identity:
+                # r % 26 degenerates at r = 26 (and r % 10 at r = 10),
+                # which would make that replica an exact cross-replica
+                # duplicate of replica 0 — reachable now that replicas is
+                # a parameter (ADVICE r7 low #3). 1 + (r-1) % 25 cycles
+                # 1..25, never 0; likewise 1 + (r-1) % 9 for digits.
+                s, t = 1 + (r - 1) % 25, 1 + (r - 1) % 9
                 df = df.withColumn(
                     "text",
                     F.translate(
@@ -191,14 +218,38 @@ def synthesize(
             os.path.join(outdir, f"{name}.parquet")
         )
         print(f"# wrote {name} x{replicas}", file=sys.stderr)
+    with open(os.path.join(outdir, STAMP_NAME), "w") as fh:
+        json.dump({"scheme": FIXTURE_SCHEME, "replicas": replicas, "src": src}, fh)
+
+
+def _fixture_current(outdir: str) -> bool:
+    """True iff outdir holds a fixture built by THIS transform scheme.
+    An unstamped dir (pre-stamp or partial build) or a scheme/replica
+    mismatch forces re-synthesis — reusing a stale fixture silently
+    reintroduces whatever artifacts the old transforms carried."""
+    try:
+        with open(os.path.join(outdir, STAMP_NAME)) as fh:
+            stamp = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return (
+        stamp.get("scheme") == FIXTURE_SCHEME
+        and stamp.get("replicas") == REPLICAS
+        and stamp.get("src") == SRC
+        and os.path.exists(os.path.join(outdir, "lineitem.parquet"))
+    )
 
 
 def main() -> None:
+    from pypeln_spark.ext.similarity import clear_session_artifacts
     from pypeln_spark.queries import REGISTRY
     from pypeln_spark.session import get_spark
 
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pypeln_sfscale"
-    subset = sys.argv[2:]
+    argv = sys.argv[1:]
+    cold = "--cold" in argv
+    argv = [a for a in argv if a != "--cold"]
+    outdir = argv[0] if argv else "/tmp/pypeln_sfscale"
+    subset = argv[1:]
     sweep = SWEEP
     if subset:
         unknown = [n for n in subset if n not in REGISTRY]
@@ -206,12 +257,15 @@ def main() -> None:
             raise SystemExit(f"unknown queries: {unknown}")
         sweep = subset
     spark = get_spark(app_name="pypeln_scale_sweep")
-    if not os.path.exists(os.path.join(outdir, "lineitem.parquet")):
+    if not _fixture_current(outdir):
+        print(f"# fixture stale/missing at {outdir}: synthesizing", file=sys.stderr)
         synthesize(spark, outdir)
 
     def best_of(fn, n=3):
         ts = []
         for _ in range(n):
+            if cold:
+                clear_session_artifacts()
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
@@ -220,9 +274,11 @@ def main() -> None:
     results = {}
     for name in sweep:
         q = REGISTRY[name]
+        if cold:
+            clear_session_artifacts()
         q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
-        ).save()  # warm
+        ).save()  # warm the session machinery (not the artifacts, if cold)
         t_small = best_of(
             lambda: q.fn(spark, SRC).write.format("noop").mode("overwrite").save()
         )
@@ -237,7 +293,7 @@ def main() -> None:
         }
         print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)", file=sys.stderr)
 
-    print(json.dumps({"replicas": REPLICAS, "queries": results}))
+    print(json.dumps({"replicas": REPLICAS, "cold": cold, "queries": results}))
     spark.stop()
 
 
