@@ -570,6 +570,86 @@ def dedup_against_corpus(
     )
 
 
+class IncrementalLshIndex:
+    """APPEND-ONLY LSH index state for a continuously-absorbing dedup gate
+    (the streaming ingest gate, queries/streaming.py), with periodic
+    DELTA-CHAIN COMPACTION (VERDICT r7 #4).
+
+    The index is a pair of frames — shingle arrays (`sh`) and band rows
+    (`bands`) — maintained as a lazy union: the BASE frames (typically
+    session-cached, shared with the batch absorb path — this class never
+    unpersists them) plus one persisted DELTA per absorbed epoch. The lazy
+    union is what makes absorption O(|delta|) instead of O(corpus) per
+    epoch, but on an UNBOUNDED stream the union deepens linearly: every
+    epoch adds a plan leaf, so analysis/optimization cost, task-side plan
+    size, and the scheduler's per-leaf bookkeeping all grow without bound.
+
+    ``compact_every=K`` bounds it: once K deltas accumulate, the current
+    union MATERIALIZES (localCheckpoint — a true lineage cut, so the
+    analyzed plan collapses to one leaf, not just the optimized plan) into
+    one frame pair which becomes the new base, and the retired delta
+    persists are released. Decisions are unaffected — compaction changes
+    WHERE the rows live, never which rows exist (pinned by
+    tests/test_streaming.py side-by-side replay) — and the index plan's
+    leaf count stays ≤ base_leaves + K forever. Cost: one full pass over
+    the index per K epochs (the classic LSM write-amplification trade —
+    a production deployment does the same merge on the index TABLE; on a
+    cluster the materialization target is a compacted table write, the
+    in-session localCheckpoint is the block-manager stand-in). Retired
+    COMPACTED bases are checkpointed RDD blocks, not persisted plans —
+    dropping the reference hands them to Spark's ContextCleaner (freed at
+    the next driver GC), while delta frames unpersist explicitly.
+    ``compact_every=0`` (default) keeps the pure append-only behavior —
+    right for bounded replays like the 3-epoch registry query."""
+
+    def __init__(self, sh: DataFrame, bands: DataFrame, compact_every: int = 0):
+        self.sh = sh
+        self.bands = bands
+        self.compact_every = compact_every
+        self.n_deltas = 0  # deltas since last compaction (or construction)
+        self._own: list = []  # delta frames THIS index persisted
+
+    def absorb(self, nov_sh: DataFrame, nov_bands: DataFrame) -> None:
+        """Append one epoch's novel rows. The delta frames materialize NOW
+        (they usually derive from the caller's invocation-pooled batch
+        frames, which the next epoch's retire drops), then join the lazy
+        union."""
+        nov_sh = nov_sh.persist()
+        nov_bands = nov_bands.persist()
+        nov_sh.count()
+        nov_bands.count()
+        self._own += [nov_sh, nov_bands]
+        self.sh = self.sh.unionByName(nov_sh)
+        self.bands = self.bands.unionByName(nov_bands)
+        self.n_deltas += 1
+        if self.compact_every and self.n_deltas >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> None:
+        """Materialize the current lazy union into ONE checkpointed frame
+        pair (eager — the deltas are still cached while it runs) and
+        release every delta persist this index owns. The shared initial
+        base frames are read, never unpersisted — they belong to the
+        session cache."""
+        new_sh = self.sh.localCheckpoint(eager=True)
+        new_bands = self.bands.localCheckpoint(eager=True)
+        retired, self._own = self._own, []
+        # dropping self.sh/self.bands below also drops the last reference
+        # to any PREVIOUS compacted base's checkpoint blocks (ContextCleaner)
+        self.sh, self.bands = new_sh, new_bands
+        for df in retired:
+            df.unpersist(blocking=False)
+        self.n_deltas = 0
+
+    def close(self) -> None:
+        """Release every delta persist this index owns (never the shared
+        base; checkpointed compacted bases free via ContextCleaner once
+        the caller drops the index)."""
+        for df in self._own:
+            df.unpersist(blocking=False)
+        self._own = []
+
+
 def span_dedup(
     df: DataFrame,
     window: int = 16,

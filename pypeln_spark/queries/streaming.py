@@ -962,13 +962,12 @@ def streaming_asof_static_enrich(spark, sf_dir):
     dir is SEEDED with an empty, explicitly-typed parquet file before the
     stream starts (repartition(1) forces a real footer even for 0 rows),
     so a stream that yields zero epochs still reads back as a typed empty
-    result instead of 'Unable to infer schema'. NOTE: the scratch dir is
-    driver-local tempfile space — correct on local[*]; on a real cluster
-    this root must live on shared storage (HDFS/S3), exactly like any
-    other executor-written sink path."""
-    import shutil
-    import tempfile
-
+    result instead of 'Unable to infer schema'. The scratch root comes
+    from ST.stream_sink_dir — driver-local tempfile space by default
+    (correct on local[*]); a cluster deployment points
+    PYPELN_SPARK_STREAM_SINK_ROOT at shared storage (NFS mount or
+    hdfs://…/s3a://… URI), exactly like any other executor-written sink
+    path (tests/test_streaming.py pins the override being honored)."""
     from pyspark.sql import types as T
 
     from pypeln_spark.ext import asof as A
@@ -983,7 +982,7 @@ def streaming_asof_static_enrich(spark, sf_dir):
         F.col("event_type") == "purchase"
     ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
 
-    root = tempfile.mkdtemp(prefix="pypeln_spark_asof_epochs_")
+    root = ST.stream_sink_dir("pypeln_spark_asof_epochs_")
     out_schema = T.StructType(
         [
             T.StructField("purchase_id", T.LongType()),
@@ -1007,7 +1006,7 @@ def streaming_asof_static_enrich(spark, sf_dir):
 
     ST.run_foreach_batch(stream, enrich)
     out = spark.read.parquet(root).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
+    ST.remove_sink_dir(spark, root)
     return out
 
 
@@ -1107,12 +1106,15 @@ def streaming_incremental_dedup(spark, sf_dir):
     minhash_lsh_dedup's job upstream. The oracle unrolls the three
     epochs and replays banding, verification, survivor pick AND the
     absorb step, so epoch ordering itself is value-checked. The decisions
-    sink is seeded with a typed empty parquet file and the scratch dir is
-    driver-local tempfile space — correct on local[*]; on a real cluster
-    the root must live on shared storage (HDFS/S3), same as the asof
-    harness above."""
-    import shutil
-    import tempfile
+    sink is seeded with a typed empty parquet file; its root comes from
+    ST.stream_sink_dir (shared-FS via PYPELN_SPARK_STREAM_SINK_ROOT on a
+    cluster, driver-local tempfile on local[*] — same as the asof harness
+    above). Index maintenance lives in ext/dedup.IncrementalLshIndex;
+    PYPELN_SPARK_INGEST_COMPACT_EPOCHS=K turns on delta-chain compaction
+    every K epochs for unbounded streams (default 0 = pure append-only —
+    three epochs don't need it; decisions are compaction-invariant,
+    pinned side-by-side in tests/test_streaming.py)."""
+    import os
 
     from pyspark.sql import types as T
 
@@ -1140,7 +1142,7 @@ def streaming_incremental_dedup(spark, sf_dir):
         ),
     )
 
-    root = tempfile.mkdtemp(prefix="pypeln_spark_incrdedup_")
+    root = ST.stream_sink_dir("pypeln_spark_incrdedup_")
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1153,7 +1155,11 @@ def streaming_incremental_dedup(spark, sf_dir):
         "append"
     ).parquet(root)
 
-    state = {"sh": cor_sh, "bands": cor_bands, "own": []}
+    index = D.IncrementalLshIndex(
+        cor_sh,
+        cor_bands,
+        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "0")),
+    )
 
     def gate(batch_df, epoch_id):
         if batch_df.isEmpty():
@@ -1170,7 +1176,7 @@ def streaming_incremental_dedup(spark, sf_dir):
         nb = new_bands.select(
             F.col("doc_id").alias("new_id"), "sigh", F.col("sig").alias("sig_n")
         )
-        cb = state["bands"].select(
+        cb = index.bands.select(
             F.col("doc_id").alias("corpus_id"), "sigh", F.col("sig").alias("sig_c")
         )
         cand = (
@@ -1184,7 +1190,7 @@ def streaming_incremental_dedup(spark, sf_dir):
             F.col("new_id"),
         )
         a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("sh_a"))
-        b = state["sh"].select(
+        b = index.sh.select(
             F.col("doc_id").alias("corpus_id"), F.col("sh_arr").alias("sh_b")
         )
         n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -1223,24 +1229,20 @@ def streaming_incremental_dedup(spark, sf_dir):
             .parquet(root)
         )
         # absorb: novel docs join the index before the next epoch.
-        # APPEND-ONLY: only the epoch's novel DELTA persists (must
-        # materialize now — it derives from the pool-persisted new_sh,
-        # which the next epoch's retire drops); the index stays a LAZY
-        # union over the cached initial frames + cached deltas, so no
-        # epoch ever re-copies the whole corpus (the first cut persisted
-        # the full union per epoch — an O(corpus) copy every epoch, ~2×
-        # the sf0.1 wall and the dominant super-linear term at 10×).
-        # Unbounded streams would periodically compact the delta chain
-        # into the index table; three epochs don't need it.
+        # APPEND-ONLY by default: only the epoch's novel DELTA persists
+        # (materialized inside absorb() — it derives from the
+        # pool-persisted new_sh, which the next epoch's retire drops);
+        # the index stays a LAZY union over the cached initial frames +
+        # cached deltas, so no epoch ever re-copies the whole corpus (the
+        # first cut persisted the full union per epoch — an O(corpus)
+        # copy every epoch, ~2× the sf0.1 wall and the dominant
+        # super-linear term at 10×). On unbounded streams the index's
+        # compact_every knob periodically collapses the delta chain
+        # (IncrementalLshIndex docstring); three epochs don't need it.
         dropped = pick.select(F.col("new_id").alias("doc_id"))
-        nov_sh = new_sh.join(dropped, "doc_id", "left_anti").persist()
-        nov_bands = new_bands.join(dropped, "doc_id", "left_anti").persist()
-        nov_sh.count()
-        nov_bands.count()
-        state["own"] += [nov_sh, nov_bands]
-        state.update(
-            sh=state["sh"].unionByName(nov_sh),
-            bands=state["bands"].unionByName(nov_bands),
+        index.absorb(
+            new_sh.join(dropped, "doc_id", "left_anti"),
+            new_bands.join(dropped, "doc_id", "left_anti"),
         )
 
     # The 4-partition streaming default (state_partitions) is load-bearing
@@ -1253,10 +1255,9 @@ def streaming_incremental_dedup(spark, sf_dir):
     # millions of docs sizes this up via PYPELN_SPARK_STREAM_PARTITIONS.
     ST.staged_foreach_batch(spark, epochs, gate)
     D.retire_pipeline_caches()
-    for old in state["own"]:
-        old.unpersist(blocking=False)
+    index.close()
     out = spark.read.parquet(root).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
+    ST.remove_sink_dir(spark, root)
     return out
 
 
@@ -1287,9 +1288,9 @@ def streaming_merge_upsert_orders(spark, sf_dir):
     a key updated in waves 1 AND 2 must end at wave 2's value — and
     staged_foreach_batch guarantees it (one file per feed, drained before
     the next). The oracle replays the final state with a CASE over the
-    update predicates; totals use the decimal convention."""
-    import tempfile
-
+    update predicates; totals use the decimal convention. Snapshot root
+    via ST.stream_sink_dir — shared-FS on clusters, like the other
+    executor-written sinks."""
     from pypeln_spark import relational as R
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1303,7 +1304,7 @@ def streaming_merge_upsert_orders(spark, sf_dir):
     b1 = b0.filter(F.col("o_orderkey") % 5 == 0).withColumn("status", F.lit("U1"))
     b2 = b0.filter(F.col("o_orderkey") % 7 == 0).withColumn("status", F.lit("U2"))
 
-    root = tempfile.mkdtemp(prefix="pypeln_spark_merge_state_")
+    root = ST.stream_sink_dir("pypeln_spark_merge_state_")
     state = {"path": None}
 
     def apply_epoch(batch_df, epoch_id):
@@ -1325,9 +1326,7 @@ def streaming_merge_upsert_orders(spark, sf_dir):
     # be deleted NOW instead of accumulating across bench/registry sweeps —
     # the returned frame would otherwise lazily re-read the state parquet
     rows, schema = agg.collect(), agg.schema
-    import shutil
-
-    shutil.rmtree(root, ignore_errors=True)
+    ST.remove_sink_dir(spark, root)
     return spark.createDataFrame(rows, schema)
 
 

@@ -33,6 +33,49 @@ def _rm_dirs(*dirs: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def stream_sink_dir(prefix: str) -> str:
+    """Fresh scratch root for an EXECUTOR-WRITTEN epoch sink (the asof
+    harness, the incremental-dedup ingest gate, the CDC merge snapshot —
+    every foreachBatch that appends parquet from the executors and reads
+    it back). Default: driver-local ``tempfile.mkdtemp`` — correct on
+    local[*], where driver and executors share one filesystem. On a real
+    cluster executors can't see the driver's /tmp, so deployments set
+    ``PYPELN_SPARK_STREAM_SINK_ROOT`` to a shared-FS location every node
+    can reach — a mounted path (NFS/Lustre) or a Hadoop-FS URI
+    (hdfs://… , s3a://…); each call returns a fresh ``prefix``-named,
+    uuid-suffixed subdir under it, so concurrent queries never collide.
+    (Checkpoint dirs have the same shared-FS requirement; these harnesses
+    drive each bounded feed to completion and discard the checkpoint, so
+    only the DATA sink root needs to survive the query.) Pair with
+    remove_sink_dir() for cleanup — plain shutil can't remove URI roots."""
+    root = os.environ.get("PYPELN_SPARK_STREAM_SINK_ROOT")
+    if not root:
+        return tempfile.mkdtemp(prefix=prefix)
+    sub = f"{prefix}{uuid.uuid4().hex}"
+    if "://" not in root:
+        os.makedirs(root, exist_ok=True)
+        path = os.path.join(root, sub)
+        os.makedirs(path)
+        return path
+    return root.rstrip("/") + "/" + sub
+
+
+def remove_sink_dir(spark: SparkSession, path: str) -> None:
+    """Best-effort removal of a stream_sink_dir() scratch dir. Local paths
+    go through shutil; URI roots (hdfs://, s3a://) go through the JVM
+    Hadoop FileSystem bound to the path's scheme."""
+    if "://" not in path:
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hconf).delete(p, True)
+    except Exception:  # cleanup is best-effort, never fail the query
+        pass
+
+
 def read_stream_parquet(
     spark: SparkSession,
     path: str,
