@@ -1011,9 +1011,9 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(
-    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, tables: int = 1
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming (< 4).
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Pigeonhole: 32 bits in 4 bytes — ≤3 differing bits leave ≥1 byte equal,
     so matching on any (band, byte-value) key finds every such pair without
@@ -1021,10 +1021,18 @@ def simhash_near_pairs(
     byte so bands never cross-match) and ONE self-equi-join — the earlier
     4-joins-unioned form scanned the fingerprint projection 8×; the
     fingerprint fold is also persisted (pool) since both join sides read
-    it. Shuffle ∝ 4·docs either way; candidate set identical."""
+    it. Shuffle ∝ 4·docs either way; candidate set identical.
+
+    ``tables`` > 1 adds the pigeonhole GENERALIZATION for max_hamming ≥ 4
+    (where one table's capture decays — measured 0.91→0.29 over hd 4-8,
+    SCALING.md): T independent bit-permutation tables, each regrouping the
+    32 bits into 4 different bytes, so a pair missed by one grouping is
+    caught by another (see _simhash_candidates). hd ≤ 3 recall stays
+    exactly 1.0 with any T; the hd 4-6 lift per added table is measured
+    by dedup_simhash_recall_eval."""
     retire_pipeline_caches()
     fp = pool_persist(fp)
-    cands = _simhash_candidates(fp, id_col)
+    cands = _simhash_candidates(fp, id_col, tables)
     return (
         cands.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
@@ -1034,17 +1042,70 @@ def simhash_near_pairs(
     )
 
 
-def _simhash_candidates(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
+# Frozen affine bit-permutation tables for multi-table SimHash banding:
+# table t regroups fingerprint bits by pi_t(i) = (A[t]*i + B[t]) mod 32
+# (A odd => a bijection on Z_32). Table 0 is the identity — its 4 byte
+# groups are the plain contiguous bytes, so tables=1 reproduces the
+# original single-table key set bit-exactly. The constants are part of
+# the oracle contract (the DuckDB replay bakes them in), frozen like the
+# hashing seeds in ext/hashing.py.
+#
+# KNOWN STRUCTURAL BLIND SPOT (tested by value,
+# tests/test_ext.py::test_simhash_capture_table_hand_constructed): an
+# affine map sends a stride-8 flip pattern (one flipped bit per byte,
+# e.g. xor = 0x01010101) to another coset-structured pattern that again
+# touches every byte — NO affine table ever captures it. Truly random
+# per-table bit permutations would; they'd also make the key expression
+# and the SQL oracle 32 table-driven terms with no shared structure.
+# SimHash flips on real text are unstructured (each differing token
+# flips a pseudo-random bit subset), and the measured sf0.01 lift is
+# hd4 0.91→1.00, hd5 0.75→1.00, hd6 0.61→0.97 with 4 tables
+# (SCALING.md) — the affine family earns its simplicity on real data;
+# revisit only if a corpus shows adversarial coset-aligned fingerprints.
+SIMHASH_TABLE_A = (1, 5, 7, 11, 13, 17, 19, 23)
+SIMHASH_TABLE_B = (0, 7, 14, 21, 28, 3, 10, 17)
+
+
+def _simhash_keys(tables: int) -> list:
+    """The T×4 band-key expressions for one fingerprint row: key =
+    t*1024 + band*256 + byte, where byte collects the 8 bits that
+    permutation t assigns to that band (the t*1024 offset keeps tables
+    from cross-matching, exactly like band*256 keeps bands apart). Table
+    0 keeps the cheap contiguous-byte extraction; tables t ≥ 1 rebuild
+    each byte from 8 single-bit shifts — still one narrow projection, no
+    shuffle, and the key stays a SCALAR long through the join."""
+    if not 1 <= tables <= len(SIMHASH_TABLE_A):
+        raise ValueError(f"tables must be in 1..{len(SIMHASH_TABLE_A)}: {tables}")
+    keys = []
+    for t in range(tables):
+        a, c = SIMHASH_TABLE_A[t], SIMHASH_TABLE_B[t]
+        for b in range(4):
+            if t == 0:
+                e = F.expr(f"shiftright(simhash, {8 * b}) & 255")
+            else:
+                terms = " + ".join(
+                    f"shiftleft(shiftright(simhash, {(a * (8 * b + j) + c) % 32}) & 1, {j})"
+                    for j in range(8)
+                )
+                e = F.expr(terms)
+            keys.append((F.lit(t * 1024 + b * 256) + e).cast("long"))
+    return keys
+
+
+def _simhash_candidates(
+    fp: DataFrame, id_col: str = "doc_id", tables: int = 1
+) -> DataFrame:
     """The pigeonhole candidate stage shared by simhash_near_pairs and
-    simhash_capture_table: 4 keyed rows per doc (key = band*256 + byte),
-    one self-equi-join — (id_a < id_b, sh_a, sh_b), distinct."""
-    keys = F.array(
-        *[
-            (F.lit(b * 256) + F.expr(f"shiftright(simhash, {8 * b}) & 255")).cast("long")
-            for b in range(4)
-        ]
+    simhash_capture_table: T×4 keyed rows per doc (key = table*1024 +
+    band*256 + byte), one self-equi-join — (id_a < id_b, sh_a, sh_b),
+    distinct. Candidate volume scales ∝ T on the explode side and with
+    per-key collision counts on the join side — never quadratic in the
+    corpus; adding tables widens recall past the single-table hd≤3
+    guarantee (each table's bit regrouping gives an independent chance
+    that some byte avoids all flipped bits)."""
+    e = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*_simhash_keys(tables))).alias("k")
     )
-    e = fp.select(F.col(id_col), F.col("simhash"), F.explode(keys).alias("k"))
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "k")
     bb = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "k")
     return (
@@ -1060,27 +1121,31 @@ def simhash_capture_table(
     id_col: str = "doc_id",
     max_eval_hamming: int = 8,
     allow_large: bool = False,
+    tables: int = 1,
 ) -> DataFrame:
     """Measured pigeonhole capture curve: per hamming distance 0..max,
-    how many exact fingerprint pairs does the 4-byte band join surface?
+    how many exact fingerprint pairs does the band join surface?
 
-    The pigeonhole theorem says hd ≤ 3 capture is EXACTLY 1.0 (3 flipped
-    bits leave ≥1 of 4 bytes intact) — this turns the comment into a
-    measurement, and shows the falloff past the guarantee (an hd-4 pair
-    survives only if no byte straddles all four flips), which is what a
-    deployment reads before retuning max_hamming upward. Exact ground
-    truth is the all-pairs XOR popcount on the (1 long per doc)
-    fingerprint sample — the guarded baseline; candidates are the
-    IDENTICAL stage the production operator uses (_simhash_candidates).
-    Output: (hamming, n_exact, n_cand, capture)."""
+    The pigeonhole theorem says hd ≤ 3 capture is EXACTLY 1.0 for one
+    table (3 flipped bits leave ≥1 of 4 bytes intact) — this turns the
+    comment into a measurement, and shows the falloff past the guarantee
+    (an hd-4 pair survives only if no byte straddles all four flips),
+    which is what a deployment reads before retuning max_hamming upward.
+    With ``tables`` > 1 the output carries one curve PER ARM — the
+    single-table baseline and the T-table generalization — so the lift
+    each extra permutation table buys at hd 4+ is a side-by-side number,
+    not a claim. Exact ground truth is the all-pairs XOR popcount on the
+    (1 long per doc) fingerprint sample — the guarded baseline;
+    candidates are the IDENTICAL stage the production operator uses
+    (_simhash_candidates). Output: (n_tables, hamming, n_exact, n_cand,
+    capture)."""
     guard_quadratic(fp, "simhash_capture_table ground truth", allow_large)
     retire_pipeline_caches()
     fp = pool_persist(fp)
-    fp.count()  # eager — candidate stage + both exact-arm sides consume it
-    cand = _simhash_candidates(fp, id_col).select("id_a", "id_b")
+    fp.count()  # eager — candidate stages + both exact-arm sides consume it
     fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    exact = (
+    exact = pool_persist(
         fa.join(fb, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
@@ -1088,19 +1153,32 @@ def simhash_capture_table(
         .filter(F.col("hamming") <= max_eval_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    hit = cand.withColumn("hit", F.lit(1))
-    return (
-        exact.join(hit, ["id_a", "id_b"], "left")
-        .groupBy("hamming")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count(F.col("hit")).alias("n_cand"),
-            (
-                F.count(F.col("hit")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("capture"),
+    exact.count()  # eager — one rollup per arm consumes it
+
+    def rollup(n_tables: int) -> DataFrame:
+        cand = _simhash_candidates(fp, id_col, n_tables).select("id_a", "id_b")
+        hit = cand.withColumn("hit", F.lit(1))
+        return (
+            exact.join(hit, ["id_a", "id_b"], "left")
+            .groupBy("hamming")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count(F.col("hit")).alias("n_cand"),
+                (
+                    F.count(F.col("hit")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("capture"),
+            )
+            .select(
+                F.lit(n_tables).cast("int").alias("n_tables"),
+                "hamming", "n_exact", "n_cand", "capture",
+            )
         )
-    )
+
+    out = rollup(1)
+    if tables > 1:
+        out = out.unionByName(rollup(tables))
+    return out
 
 
 def connected_components_star(

@@ -369,38 +369,65 @@ def dedup_simhash_near_pairs(spark, sf_dir):
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     ),
-    keys AS (
+    keys1 AS (
       SELECT doc_id, b * 256 + ((simhash >> CAST(8 * b AS INT)) & 255) AS k
       FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
     ),
-    cand AS (
+    cand1 AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+      FROM keys1 a JOIN keys1 b ON a.k = b.k AND a.doc_id < b.doc_id
+    ),
+    keysm AS (
+      SELECT doc_id,
+             t * 1024 + b * 256 +
+             SUM(((simhash >> CAST((mult * (8 * b + j) + boff) % 32 AS INT)) & 1)
+                 * (1 << CAST(j AS INT))) AS k
+      FROM fp
+      CROSS JOIN (VALUES (0, 1, 0), (1, 5, 7), (2, 7, 14), (3, 11, 21))
+                 tabs(t, mult, boff)
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      GROUP BY doc_id, t, b
+    ),
+    candm AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keysm a JOIN keysm b ON a.k = b.k AND a.doc_id < b.doc_id
     )
-    SELECT e.hamming,
+    SELECT CAST(1 AS INTEGER) AS n_tables, e.hamming,
            COUNT(*) AS n_exact,
            COUNT(c.id_a) AS n_cand,
            CAST(COUNT(c.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS capture
     FROM exact e
-    LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    LEFT JOIN cand1 c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    GROUP BY e.hamming
+    UNION ALL
+    SELECT CAST(4 AS INTEGER) AS n_tables, e.hamming,
+           COUNT(*) AS n_exact,
+           COUNT(c.id_a) AS n_cand,
+           CAST(COUNT(c.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS capture
+    FROM exact e
+    LEFT JOIN candm c ON c.id_a = e.id_a AND c.id_b = e.id_b
     GROUP BY e.hamming
     """,
 )
 def dedup_simhash_recall_eval(spark, sf_dir):
     """The SimHash leg of the recall-eval matrix: per hamming distance
-    0..8, the capture rate of the 4-byte pigeonhole band join against the
-    exact all-pairs XOR-popcount ground truth on the doc_id % 4 sample
-    (ext/dedup.simhash_capture_table). hd ≤ 3 capture must measure
-    EXACTLY 1.0 — the pigeonhole theorem the near-pairs docstring cites,
-    now a value-checked number — and the hd 4-8 falloff is what a
-    deployment reads before retuning max_hamming. The candidate stage is
-    the IDENTICAL code path production uses (_simhash_candidates); the
-    oracle replays fingerprints, keys, both pair sets and the rollup."""
+    0..8, the capture rate of the pigeonhole band join against the exact
+    all-pairs XOR-popcount ground truth on the doc_id % 4 sample
+    (ext/dedup.simhash_capture_table) — TWO ARMS side by side (r8): the
+    single-table baseline (hd ≤ 3 must measure EXACTLY 1.0 — the
+    pigeonhole theorem as a value-checked number; r7 measured the hd 4-8
+    falloff at 0.91→0.29) and the 4-table bit-permutation generalization
+    (VERDICT r7 #6), whose hd 4-6 lift is the number a deployment reads
+    before retuning max_hamming. Both candidate stages are the IDENTICAL
+    code path production uses (_simhash_candidates with tables=1/4); the
+    oracle replays fingerprints, both key families (contiguous bytes and
+    the frozen affine bit permutations), both pair sets and the rollup."""
     from pyspark.sql import functions as F
 
     (docs,) = tables(spark, sf_dir, "documents")
     sample = docs.filter(F.col("doc_id") % RECALL_SAMPLE_MOD == 0)
-    return D.simhash_capture_table(D.simhash_fingerprints(sample))
+    return D.simhash_capture_table(D.simhash_fingerprints(sample), tables=4)
 
 
 @register(

@@ -2078,8 +2078,29 @@ def test_simhash_capture_table_hand_constructed(spark):
     )
     out = {r.hamming: r for r in D.simhash_capture_table(fp).collect()}
     assert set(out) == {3, 4, 5, 8}
+    assert all(r.n_tables == 1 for r in out.values())
     assert (out[3].n_exact, out[3].n_cand) == (1, 1)
     assert (out[4].n_exact, out[4].n_cand) == (1, 0)
     assert (out[5].n_exact, out[5].n_cand) == (2, 1)
     assert (out[8].n_exact, out[8].n_cand) == (1, 1)
     assert out[5].capture == 0.5
+
+    # multi-table arm, same fingerprints. Worked by hand against the
+    # frozen affine tables: the (1,2) hd-5 pair (xor touches every
+    # contiguous byte) IS captured by table 1 — its byte-0 group collects
+    # original positions {(5j+7)%32} = {7,12,17,22,27,0,5,10}, which the
+    # xor set {1,2,8,16,24} never touches — so hd-5 capture rises 1/2 →
+    # 2/2. The (0,2) hd-4 pair is the documented affine blind spot: xor =
+    # 0x01010101 is stride-8, and every affine image of a stride-8 coset
+    # again hits all four bytes, so it stays missed at ANY table count.
+    multi = {
+        (r.n_tables, r.hamming): r
+        for r in D.simhash_capture_table(fp, tables=4).collect()
+    }
+    assert {t for t, _ in multi} == {1, 4}
+    assert multi[(1, 5)].n_cand == 1 and multi[(4, 5)].n_cand == 2
+    assert multi[(4, 4)].n_cand == 0  # the affine blind spot, pinned
+    assert multi[(4, 3)].capture == 1.0 and multi[(4, 8)].capture == 1.0
+    # single-table arm inside the two-arm output matches the solo run
+    for hd in (3, 4, 5, 8):
+        assert multi[(1, hd)].n_cand == out[hd].n_cand

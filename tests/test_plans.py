@@ -154,6 +154,34 @@ def test_near_dup_lsh_is_equi_join_not_nested_loop(spark):
     assert "bucket" in p
 
 
+def test_multitable_simhash_stays_equi_join(spark):
+    """The 4-table SimHash candidate stage (r8) must keep the
+    single-table plan shape — one explode to T×4 scalar keys, one
+    self-equi-join on k — with candidate volume ∝ T, never a widened or
+    nested-loop join. The recall lift comes from MORE keys, not a looser
+    join."""
+    p = plan_of(spark, "dedup_simhash_recall_eval")
+    assert "CartesianProduct" not in p
+    # the ONLY nested-loop in this plan is the guarded exact ground-truth
+    # arm (id_a < id_b on the sampled fingerprints); the candidate stages
+    # must both be hash equi-joins on the scalar key
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
+        "BroadcastHashJoin"
+    ) >= 2, p[:2000]
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import dedup as D
+
+    fp = spark.createDataFrame([(i, i * 2654435761 % 2**32) for i in range(64)],
+                               "doc_id long, simhash long")
+    cand = D._simhash_candidates(fp, tables=4)
+    cp = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cp and "BroadcastNestedLoopJoin" not in cp
+    # explode side is exactly T*4 = 16 keyed rows per doc
+    e = fp.select(F.explode(F.array(*D._simhash_keys(4))).alias("k"))
+    assert e.count() == 64 * 16
+
+
 def test_ivf_kmeans_centroid_update_is_partial_aggregate(spark):
     """k-means training shuffles only (cell, dim) keyed partial means —
     key cardinality n_cells x dim regardless of corpus size. A plan
