@@ -520,6 +520,24 @@ def ivf_topk(
     )
 
 
+def _probe_masks(n_planes: int, probe_hamming: int) -> list:
+    """All bucket-xor masks with popcount ≤ probe_hamming over n_planes
+    bits, mask 0 (the own bucket) first. 1 + n + n(n-1)/2 masks at
+    probe_hamming=2 — the probe fan-out constant."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    if probe_hamming >= 3:
+        raise ValueError("probe_hamming > 2 unsupported (fan-out explodes)")
+    return masks
+
+
 def near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -527,6 +545,7 @@ def near_dup_lsh(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """The BUCKETED production twin of near_dup_pairs: candidate pairs are
     limited to vectors sharing an LSH hyperplane bucket (self-equi-join on
@@ -534,12 +553,26 @@ def near_dup_lsh(
     cosine verifies each candidate. Recall-lossy by design: a qualifying
     pair split by any plane is missed — the miss probability per plane is
     angle/π, so high-threshold (near-parallel) pairs survive with high
-    probability and fewer planes trade precision-cost for recall. The
-    oracle replays the identical deterministic plane family, so bucket
-    assignment AND the recall loss itself are value-checked. Output:
-    (id_a < id_b, cos ≥ threshold). The bucketed frame persists (pool):
-    both self-join sides read it, and the plane-dot fold is the expensive
-    projection."""
+    probability and fewer planes trade precision-cost for recall.
+
+    ``probe_hamming`` ≥ 1 is the MULTIPROBE extension (VERDICT r7 #7,
+    same trade as the ANN sibling ann_lsh_topk): side A of the self-join
+    additionally probes every bucket whose signature differs in ≤
+    probe_hamming plane bits (xor-mask explode — 22 probes at n=6, hd≤2),
+    so a qualifying pair split by one or two near-boundary planes is
+    recovered. Equivalent pair predicate: hamming(bucket_a, bucket_b) ≤
+    probe_hamming — which is what the SQL oracle replays. Exactly one
+    join row per recovered pair (the xor mask connecting two buckets is
+    unique), so no distinct is needed; candidate volume grows by the
+    per-bucket collision mass of the probed shells, the corpus side is
+    untouched, and the join stays a bucket equi-join. Measured capture
+    lift per cosine bucket: embedding_near_dup_recall_eval (both arms).
+
+    The oracle replays the identical deterministic plane family, so
+    bucket assignment AND the recall loss itself are value-checked.
+    Output: (id_a < id_b, cos ≥ threshold). The bucketed frame persists
+    (pool): both self-join sides read it, and the plane-dot fold is the
+    expensive projection."""
     retire_pipeline_caches()
     n = pool_persist(
         lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim)
@@ -548,6 +581,16 @@ def near_dup_lsh(
         F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
         F.col("_norm").alias("na"), "bucket",
     )
+    if probe_hamming >= 1:
+        probes = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                for m in _probe_masks(n_planes, probe_hamming)
+            ]
+        )
+        a = a.select(
+            "id_a", "va", "na", F.explode(probes).alias("bucket")
+        )
     b = n.select(
         F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
         F.col("_norm").alias("nb"), "bucket",

@@ -390,13 +390,28 @@ n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)
     cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bktd a JOIN bktd b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    candm AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bktd a JOIN bktd b
+        ON bit_count(xor(a.bucket, b.bucket)) <= 2 AND a.vec_id < b.vec_id
     )
-    SELECT CAST(FLOOR(e.cos * 20) AS INTEGER) AS c_bucket,
+    SELECT CAST(0 AS INTEGER) AS probe_hamming,
+           CAST(FLOOR(e.cos * 20) AS INTEGER) AS c_bucket,
            COUNT(*) AS n_exact,
            COUNT(l.id_a) AS n_lsh,
            CAST(COUNT(l.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
     FROM exact e
     LEFT JOIN cand l ON l.id_a = e.id_a AND l.id_b = e.id_b
+    GROUP BY CAST(FLOOR(e.cos * 20) AS INTEGER)
+    UNION ALL
+    SELECT CAST(2 AS INTEGER) AS probe_hamming,
+           CAST(FLOOR(e.cos * 20) AS INTEGER) AS c_bucket,
+           COUNT(*) AS n_exact,
+           COUNT(l.id_a) AS n_lsh,
+           CAST(COUNT(l.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact e
+    LEFT JOIN candm l ON l.id_a = e.id_a AND l.id_b = e.id_b
     GROUP BY CAST(FLOOR(e.cos * 20) AS INTEGER)
     """,
 )
@@ -404,36 +419,52 @@ def embedding_near_dup_recall_eval(spark, sf_dir):
     """Completes the recall-eval matrix: every approximate similarity arm
     in the engine now carries a measured, oracle-replayed quality number —
     ANN retrieval (IVF/LSH/PQ evals), sparse retrieval (champion-list
-    eval), lexical near-dup pairs (the LSH S-curve), and now COSINE
-    near-dup pairs: per 0.05-wide cosine bucket, the capture rate of the
+    eval), lexical near-dup pairs (the LSH S-curve), and COSINE near-dup
+    pairs: per 0.05-wide cosine bucket, the capture rate of the
     hyperplane bucketing vs the exact all-pairs ground truth on a
     deterministic vec_id % 4 sample (sampled for the same reason every
     other eval samples — the exact arm is the guarded baseline). Per-plane
     miss probability is angle/π, so capture should fall as cos approaches
     the threshold from above — the curve a deployment reads when trading
-    n_planes against verify cost. Verified-LSH output is exact ∩ bucketed
-    by construction, so recall needs no second verify pass."""
+    n_planes against verify cost.
+
+    TWO ARMS since r8 (VERDICT r7 #7): single-bucket (probe_hamming=0 —
+    r7 measured 0.2/0.0 capture at cos 0.35-0.45 with 6 planes) and
+    MULTIPROBE hd≤2 (near_dup_lsh probe_hamming=2 — the pair predicate
+    becomes hamming(bucket_a, bucket_b) ≤ 2, which is what the oracle
+    replays), so the capture the probe fan-out buys at mid-cosine is a
+    side-by-side number. Verified-LSH output is exact ∩ candidates by
+    construction, so recall needs no second verify pass."""
     from pyspark.sql import functions as F
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % NEARDUP_SAMPLE_MOD == 0)
-    exact = S.near_dup_pairs(sample, threshold=NEAR_DUP_T)
-    cand = S.near_dup_lsh(
-        sample, threshold=NEAR_DUP_T, n_planes=N_PLANES, dim=DIM
-    ).select("id_a", "id_b")
-    hit = cand.withColumn("hit", F.lit(1))
-    return (
-        exact.join(hit, ["id_a", "id_b"], "left")
-        .groupBy(F.floor(F.col("cos") * 20).cast("int").alias("c_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count(F.col("hit")).alias("n_lsh"),
-            (
-                F.count(F.col("hit")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("recall"),
+
+    def arm(ph: int):
+        exact = S.near_dup_pairs(sample, threshold=NEAR_DUP_T)
+        cand = S.near_dup_lsh(
+            sample, threshold=NEAR_DUP_T, n_planes=N_PLANES, dim=DIM,
+            probe_hamming=ph,
+        ).select("id_a", "id_b")
+        hit = cand.withColumn("hit", F.lit(1))
+        return (
+            exact.join(hit, ["id_a", "id_b"], "left")
+            .groupBy(F.floor(F.col("cos") * 20).cast("int").alias("c_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count(F.col("hit")).alias("n_lsh"),
+                (
+                    F.count(F.col("hit")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("recall"),
+            )
+            .select(
+                F.lit(ph).cast("int").alias("probe_hamming"),
+                "c_bucket", "n_exact", "n_lsh", "recall",
+            )
         )
-    )
+
+    return arm(0).unionByName(arm(2))
 
 
 @register(

@@ -802,6 +802,49 @@ def test_tfidf_champion_pruning_is_exact_on_shortlist(spark):
         sorted(map(lambda r: r.asDict(), base), key=lambda d: (d["query_id"], d["rank"]))
 
 
+def test_near_dup_multiprobe_probes_hamming_shells(spark):
+    """Multiprobe near-dup (probe_hamming=2) must equal the predicate it
+    implements: exact-qualifying pairs whose bucket signatures differ in
+    ≤ 2 plane bits — a strict superset of the single-bucket arm, strict
+    subset of the exact arm (on any corpus where boundary pairs exist),
+    with NO duplicate pair rows (the connecting xor mask is unique)."""
+    import random
+
+    from pypeln_spark.ext import similarity as S
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t, planes = 0.35, 4
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.near_dup_pairs(emb, threshold=t).collect()
+    }
+    buckets = {
+        r.vec_id: r.bucket
+        for r in S.lsh_bucket(S.with_norms(S.spread(emb)), "_v", planes, 8)
+        .select("vec_id", "bucket").collect()
+    }
+    single_rows = S.near_dup_lsh(emb, threshold=t, n_planes=planes, dim=8).collect()
+    multi_rows = S.near_dup_lsh(
+        emb, threshold=t, n_planes=planes, dim=8, probe_hamming=2
+    ).collect()
+    assert len(multi_rows) == len({(r.id_a, r.id_b) for r in multi_rows})  # no dups
+    single = {(r.id_a, r.id_b) for r in single_rows}
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    want = {
+        p for p in exact
+        if bin(buckets[p[0]] ^ buckets[p[1]]).count("1") <= 2
+    }
+    assert multi == want
+    assert single <= multi <= set(exact)
+    assert single == {p for p in exact if buckets[p[0]] == buckets[p[1]]}
+    for r in multi_rows:  # verify pass stays exact
+        assert exact[(r.id_a, r.id_b)] == r.cos
+
+
 def test_tfidf_champion_mode_is_composition_safe(spark):
     """The pruned arm pool-persists its weights frame but must NOT act as
     a pipeline entry point: an early draft called retire_pipeline_caches()
