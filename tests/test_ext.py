@@ -483,6 +483,55 @@ def test_ivf_kmeans_recall_on_clustered_vectors(spark):
     assert km > first, f"kmeans ({km}) should beat first-quantizer ({first}) here"
 
 
+def test_kmeans_plusplus_seeding_contract(spark):
+    """The deterministic kmeans++ race (r8): produces exactly n_cells
+    DISTINCT seeds drawn from the data, is run-to-run deterministic (no
+    RNG — the hash race is the randomness), differs from the hash draw,
+    and on clustered data the seeded-then-trained quantizer still reaches
+    the ≥0.9 recall bar the hash-seeded form sets."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    dim, n_clusters, per = 16, 8, 40
+    rows = []
+    for c in range(n_clusters):
+        center = [10.0 if d == 2 * c else 0.0 for d in range(dim)]
+        for j in range(per):
+            vec = [
+                center[d] + (((c * per + j) * 31 + d * 7) % 97) / 97.0
+                for d in range(dim)
+            ]
+            rows.append((c * per + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pp1 = S.kmeans_centroids(emb, n_cells=8, iters=0, seeding="plusplus")
+    pp2 = S.kmeans_centroids(emb, n_cells=8, iters=0, seeding="plusplus")
+    s1 = sorted(r.vec_id for r in pp1.collect())
+    assert s1 == sorted(r.vec_id for r in pp2.collect())  # deterministic
+    assert len(set(s1)) == 8  # distinct seeds
+    hash_seeds = sorted(
+        r.vec_id for r in S.kmeans_centroids(emb, n_cells=8, iters=0).collect()
+    )
+    assert s1 != hash_seeds  # the race actually changes the draw
+    # D²-bias sanity: the 8 race seeds should spread across ≥ 6 of the 8
+    # planted clusters (hash draw has no such pressure)
+    assert len({v // per for v in s1}) >= 6, s1
+
+    q_ids = [c * per + 3 for c in range(n_clusters)]
+    q = emb.filter(F.col("vec_id").isin(q_ids))
+    brute = {}
+    for r in S.cosine_topk(emb, q, k=5).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pp_cents = S.kmeans_centroids(emb, n_cells=8, iters=2, seeding="plusplus")
+    got = {}
+    for r in S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=2, centroids=pp_cents).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rec = sum(
+        len(brute[qi] & got.get(qi, set())) / len(brute[qi]) for qi in brute
+    ) / len(brute)
+    assert rec >= 0.9, f"pp-seeded kmeans IVF recall {rec} < 0.9 on clustered data"
+
+
 def test_multimodal_real_decode_when_pil_available(spark):
     """The feature-gated REAL decode path: when PIL is installed,
     extract_features(fake_decode=False) decodes actual encoded images and
