@@ -51,82 +51,81 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-7 rotation — EXACTLY 50 names (the driver samples 50; r6 listed
-# 55 and the last five silently missed the window —
+# Round-8 rotation — EXACTLY 50 names (the driver samples 50;
 # tests/test_correctness_gate.py::test_driver_window_rotation_invariants
-# now pins the size, the no-duplicates rule, front-of-registry equality,
-# and that every never-driver-checked query sits inside the window).
-# After r6 the registry holds 202 entries (195 + the 7 added this
-# round), 195/195 pre-r7 ever-driver-green, zero failures. The front 50
-# is (a) the 7 queries added this round, never driver-checked, (b) the
-# 3 greens whose CODE changed this round (the asof harness gained the
-# typed empty-sink seed; the two e2e capstones now share their prefix
-# through the session artifact cache; simhash_near_pairs' candidate
-# stage was factored into the shared _simhash_candidates), then (c) the
-# r3-stale cohort — 40 of its 47, led by the five that overflowed r6's
-# window. The eight entries left out — text_top_tokens,
-# text_tfidf_top_terms, sketch_bloom_filter_probe,
-# text_repetition_stats, text_pii_scrub,
-# streaming_cms_daily_heavy_hitters, streaming_hll_daily_distinct
-# (r3-stale, untouched queries) and search_tfidf_cosine_topk (r6-fresh;
-# gained an inert default champions=None param this round, default path
-# plan-identical) — go first in r8. ALL 202 entries stay covered every
-# session by the local DuckDB gate (tests/test_correctness_gate.py).
+# pins the size, the no-duplicates rule, front-of-registry equality, and
+# that every never-driver-checked query sits inside the window). The
+# registry holds 202 entries, 202/202 ever-driver-green, zero failures.
+# The front 50 is (a) the eight entries the r7 window left out (the 7
+# r3-stale plus search_tfidf_cosine_topk, whose code was touched in r7)
+# — VERDICT r7 #1 puts them at positions 1-8; (b) the 11 greens whose
+# CODE changed in r8 (two-arm simhash/near-dup recall evals; the 5-arm
+# IVF quantizer eval; the three streaming harnesses on the configurable
+# sink root, the ingest gate also on IncrementalLshIndex; the pruned
+# TF-IDF eval after the champions-mode retire fix; simhash_near_pairs /
+# near_dup_lsh gained inert tables=/probe_hamming= params, default paths
+# plan-identical; ann_ivf_kmeans_topk and semantic_dedup_pairs consume
+# the re-keyed kmeans artifact — same training spec, values identical);
+# then (c) 31 of the 49 r4-stale entries in registry order. NOTE: with
+# 202 entries and a 50-slot window, full coverage takes 5 rounds — the
+# 18 r4 entries that didn't fit (merge_upsert_orders through
+# streaming_interval_left_join, see git log r8) go FIRST in r9, ahead of
+# anything newer. ALL 202 entries stay covered every session by the
+# local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
-    # -- (a) r7 additions, never driver-checked --
-    "search_tfidf_pruned_recall_eval",
-    "streaming_incremental_dedup",
-    "semantic_dedup_clusters",
-    "dedup_lsh_recall_eval",
-    "embedding_near_dup_recall_eval",
+    # -- (a) the eight the r7 window left out (VERDICT r7 #1) --
+    "text_top_tokens",
+    "text_tfidf_top_terms",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "sketch_bloom_filter_probe",
+    "streaming_cms_daily_heavy_hitters",
+    "streaming_hll_daily_distinct",
+    "search_tfidf_cosine_topk",
+    # -- (b) greens whose code changed in r8 --
     "dedup_simhash_recall_eval",
+    "embedding_near_dup_recall_eval",
     "ann_recall_eval_ivf_kmeans",
-    # -- (b) greens whose code changed in r7 --
+    "streaming_incremental_dedup",
     "streaming_asof_static_enrich",
-    "curation_e2e_pretrain_pack",
-    "curation_e2e_pretrain_pack_cc",
-    # -- (c) the r3-stale cohort: first the five that overflowed r6 --
-    "pipeline_to_async_iterable_roundtrip",
-    "curation_train_val_split",
-    "curation_weighted_sample",
-    "curation_shard_manifest",
-    "curation_pack_sequences",
-    # -- ...then the rest of the r3 cohort --
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_bucketed_topk",
-    "ann_lsh_multiprobe_topk",
-    "asof_join_purchase_to_view",
-    "asof_join_view_to_next_purchase",
-    "range_join_purchase_after_signup",
-    "dedup_minhash_lsh_fast",
-    "dedup_minhash_clusters",
-    "dedup_minhash_clusters_star",
-    "dedup_simhash_fingerprints",
+    "streaming_merge_upsert_orders",
+    "search_tfidf_pruned_recall_eval",
     "dedup_simhash_near_pairs",
-    "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
+    "ann_ivf_kmeans_topk",
     "semantic_dedup_pairs",
-    "search_bm25_topk",
-    "pipeline_pickled_objects",
-    "pipeline_task_async_enrich",
-    "q10_returned_item_ranking",
-    "events_funnel_conversion",
-    "sketch_kmv_distinct_users",
-    "sketch_hll_distinct_users",
-    "sketch_cms_heavy_hitters",
-    "sketch_quantile_doc_lengths",
-    "streaming_tumbling_hourly",
-    "streaming_sliding_1h_30m",
-    "streaming_session_windows",
-    "streaming_watermark_late_drop",
-    "streaming_stateful_running_totals",
-    "streaming_static_enrich_nation",
-    "streaming_interval_join_purchase_signup",
-    "streaming_dedup_events",
-    "streaming_doc_quality_counts",
-    "streaming_kmv_daily_distinct",
+    # -- (c) the r4-stale cohort, registry order (31 of 49 fit) --
+    "pipeline_datasource_source",
+    "pipeline_flat_map_udtf",
+    "pipeline_observe_metrics",
+    "curation_source_mix",
+    "text_unigram_lm_quality",
+    "ann_pq_adc_topk",
+    "ann_knn_classify",
+    "ann_ivf_pq_topk",
+    "q4_order_priority_checking",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "events_retention_cohorts",
+    "full_outer_month_spenders",
+    "group_map_median_chars",
+    "group_agg_udaf_midrange",
+    "fuzzy_join_supplier_names",
+    "events_gapfill_hourly",
+    "events_scd2_status_intervals",
+    "window_distribution_gauntlet",
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_volume_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
