@@ -24,30 +24,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _rm_dirs(*dirs: str) -> None:
-    """Best-effort removal of harness scratch dirs (checkpoints, staged
-    source feeds). Every mkdtemp a drive-to-completion harness creates is
-    dead the moment its query stops — leaving them accumulates unbounded
-    on-disk garbage across bench/registry sweeps."""
-    for d in dirs:
-        shutil.rmtree(d, ignore_errors=True)
-
-
 def stream_sink_dir(prefix: str) -> str:
-    """Fresh scratch root for an EXECUTOR-WRITTEN epoch sink (the asof
-    harness, the incremental-dedup ingest gate, the CDC merge snapshot —
-    every foreachBatch that appends parquet from the executors and reads
-    it back). Default: driver-local ``tempfile.mkdtemp`` — correct on
-    local[*], where driver and executors share one filesystem. On a real
-    cluster executors can't see the driver's /tmp, so deployments set
+    """Fresh scratch dir for every streaming-harness path that must be
+    visible beyond the driver on a real cluster: executor-written epoch
+    sinks (the asof harness, the incremental-dedup ingest gate, the CDC
+    merge snapshot), staged source feeds, and checkpointLocations — all
+    of which executors read or write. Default: driver-local
+    ``tempfile.mkdtemp`` — correct on local[*], where driver and
+    executors share one filesystem. On a real cluster deployments set
     ``PYPELN_SPARK_STREAM_SINK_ROOT`` to a shared-FS location every node
     can reach — a mounted path (NFS/Lustre) or a Hadoop-FS URI
     (hdfs://… , s3a://…); each call returns a fresh ``prefix``-named,
     uuid-suffixed subdir under it, so concurrent queries never collide.
-    (Checkpoint dirs have the same shared-FS requirement; these harnesses
-    drive each bounded feed to completion and discard the checkpoint, so
-    only the DATA sink root needs to survive the query.) Pair with
-    remove_sink_dir() for cleanup — plain shutil can't remove URI roots."""
+    Every dir a drive-to-completion harness creates is dead the moment
+    its query stops — pair with remove_sink_dir() (plain shutil can't
+    remove URI roots), or garbage accumulates across bench/registry
+    sweeps."""
     root = os.environ.get("PYPELN_SPARK_STREAM_SINK_ROOT")
     if not root:
         return tempfile.mkdtemp(prefix=prefix)
@@ -173,7 +165,7 @@ def run_to_memory(
     it synchronous and deterministic — every available file is consumed."""
     spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    ckpt = stream_sink_dir("pypeln_spark_ckpt_")
     with _stream_partitions(spark, state_partitions):
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -186,7 +178,7 @@ def run_to_memory(
             q.processAllAvailable()
         finally:
             q.stop()
-            _rm_dirs(ckpt)  # memory-sink rows live on the driver, not in ckpt
+            remove_sink_dir(spark, ckpt)  # memory-sink rows live on the driver
     return spark.table(name)
 
 
@@ -197,7 +189,7 @@ def run_foreach_batch(
 ) -> None:
     """foreachBatch sink, driven to completion (exactly-once per epoch —
     the Spark-native home for reference-style ``each`` side effects)."""
-    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    ckpt = stream_sink_dir("pypeln_spark_ckpt_")
     with _stream_partitions(stream_df.sparkSession, state_partitions):
         q = (
             stream_df.writeStream.foreachBatch(fn)
@@ -208,7 +200,7 @@ def run_foreach_batch(
             q.processAllAvailable()
         finally:
             q.stop()
-            _rm_dirs(ckpt)
+            remove_sink_dir(stream_df.sparkSession, ckpt)
 
 
 class rocksdb_state:
@@ -257,8 +249,8 @@ def staged_foreach_batch(
     pipelines, where epoch ordering IS the semantics (later updates must
     win). One file lands per feed and processAllAvailable drains it before
     the next, so the epoch boundary is guaranteed, not timing-dependent."""
-    src_dir = tempfile.mkdtemp(prefix="pypeln_spark_cdc_")
-    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    src_dir = stream_sink_dir("pypeln_spark_cdc_")
+    ckpt = stream_sink_dir("pypeln_spark_ckpt_")
     stream = spark.readStream.schema(batches[0].schema).parquet(src_dir)
     with _stream_partitions(spark, state_partitions):
         q = (
@@ -272,7 +264,8 @@ def staged_foreach_batch(
                 q.processAllAvailable()
         finally:
             q.stop()
-            _rm_dirs(src_dir, ckpt)
+            remove_sink_dir(spark, src_dir)
+            remove_sink_dir(spark, ckpt)
 
 
 def staged_replay(
@@ -288,8 +281,8 @@ def staged_replay(
     processAllAvailable between writes — this is how watermark/late-data
     semantics are exercised deterministically (file-source trigger order is
     otherwise timing-dependent)."""
-    src_dir = tempfile.mkdtemp(prefix="pypeln_spark_replay_")
-    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ckpt_")
+    src_dir = stream_sink_dir("pypeln_spark_replay_")
+    ckpt = stream_sink_dir("pypeln_spark_ckpt_")
     name = f"mem_{uuid.uuid4().hex[:12]}"
 
     schema = batches[0].schema
@@ -309,5 +302,6 @@ def staged_replay(
                 q.processAllAvailable()
         finally:
             q.stop()
-            _rm_dirs(src_dir, ckpt)  # memory-sink rows live on the driver
+            remove_sink_dir(spark, src_dir)  # memory rows live on the driver
+            remove_sink_dir(spark, ckpt)
     return spark.table(name)
