@@ -1380,27 +1380,48 @@ def ann_recall_eval_ivf_kmeans(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     q_o = emb.filter(F.col("vec_id") < N_QUERIES)
     q_d = emb.filter((F.col("vec_id") >= DQ_LO) & (F.col("vec_id") < DQ_HI))
-    ex_o = S.cosine_topk(emb, q_o, k=K).select("query_id", "neighbor_id")
-    ex_d = S.cosine_topk(emb, q_d, k=K).select("query_id", "neighbor_id")
+    q_all = q_o.unionByName(q_d)
+    # ground truth for BOTH query sets in one brute-force pass, split by id
+    ex_all = S.cosine_topk(emb, q_all, k=K).select("query_id", "neighbor_id")
+    ex_o = ex_all.filter(F.col("query_id") < N_QUERIES)
+    ex_d = ex_all.filter(F.col("query_id") >= DQ_LO)
     km = _kmeans_artifact(spark, sf_dir)
     pp = _kmeans_artifact(spark, sf_dir, seeding="plusplus")
 
-    def arm(name, queries, ex, cents, quantizer="kmeans"):
+    # one corpus-assignment pass PER CENTROID SET (the expensive half),
+    # probing both query sets in the same run and splitting afterwards —
+    # 3 ivf_topk invocations for 5 arms (the oracle shares its ascore
+    # CTEs per centroid set the same way). Query sets are id-disjoint,
+    # so the split is a pure filter of the ranked output.
+    def split_arms(cents, quantizer, name_o, name_d):
         iv = S.ivf_topk(
-            emb, queries, k=K, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
+            emb, q_all, k=K, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
             quantizer=quantizer, kmeans_iters=KMEANS_ITERS,
             train_mod=KMEANS_TRAIN_MOD, centroids=cents,
         ).select("query_id", "neighbor_id")
-        return _recall_table(ex, iv).select(
-            F.lit(name).alias("quantizer"), "query_id", "n_exact", "n_hits",
-            "recall",
-        )
+        parts = []
+        for name, ex, pred in (
+            (name_o, ex_o, F.col("query_id") < N_QUERIES),
+            (name_d, ex_d, F.col("query_id") >= DQ_LO),
+        ):
+            if name is None:
+                continue
+            parts.append(
+                _recall_table(ex, iv.filter(pred)).select(
+                    F.lit(name).alias("quantizer"), "query_id", "n_exact",
+                    "n_hits", "recall",
+                )
+            )
+        out = parts[0]
+        for pdf in parts[1:]:
+            out = out.unionByName(pdf)
+        return out
 
-    out = arm("kmeans", q_o, ex_o, km)
-    out = out.unionByName(arm("kmeans_pp", q_o, ex_o, pp))
-    out = out.unionByName(arm("first_dq", q_d, ex_d, None, quantizer="first"))
-    out = out.unionByName(arm("kmeans_dq", q_d, ex_d, km))
-    return out.unionByName(arm("kmeans_pp_dq", q_d, ex_d, pp))
+    out = split_arms(km, "kmeans", "kmeans", "kmeans_dq")
+    out = out.unionByName(split_arms(pp, "kmeans", "kmeans_pp", "kmeans_pp_dq"))
+    # the frozen quantizer only carries the disjoint arm (its overlapping
+    # reading is ann_recall_eval_ivf, documented there)
+    return out.unionByName(split_arms(None, "first", None, "first_dq"))
 
 
 def _recall_table(ex, approx):
