@@ -131,6 +131,8 @@ HEADLINE = [
     "embedding_near_dup_recall_eval",
     "dedup_simhash_recall_eval",
     "ann_recall_eval_ivf_kmeans",
+    # round-8 additions
+    "streaming_embedding_ingest",
 ]
 
 

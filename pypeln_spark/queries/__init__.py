@@ -66,11 +66,13 @@ except ImportError:  # pragma: no cover
 # near_dup_lsh gained inert tables=/probe_hamming= params, default paths
 # plan-identical; ann_ivf_kmeans_topk and semantic_dedup_pairs consume
 # the re-keyed kmeans artifact — same training spec, values identical);
-# then (c) 31 of the 49 r4-stale entries in registry order. NOTE: with
-# 202 entries and a 50-slot window, full coverage takes 5 rounds — the
-# 18 r4 entries that didn't fit (merge_upsert_orders through
-# streaming_interval_left_join, see git log r8) go FIRST in r9, ahead of
-# anything newer. ALL 202 entries stay covered every session by the
+# plus streaming_embedding_ingest, ADDED in r8 (never driver-checked —
+# must debut inside the window); then (c) 30 of the 49 r4-stale entries
+# in registry order. NOTE: with 203 entries and a 50-slot window, full
+# coverage takes 5 rounds — the 19 r4 entries that didn't fit
+# (merge_upsert_orders through streaming_interval_left_join, plus
+# q21_waiting_suppliers, see git log r8) go FIRST in r9, ahead of
+# anything newer. ALL 203 entries stay covered every session by the
 # local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
     # -- (a) the eight the r7 window left out (VERDICT r7 #1) --
@@ -94,7 +96,9 @@ _PRIORITY = [
     "embedding_near_dup_lsh",
     "ann_ivf_kmeans_topk",
     "semantic_dedup_pairs",
-    # -- (c) the r4-stale cohort, registry order (31 of 49 fit) --
+    # -- (b') added in r8, never driver-checked --
+    "streaming_embedding_ingest",
+    # -- (c) the r4-stale cohort, registry order (30 of 49 fit) --
     "pipeline_datasource_source",
     "pipeline_flat_map_udtf",
     "pipeline_observe_metrics",
@@ -125,7 +129,6 @@ _PRIORITY = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q20_excess_volume_suppliers",
-    "q21_waiting_suppliers",
 ]
 
 

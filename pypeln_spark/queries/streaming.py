@@ -1261,6 +1261,207 @@ def streaming_incremental_dedup(spark, sf_dir):
     return out
 
 
+def _emb_gate_oracle() -> str:
+    """Oracle for streaming_embedding_ingest — the EMBEDDING twin of
+    _incr_stream_oracle: 3 unrolled epochs, per epoch match the arriving
+    vectors against the CURRENT corpus index (hyperplane buckets with
+    hd≤1 multiprobe — the probe-mask explode is equivalent to the pair
+    predicate hamming(bucket_new, bucket_corpus) ≤ 1 — then exact-cosine
+    verify, min-corpus-id survivor pick), then absorb the epoch's novel
+    vectors before the next epoch. c{e} CTEs are AS MATERIALIZED — each
+    is referenced twice (match + absorb), and DuckDB inlines by default."""
+    from .similarity import _BUCKET, _dot, NEAR_DUP_T
+
+    vv = _dot("v", "v")
+    ctes = [
+        """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)""",
+        f"n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)",
+        f"bk AS (SELECT vec_id, v, nrm, CAST({_BUCKET} AS BIGINT) AS bucket FROM n)",
+        "c0 AS MATERIALIZED (SELECT vec_id FROM bk WHERE vec_id % 2 = 0)",
+    ]
+    finals = []
+    for ep in range(3):
+        cls = 2 * ep + 1  # vec_id % 6 ∈ {1, 3, 5} → epochs 0, 1, 2
+        ctes.append(
+            f"n{ep} AS (SELECT vec_id FROM bk WHERE vec_id % 6 = {cls})"
+        )
+        ctes.append(f"""m{ep} AS (
+          SELECT new_id, corpus_id, cos FROM (
+            SELECT a.vec_id AS new_id, b.vec_id AS corpus_id,
+                   {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+            FROM bk a
+            JOIN n{ep} ON n{ep}.vec_id = a.vec_id
+            JOIN bk b ON bit_count(xor(a.bucket, b.bucket)) <= 1
+            JOIN c{ep} ON c{ep}.vec_id = b.vec_id)
+          WHERE cos >= {NEAR_DUP_T}
+        )""")
+        ctes.append(f"""p{ep} AS (
+          SELECT new_id, corpus_id, cos FROM (
+            SELECT new_id, corpus_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY new_id
+                                      ORDER BY corpus_id ASC) AS rn
+            FROM m{ep})
+          WHERE rn = 1
+        )""")
+        ctes.append(f"""c{ep + 1} AS MATERIALIZED (
+          SELECT vec_id FROM c{ep}
+          UNION ALL
+          SELECT n{ep}.vec_id FROM n{ep}
+          ANTI JOIN p{ep} ON p{ep}.new_id = n{ep}.vec_id
+        )""")
+        finals.append(
+            f"""SELECT n{ep}.vec_id, CAST({ep} AS INTEGER) AS epoch,
+                 p{ep}.corpus_id AS dup_of, p{ep}.cos AS cos
+          FROM n{ep} LEFT JOIN p{ep} ON p{ep}.new_id = n{ep}.vec_id"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("streaming_embedding_ingest", oracle=_emb_gate_oracle())
+def streaming_embedding_ingest(spark, sf_dir):
+    """The EMBEDDING ingest gate — the dense twin of
+    streaming_incremental_dedup, closing the ingest-gate story (batch
+    near-dup, streaming text gate, streaming VECTOR gate): continuously
+    arriving embeddings (odd vec_ids, three epochs by vec_id % 6) are
+    checked against a GROWING hyperplane-bucket vector index (even
+    vec_ids seed it); each epoch buckets only the arriving batch,
+    MULTIPROBES the new side (hd≤1 — the r8 near-dup lesson: single-
+    bucket capture at mid-cosine is poor, one flipped-plane shell
+    recovers most of it for a 7× probe constant), verifies candidates
+    with exact cosine ≥ NEAR_DUP_T, emits one decision per vector —
+    (vec_id, epoch, dup_of = min matching corpus id or NULL, cos) —
+    appended to parquet from the executors, and absorbs novel vectors so
+    a near-dup of an epoch-0 novel vector arriving in epoch 2 is caught
+    (tests/test_streaming.py plants exactly that).
+
+    Scale shape: per epoch only the batch side is bucketed (∝ |batch|);
+    candidates come from the bucket equi-join (new × index, the probe
+    explode multiplies only the skinny new side); the vector/bucket
+    index is IncrementalLshIndex state — append-only novel deltas, lazy
+    union, optional every-K-epochs compaction via
+    PYPELN_SPARK_INGEST_COMPACT_EPOCHS — and both verify sides carry
+    shuffle_hash hints (64-double arrays under-estimate like shingle
+    arrays; same OOM class as the text gate's r7 sweep catch).
+
+    SIZING RULE the 10× sweep makes concrete (SCALING.md): hyperplane
+    buckets have FIXED cardinality 2^n_planes, so candidate mass grows
+    ∝ |new|·|index| / 2^n_planes — unlike the text gate's MinHash bands,
+    whose key space grows with the data. The fixed n_planes=6 here is
+    the oracle-pinned test shape; a deployment sizes n_planes ≈
+    log2(index_size / target_bucket_occupancy) and re-buckets the index
+    as it grows (cheap: one narrow pass, the index stores vectors). The
+    oracle unrolls the three epochs and replays bucketing, the multiprobe
+    predicate, verification, survivor pick AND the absorb step."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+    from pypeln_spark.ext.similarity import dot_ieee
+
+    from .similarity import DIM, N_PLANES, NEAR_DUP_T
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    epochs = [emb.filter(F.col("vec_id") % 6 == c) for c in (1, 3, 5)]
+
+    def build_index():
+        return S.lsh_bucket(
+            S.with_norms(S.spread(corpus)), "_v", N_PLANES, DIM
+        ).select("vec_id", "_v", "_norm", "bucket")
+
+    cor = S.cached_index(("emb_gate_index", sf_dir, N_PLANES), build_index)
+    index = D.IncrementalLshIndex(
+        cor.select("vec_id", "_v", "_norm"),
+        cor.select("vec_id", "bucket"),
+        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "0")),
+    )
+
+    root = ST.stream_sink_dir("pypeln_spark_embingest_")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(root)
+
+    def gate(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        D.retire_pipeline_caches()
+        new = D.pool_persist(
+            S.lsh_bucket(S.with_norms(D.spread(batch_df)), "_v", N_PLANES, DIM)
+        )
+        new.count()
+        probes = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                for m in S._probe_masks(N_PLANES, 1)
+            ]
+        )
+        nb = new.select(
+            F.col("vec_id").alias("new_id"), F.explode(probes).alias("bucket")
+        )
+        cb = index.bands.select(F.col("vec_id").alias("corpus_id"), "bucket")
+        # one row per (new, corpus) pair — the connecting xor mask is unique
+        cand = nb.join(cb, "bucket").select("new_id", "corpus_id")
+        cand = cand.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism,
+            F.col("new_id"),
+        )
+        a = new.select(
+            F.col("vec_id").alias("new_id"), F.col("_v").alias("va"),
+            F.col("_norm").alias("na"),
+        )
+        b = index.sh.select(
+            F.col("vec_id").alias("corpus_id"), F.col("_v").alias("vb"),
+            F.col("_norm").alias("nb"),
+        )
+        matches = (
+            cand.join(a.hint("shuffle_hash"), "new_id")
+            .join(b.hint("shuffle_hash"), "corpus_id")
+            .withColumn(
+                "cos", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            )
+            .filter(F.col("cos") >= NEAR_DUP_T)
+        )
+        pick = matches.groupBy("new_id").agg(
+            F.min(F.struct("corpus_id", "cos")).alias("m")
+        )
+        (
+            batch_df.select("vec_id")
+            .join(pick, F.col("vec_id") == F.col("new_id"), "left")
+            .select(
+                "vec_id",
+                F.expr("CAST(((vec_id % 6) - 1) DIV 2 AS INT)").alias("epoch"),
+                F.col("m.corpus_id").alias("dup_of"),
+                F.col("m.cos").alias("cos"),
+            )
+            .write.mode("append")
+            .parquet(root)
+        )
+        dropped = pick.select(F.col("new_id").alias("vec_id"))
+        novel = new.join(dropped, "vec_id", "left_anti")
+        index.absorb(
+            novel.select("vec_id", "_v", "_norm"),
+            novel.select("vec_id", "bucket"),
+        )
+
+    ST.staged_foreach_batch(spark, epochs, gate)
+    D.retire_pipeline_caches()
+    index.close()
+    out = spark.read.parquet(root).localCheckpoint(eager=True)
+    ST.remove_sink_dir(spark, root)
+    return out
+
+
 @register(
     "streaming_merge_upsert_orders",
     oracle=f"""

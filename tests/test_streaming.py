@@ -860,6 +860,43 @@ def test_streaming_incremental_dedup_absorbs_novel_docs(spark, tmp_path):
     assert out[17] == (2, 0, 1.0)     # static corpus still matchable
 
 
+def test_streaming_embedding_ingest_absorbs_novel_vectors(spark, tmp_path):
+    """The EMBEDDING ingest gate must catch a near-dup of a vector that
+    was NOVEL in an earlier epoch — same planted topology as the text
+    gate's test: corpus = v0; epoch 0 brings a copy (1) and a novel
+    orthogonal direction (7); epoch 1 brings a copy of the NOVEL vector
+    (3 → must drop with dup_of=7, proving absorption); epoch 2 brings a
+    fresh direction (5 → kept) and another copy of the corpus vector
+    (17 → the static index still matches after two absorb generations).
+    Orthogonal directions have cosine 0 < threshold, so the only matches
+    are the planted copies."""
+    from pypeln_spark.ext import similarity as S
+    from pypeln_spark.queries import REGISTRY
+
+    def unit(d):
+        return [1.0 if i == d else 0.0 for i in range(64)]
+
+    rows = [
+        (0, unit(0)), (1, unit(0)), (7, unit(9)),
+        (3, unit(9)), (5, unit(20)), (17, unit(0)),
+    ]
+    sf = str(tmp_path / "planted_emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    S.drop_index()
+    out = {
+        r.vec_id: (r.epoch, r.dup_of)
+        for r in REGISTRY["streaming_embedding_ingest"].fn(spark, sf).collect()
+    }
+    S.drop_index()
+    assert out[1] == (0, 0)       # corpus match, epoch 0
+    assert out[7] == (0, None)    # novel → absorbed
+    assert out[3] == (1, 7)       # matches the ABSORBED vector
+    assert out[5] == (2, None)    # fresh direction → kept
+    assert out[17] == (2, 0)      # static corpus still matchable
+
+
 def test_stream_sink_root_override_honored(spark, tmp_path, monkeypatch):
     """PYPELN_SPARK_STREAM_SINK_ROOT redirects every executor-written
     epoch sink to a shared-FS root (VERDICT r7 #3) — the knob that makes
