@@ -222,7 +222,16 @@ def lsh_bucket(
     components are then precomputed on the driver and inlined as literal
     arrays (the components depend only on (plane, dim-index), and the
     fallback recomputes their md5 derivation per ROW inside an interpreted
-    transform — measured 2.5× slower at sf0.1)."""
+    transform — measured 2.5× slower at sf0.1).
+
+    PREFIX-STABLE GROWTH: plane p's components depend only on (p, dim),
+    so bucket_{n+k}(v) & (2^n - 1) == bucket_n(v) for every vector
+    (tests/test_ext.py pins it). Growing n_planes therefore only SPLITS
+    existing buckets — never re-shuffles pairs across unrelated buckets —
+    which is what makes the ingest gates' documented scaling move
+    ('re-bucket the index at a larger n_planes as it grows, one narrow
+    pass') safe: pairs lost in the refinement are exactly the pairs the
+    new planes separate, the same recall trade as having started wider."""
     v = _vec_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):

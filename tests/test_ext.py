@@ -851,6 +851,34 @@ def test_tfidf_champion_pruning_is_exact_on_shortlist(spark):
         sorted(map(lambda r: r.asDict(), base), key=lambda d: (d["query_id"], d["rank"]))
 
 
+def test_lsh_bucket_prefix_stable_growth(spark):
+    """The hyperplane family is prefix-stable — plane p's components
+    depend only on (p, dim) — so growing n_planes REFINES buckets:
+    bucket at n+k planes has the n-plane bucket as its low bits. This is
+    the property behind the ingest gates' documented scaling move
+    (re-bucket the growing index at a larger n_planes): refinement only
+    splits buckets, never moves a vector to an unrelated one."""
+    import random
+
+    from pypeln_spark.ext import similarity as S
+
+    rng = random.Random(23)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    normed = S.with_norms(S.spread(emb))
+    b6 = {r.vec_id: r.bucket for r in S.lsh_bucket(normed, "_v", 6, 16).collect()}
+    b10 = {r.vec_id: r.bucket for r in S.lsh_bucket(normed, "_v", 10, 16).collect()}
+    assert all(b10[i] & 63 == b6[i] for i in b6)
+    # and the literal-inlined (dim=) and per-row-derived paths agree
+    b6_rt = {
+        r.vec_id: r.bucket for r in S.lsh_bucket(normed, "_v", 6, None).collect()
+    }
+    assert b6_rt == b6
+    assert len(set(b10.values())) >= len(set(b6.values()))  # refinement
+
+
 def test_near_dup_multiprobe_probes_hamming_shells(spark):
     """Multiprobe near-dup (probe_hamming=2) must equal the predicate it
     implements: exact-qualifying pairs whose bucket signatures differ in
