@@ -442,6 +442,11 @@ n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bktd a JOIN bktd b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
+    candm1 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bktd a JOIN bktd b
+        ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+    ),
     candm AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bktd a JOIN bktd b
@@ -454,6 +459,15 @@ n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)
            CAST(COUNT(l.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
     FROM exact e
     LEFT JOIN cand l ON l.id_a = e.id_a AND l.id_b = e.id_b
+    GROUP BY CAST(FLOOR(e.cos * 20) AS INTEGER)
+    UNION ALL
+    SELECT CAST(1 AS INTEGER) AS probe_hamming,
+           CAST(FLOOR(e.cos * 20) AS INTEGER) AS c_bucket,
+           COUNT(*) AS n_exact,
+           COUNT(l.id_a) AS n_lsh,
+           CAST(COUNT(l.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact e
+    LEFT JOIN candm1 l ON l.id_a = e.id_a AND l.id_b = e.id_b
     GROUP BY CAST(FLOOR(e.cos * 20) AS INTEGER)
     UNION ALL
     SELECT CAST(2 AS INTEGER) AS probe_hamming,
@@ -479,13 +493,15 @@ def embedding_near_dup_recall_eval(spark, sf_dir):
     the threshold from above — the curve a deployment reads when trading
     n_planes against verify cost.
 
-    TWO ARMS since r8 (VERDICT r7 #7): single-bucket (probe_hamming=0 —
-    r7 measured 0.2/0.0 capture at cos 0.35-0.45 with 6 planes) and
-    MULTIPROBE hd≤2 (near_dup_lsh probe_hamming=2 — the pair predicate
-    becomes hamming(bucket_a, bucket_b) ≤ 2, which is what the oracle
-    replays), so the capture the probe fan-out buys at mid-cosine is a
-    side-by-side number. Verified-LSH output is exact ∩ candidates by
-    construction, so recall needs no second verify pass."""
+    THREE ARMS since r8 (VERDICT r7 #7): single-bucket (probe_hamming=0 —
+    r7 measured 0.2/0.0 capture at cos 0.35-0.45 with 6 planes),
+    MULTIPROBE hd≤1 (7 probes — the setting the streaming embedding
+    ingest gate runs, so ITS capture trade is a measured number too) and
+    hd≤2 (22 probes). The pair predicate for probe_hamming=h is
+    hamming(bucket_a, bucket_b) ≤ h, which is what the oracle replays;
+    the capture each probe shell buys at mid-cosine is a side-by-side
+    number. Verified-LSH output is exact ∩ candidates by construction,
+    so recall needs no second verify pass."""
     from pyspark.sql import functions as F
 
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -515,7 +531,7 @@ def embedding_near_dup_recall_eval(spark, sf_dir):
             )
         )
 
-    return arm(0).unionByName(arm(2))
+    return arm(0).unionByName(arm(1)).unionByName(arm(2))
 
 
 @register(

@@ -1326,9 +1326,11 @@ def streaming_embedding_ingest(spark, sf_dir):
     arriving embeddings (odd vec_ids, three epochs by vec_id % 6) are
     checked against a GROWING hyperplane-bucket vector index (even
     vec_ids seed it); each epoch buckets only the arriving batch,
-    MULTIPROBES the new side (hd≤1 — the r8 near-dup lesson: single-
-    bucket capture at mid-cosine is poor, one flipped-plane shell
-    recovers most of it for a 7× probe constant), verifies candidates
+    MULTIPROBES the new side (hd≤1 — measured by
+    embedding_near_dup_recall_eval's arms at sf0.01: capture at cos
+    0.35-0.45 is 0.2/0.0 single-bucket, 0.5/0.2 at hd≤1 [this gate's
+    setting, 7 probes], 0.7/0.6 at hd≤2 [22 probes] — the probe budget
+    is the gate's recall/cost dial), verifies candidates
     with exact cosine ≥ NEAR_DUP_T, emits one decision per vector —
     (vec_id, epoch, dup_of = min matching corpus id or NULL, cos) —
     appended to parquet from the executors, and absorbs novel vectors so
