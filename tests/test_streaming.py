@@ -986,6 +986,47 @@ def test_incremental_lsh_index_compaction_bounds_plan(spark):
     comp.close()
 
 
+def test_incremental_index_random_schedules_property(spark):
+    """Property form of the compaction contract: for ANY absorb schedule
+    and ANY compact_every (including mid-stream manual compact() calls),
+    the index contents equal the naive base∪deltas union. Hypothesis
+    drives the schedule; frames are tiny key/value pairs so each example
+    is a handful of local jobs."""
+    from hypothesis import given, settings, strategies as st
+
+    from pypeln_spark.ext import dedup as D
+
+    def mk(ids, tag):
+        return spark.createDataFrame(
+            [(i, f"{tag}{i}") for i in ids], "doc_id long, payload string"
+        )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=5),
+        k=st.integers(min_value=0, max_value=3),
+        manual=st.booleans(),
+    )
+    def prop(sizes, k, manual):
+        base = mk(range(10), "base")
+        idx = D.IncrementalLshIndex(base, base, compact_every=k)
+        expect = {(i, f"base{i}") for i in range(10)}
+        nxt = 100
+        for step, sz in enumerate(sizes):
+            ids = range(nxt, nxt + sz)
+            nxt += 10
+            idx.absorb(mk(ids, "d"), mk(ids, "d"))
+            expect |= {(i, f"d{i}") for i in ids}
+            if manual and step == len(sizes) // 2:
+                idx.compact()
+        got = {(r.doc_id, r.payload) for r in idx.sh.collect()}
+        got_b = {(r.doc_id, r.payload) for r in idx.bands.collect()}
+        idx.close()
+        assert got == expect and got_b == expect
+
+    prop()
+
+
 def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch):
     """End-to-end half of the compaction contract: the registry ingest
     gate emits IDENTICAL keep/drop decisions with compaction forced every
