@@ -1044,14 +1044,26 @@ def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch
         os.path.join(sf, "documents.parquet")
     )
 
-    def run():
-        S.drop_index()
-        return sorted(
-            map(tuple, REGISTRY["streaming_incremental_dedup"].fn(spark, sf).collect())
-        )
+    def unit(d):
+        return [1.0 if i == d else 0.0 for i in range(64)]
 
-    baseline = run()
+    erows = [
+        (0, unit(0)), (1, unit(0)), (7, unit(9)),
+        (3, unit(9)), (5, unit(20)), (17, unit(0)),
+    ]
+    spark.createDataFrame(erows, "vec_id long, embedding array<float>").write.parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    def run(name):
+        S.drop_index()
+        return sorted(map(tuple, REGISTRY[name].fn(spark, sf).collect()))
+
+    base_txt = run("streaming_incremental_dedup")
+    base_emb = run("streaming_embedding_ingest")
     monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")
-    assert run() == baseline
-    # the planted absorb matches must actually be present in both
-    assert any(r[0] == 3 and r[2] == 7 for r in baseline)
+    assert run("streaming_incremental_dedup") == base_txt
+    assert run("streaming_embedding_ingest") == base_emb
+    # the planted absorb matches must actually be present in both gates
+    assert any(r[0] == 3 and r[2] == 7 for r in base_txt)
+    assert any(r[0] == 3 and r[2] == 7 for r in base_emb)
