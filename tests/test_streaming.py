@@ -986,6 +986,52 @@ def test_incremental_lsh_index_compaction_bounds_plan(spark):
     comp.close()
 
 
+def test_embedding_index_rebucket_widens_mid_stream(spark):
+    """The embedding gate's documented scaling move, executed: the index
+    stores VECTORS (sh = vec_id,_v,_norm), so when buckets saturate the
+    whole index re-buckets at a larger n_planes in one narrow pass —
+    lsh_bucket over idx.sh — and, by the prefix-stability property, the
+    result is exactly the bucket table a from-scratch wider index would
+    hold for the same vectors (absorbed deltas included). Candidates
+    thereafter are identical to having started wide."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    rng = random.Random(5)
+
+    def emb(ids):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    def frames(df, planes):
+        bk = S.lsh_bucket(S.with_norms(S.spread(df)), "_v", planes, 16)
+        return (
+            bk.select("vec_id", "_v", "_norm"),
+            bk.select("vec_id", "bucket"),
+        )
+
+    base = emb(range(30))
+    idx = D.IncrementalLshIndex(*frames(base, 6))
+    d1, d2 = emb(range(100, 110)), emb(range(200, 215))
+    idx.absorb(*frames(d1, 6))
+    idx.absorb(*frames(d2, 6))
+    # saturation hit → ONE narrow pass over the stored vectors re-buckets
+    # the ENTIRE index (base + absorbed deltas) at 10 planes
+    wide = S.lsh_bucket(idx.sh, "_v", 10, 16).select("vec_id", "bucket")
+    all_vecs = base.unionByName(d1).unionByName(d2)
+    fresh = {
+        r.vec_id: r.bucket for r in frames(all_vecs, 10)[1].collect()
+    }
+    got = {r.vec_id: r.bucket for r in wide.collect()}
+    idx.close()
+    assert got == fresh  # identical to having started at 10 planes
+    assert len(got) == 55
+
+
 def test_incremental_index_random_schedules_property(spark):
     """Property form of the compaction contract: for ANY absorb schedule
     and ANY compact_every (including mid-stream manual compact() calls),
