@@ -10,7 +10,7 @@ sf0.1 and at the synthetic sf1 and reports the time ratio next to the 10x
 data ratio. A plan that survives scale shows ~linear (or better) growth;
 a quadratic or driver-bound plan shows up immediately.
 
-Usage: python tools/scale_sweep.py [--cold] [outdir] [query ...]
+Usage: python tools/scale_sweep.py [--cold] [--isolate] [outdir] [query ...]
 (default outdir /tmp/pypeln_sfscale; with query names, only that subset
 of SWEEP runs — the per-round refresh times just the round's additions).
 --cold clears the session artifact caches (trained_artifact model store,
@@ -18,6 +18,13 @@ cached_index frames) before EVERY invocation, so queries that train once
 per session (the e2e capstones' shared prefix, kmeans/PQ-backed ANN) get
 honest cold-path rows at both scale factors instead of timing a cache hit
 (the r7 sweep's flagged 1.0x e2e ratio, SCALING.md "artifact-cached").
+--isolate clears the artifact caches AND spark.catalog cache BETWEEN
+QUERIES (each query's min-of-N still reads its own warm state) — the
+cross-query-pollution-free mode: the r8 A/B measured the ingest gate 2x
+slower at sf1 after 10 persist-heavy sweep queries filled the storage
+pool, so late-list ABSOLUTE rows in a long default sweep are inflated
+(ratios stay meaningful — both SFs share the session state). Default
+stays accumulate-mode for comparability with the r5-r7 rows.
 Writes one JSON line; human detail on stderr. Results are recorded in
 SCALING.md ("Scale-sweep evidence").
 """
@@ -249,7 +256,8 @@ def main() -> None:
 
     argv = sys.argv[1:]
     cold = "--cold" in argv
-    argv = [a for a in argv if a != "--cold"]
+    isolate = "--isolate" in argv
+    argv = [a for a in argv if a not in ("--cold", "--isolate")]
     outdir = argv[0] if argv else "/tmp/pypeln_sfscale"
     subset = argv[1:]
     sweep = SWEEP
@@ -276,6 +284,9 @@ def main() -> None:
     results = {}
     for name in sweep:
         q = REGISTRY[name]
+        if isolate:
+            clear_session_artifacts()
+            spark.catalog.clearCache()
         if cold:
             clear_session_artifacts()
         q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
@@ -295,7 +306,16 @@ def main() -> None:
         }
         print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)", file=sys.stderr)
 
-    print(json.dumps({"replicas": REPLICAS, "cold": cold, "queries": results}))
+    print(
+        json.dumps(
+            {
+                "replicas": REPLICAS,
+                "cold": cold,
+                "isolate": isolate,
+                "queries": results,
+            }
+        )
+    )
     spark.stop()
 
 
