@@ -2224,3 +2224,22 @@ def test_simhash_capture_table_hand_constructed(spark):
     # single-table arm inside the two-arm output matches the solo run
     for hd in (3, 4, 5, 8):
         assert multi[(1, hd)].n_cand == out[hd].n_cand
+
+    # the PRODUCTION operator path at tables=4: the (1,2) hd-5 pair that
+    # every contiguous byte misses is now surfaced; tables=1 still misses
+    # it; hd ≤ 3 output identical either way (the pigeonhole guarantee)
+    from pypeln_spark.ext import dedup as D2
+
+    one = {(r.id_a, r.id_b) for r in D2.simhash_near_pairs(fp, max_hamming=5).collect()}
+    four = {
+        (r.id_a, r.id_b)
+        for r in D2.simhash_near_pairs(fp, max_hamming=5, tables=4).collect()
+    }
+    assert (1, 2) in four and (1, 2) not in one
+    assert one < four
+    one3 = {(r.id_a, r.id_b) for r in D2.simhash_near_pairs(fp, max_hamming=3).collect()}
+    four3 = {
+        (r.id_a, r.id_b)
+        for r in D2.simhash_near_pairs(fp, max_hamming=3, tables=4).collect()
+    }
+    assert one3 == four3
