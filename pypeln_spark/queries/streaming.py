@@ -1185,8 +1185,16 @@ def streaming_incremental_dedup(spark, sf_dir):
             .select("new_id", "corpus_id")
             .distinct()
         )
+        # spread the verify compute across the STREAMING SCOPE's width
+        # (spark.sql.shuffle.partitions, 4 by default under
+        # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
+        # real deployments) — the first cut pinned local
+        # defaultParallelism=32 here, contradicting the r7 negative
+        # result inside its own epoch: 32 tasks on |docs|/6-row epochs is
+        # task-launch overhead (A/B min-of-3 at sf0.1: both gates ~6%
+        # faster scope-sized; layout-only, decisions unchanged)
         cand = cand.repartition(
-            batch_df.sparkSession.sparkContext.defaultParallelism,
+            int(batch_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             F.col("new_id"),
         )
         a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("sh_a"))
@@ -1414,8 +1422,16 @@ def streaming_embedding_ingest(spark, sf_dir):
         cb = index.bands.select(F.col("vec_id").alias("corpus_id"), "bucket")
         # one row per (new, corpus) pair — the connecting xor mask is unique
         cand = nb.join(cb, "bucket").select("new_id", "corpus_id")
+        # spread the verify compute across the STREAMING SCOPE's width
+        # (spark.sql.shuffle.partitions, 4 by default under
+        # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
+        # real deployments) — the first cut pinned local
+        # defaultParallelism=32 here, contradicting the r7 negative
+        # result inside its own epoch: 32 tasks on |docs|/6-row epochs is
+        # task-launch overhead (A/B min-of-3 at sf0.1: both gates ~6%
+        # faster scope-sized; layout-only, decisions unchanged)
         cand = cand.repartition(
-            batch_df.sparkSession.sparkContext.defaultParallelism,
+            int(batch_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             F.col("new_id"),
         )
         a = new.select(
