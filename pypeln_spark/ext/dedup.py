@@ -616,6 +616,11 @@ class IncrementalLshIndex:
         union."""
         nov_sh = nov_sh.persist()
         nov_bands = nov_bands.persist()
+        # two separate count jobs, deliberately: fusing them into one
+        # union-scan action (to shave a job launch) measured SLOWER on
+        # both gates (A/B min-of-3 at sf0.1: 13.25→14.29s / 10.72→11.39s)
+        # — the union barrier serializes two subtrees that otherwise
+        # pipeline, and the second count reuses the first delta's cache
         nov_sh.count()
         nov_bands.count()
         self._own += [nov_sh, nov_bands]
