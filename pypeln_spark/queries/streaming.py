@@ -1165,6 +1165,13 @@ def streaming_incremental_dedup(spark, sf_dir):
         if batch_df.isEmpty():
             return
         D.retire_pipeline_caches()
+        # Catalyst shingle/signature path, deliberately NOT the numpy
+        # single-pass (shingle_sigs_np) that wins in the batch pipeline:
+        # measured bit-identical but SLOWER here at both sf0.1 (13.3 →
+        # 14.3s) and sf1 (37.7 → 49.7s) — inside foreachBatch every epoch
+        # pays the mapInPandas Python-worker/Arrow round trip fresh, and
+        # the epoch-sized fold volume never amortizes it the way the
+        # whole-corpus batch pipeline does
         new_sh = D.pool_persist(
             D.shingle_arrays(D.spread(batch_df), "text", "doc_id", 5)
         )
