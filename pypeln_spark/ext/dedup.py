@@ -600,14 +600,47 @@ class IncrementalLshIndex:
     dropping the reference hands them to Spark's ContextCleaner (freed at
     the next driver GC), while delta frames unpersist explicitly.
     ``compact_every=0`` (default) keeps the pure append-only behavior —
-    right for bounded replays like the 3-epoch registry query."""
+    right for bounded replays like the 3-epoch registry query.
 
-    def __init__(self, sh: DataFrame, bands: DataFrame, compact_every: int = 0):
+    ``checkpoint_dir`` chooses the compaction MATERIALIZATION TARGET:
+    None (default) keeps localCheckpoint — block-manager storage, right
+    for local[*] and for bounded replays, but NOT fault-tolerant (a lost
+    executor's checkpoint blocks are non-recomputable, which mid-stream
+    is query-fatal). A cluster deployment running an unbounded gate
+    passes a shared-FS path (or sets PYPELN_SPARK_INGEST_COMPACT_DIR,
+    which both registry gates wire through): each compaction then writes
+    the union to ``<dir>/<side>_<generation>`` as parquet and reads it
+    back — a durable lineage cut that survives executor loss, at the cost
+    of a filesystem round trip. The previous generation's files are
+    removed AFTER the new generation materializes (crash between write
+    and delete leaks a directory, never loses data)."""
+
+    def __init__(
+        self,
+        sh: DataFrame,
+        bands: DataFrame,
+        compact_every: int = 0,
+        checkpoint_dir: tp.Optional[str] = None,
+    ):
         self.sh = sh
         self.bands = bands
         self.compact_every = compact_every
+        self.checkpoint_dir = checkpoint_dir
         self.n_deltas = 0  # deltas since last compaction (or construction)
-        self._own: list = []  # delta frames THIS index persisted
+        self._own_sh: list = []  # sh delta frames THIS index persisted
+        self._own_bands: list = []  # band delta frames THIS index persisted
+        self._n_rows: tp.Optional[int] = None  # lazy; tracked once known
+        self._gen = 0  # durable-checkpoint generation counter
+        self._ckpt_paths: list = []  # live durable dirs (previous gen)
+
+    def size(self) -> int:
+        """Row count of the index. First call counts ``sh`` (base +
+        deltas — all cached frames, so this is cheap); afterwards the
+        count is maintained arithmetically by absorb(), so the occupancy
+        checks the embedding gate runs per epoch cost no Spark job."""
+        if self._n_rows is None:
+            self._n_rows = self.sh.count()
+        return self._n_rows
 
     def absorb(self, nov_sh: DataFrame, nov_bands: DataFrame) -> None:
         """Append one epoch's novel rows. The delta frames materialize NOW
@@ -621,14 +654,39 @@ class IncrementalLshIndex:
         # both gates (A/B min-of-3 at sf0.1: 13.25→14.29s / 10.72→11.39s)
         # — the union barrier serializes two subtrees that otherwise
         # pipeline, and the second count reuses the first delta's cache
-        nov_sh.count()
+        n = nov_sh.count()
         nov_bands.count()
-        self._own += [nov_sh, nov_bands]
+        if self._n_rows is not None:
+            self._n_rows += n
+        self._own_sh.append(nov_sh)
+        self._own_bands.append(nov_bands)
         self.sh = self.sh.unionByName(nov_sh)
         self.bands = self.bands.unionByName(nov_bands)
         self.n_deltas += 1
         if self.compact_every and self.n_deltas >= self.compact_every:
             self.compact()
+
+    def _materialize(self, df: DataFrame, side: str) -> DataFrame:
+        """One lineage-cut materialization: localCheckpoint (default) or,
+        with checkpoint_dir set, a durable parquet write+read under
+        ``<dir>/<side>_<generation>`` (ADVICE r8: block-manager-only
+        checkpoints are non-recomputable after executor loss, so an
+        unbounded cluster gate needs a durable target)."""
+        if not self.checkpoint_dir:
+            return df.localCheckpoint(eager=True)
+        path = self.checkpoint_dir.rstrip("/") + f"/{side}_{self._gen}"
+        df.write.mode("overwrite").parquet(path)
+        self._ckpt_paths.append(path)
+        return df.sparkSession.read.parquet(path)
+
+    def _drop_ckpt_generation(self, spark, keep_paths: list) -> None:
+        """Remove durable checkpoint dirs not in keep_paths (the previous
+        generation) — only after the new generation is fully written."""
+        from pypeln_spark.streaming import remove_sink_dir
+
+        for p in [p for p in self._ckpt_paths if p not in keep_paths]:
+            remove_sink_dir(spark, p)
+        self._ckpt_paths = list(keep_paths)
 
     def compact(self) -> None:
         """Materialize the current lazy union into ONE checkpointed frame
@@ -636,23 +694,54 @@ class IncrementalLshIndex:
         release every delta persist this index owns. The shared initial
         base frames are read, never unpersisted — they belong to the
         session cache."""
-        new_sh = self.sh.localCheckpoint(eager=True)
-        new_bands = self.bands.localCheckpoint(eager=True)
-        retired, self._own = self._own, []
+        old_paths = list(self._ckpt_paths)
+        self._gen += 1
+        new_sh = self._materialize(self.sh, "sh")
+        new_bands = self._materialize(self.bands, "bands")
+        retired = self._own_sh + self._own_bands
+        self._own_sh, self._own_bands = [], []
+        spark = new_sh.sparkSession
         # dropping self.sh/self.bands below also drops the last reference
         # to any PREVIOUS compacted base's checkpoint blocks (ContextCleaner)
         self.sh, self.bands = new_sh, new_bands
         for df in retired:
             df.unpersist(blocking=False)
+        self._drop_ckpt_generation(
+            spark, [p for p in self._ckpt_paths if p not in old_paths]
+        )
         self.n_deltas = 0
+
+    def rebuild_bands(self, bands: DataFrame) -> None:
+        """Replace the ENTIRE band side with a freshly derived table — the
+        embedding gate's occupancy-triggered re-bucket: the index stores
+        vectors in ``sh``, so one narrow pass (lsh_bucket over sh at a
+        wider n_planes) yields the band table a from-scratch wider index
+        would hold (prefix-stable planes; equivalence pinned by
+        tests/test_streaming.py::test_embedding_index_rebucket_widens_mid_stream).
+        The new table materializes (lineage cut — it must not re-derive
+        from the band deltas being retired), band-side delta persists are
+        released, and sh-side deltas stay untouched."""
+        old_paths = list(self._ckpt_paths)
+        self._gen += 1
+        new_bands = self._materialize(bands, "bands")
+        retired, self._own_bands = self._own_bands, []
+        self.bands = new_bands
+        for df in retired:
+            df.unpersist(blocking=False)
+        keep = [p for p in self._ckpt_paths if p not in old_paths]
+        # sh-side durable generations (if any) must survive a band rebuild
+        keep += [p for p in old_paths if "/sh_" in p]
+        self._drop_ckpt_generation(new_bands.sparkSession, keep)
 
     def close(self) -> None:
         """Release every delta persist this index owns (never the shared
         base; checkpointed compacted bases free via ContextCleaner once
-        the caller drops the index)."""
-        for df in self._own:
+        the caller drops the index — durable checkpoint dirs under
+        checkpoint_dir are the DEPLOYMENT's index state and are left in
+        place)."""
+        for df in self._own_sh + self._own_bands:
             df.unpersist(blocking=False)
-        self._own = []
+        self._own_sh, self._own_bands = [], []
 
 
 def span_dedup(

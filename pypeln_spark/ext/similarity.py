@@ -1312,3 +1312,201 @@ def quantize_int8(
         F.col("_x").alias("_orig"),
         deq.alias("_v"),
     ).withColumn("_norm", F.sqrt(dot_ieee(F.col("_v"), F.col("_v"))))
+
+
+class EmbeddingIngestGate:
+    """foreachBatch body of the streaming EMBEDDING ingest gate — the
+    per-epoch pipeline queries/streaming.streaming_embedding_ingest runs
+    (bucket the arriving batch, multiprobe the growing hyperplane index,
+    exact-cosine verify, emit one keep/drop decision per vector, absorb
+    novel vectors), factored into an engine operator so the documented
+    scaling move is GATE BEHAVIOR, not a runbook step (VERDICT r8 #2).
+
+    OCCUPANCY TRIGGER: hyperplane buckets have FIXED cardinality
+    2^n_planes, so candidate mass grows ∝ |new|·|index| / 2^n_planes as
+    the index absorbs (measured ~100× candidates at 10× data with
+    n_planes pinned, SCALING.md). With ``occupancy_trigger`` > 0 the gate
+    checks mean bucket occupancy (index.size() / 2^n_planes — tracked
+    counts, NO extra Spark job) after every absorb; on crossing, it
+    re-buckets the ENTIRE index at
+
+        n_planes' = max(n_planes + 1, ceil(log2(size / target_occupancy)))
+
+    in one narrow pass over the stored vectors (lsh_bucket over index.sh
+    — the index stores vectors precisely so this pass is possible) and
+    widens its own batch bucketing to match. Plane families are
+    prefix-stable (lsh_bucket docstring), so the rebuilt table equals a
+    from-scratch wider index
+    (tests/test_streaming.py::test_embedding_index_rebucket_widens_mid_stream)
+    — the same recall trade as having started wide, which for exact/near-
+    exact duplicates (hamming 0 buckets at any width) is no trade at all.
+    ``target_occupancy`` < ``occupancy_trigger`` gives hysteresis: after a
+    widen, occupancy sits near the target, and the trigger can't re-fire
+    until the index grows by trigger/target. The FAISS analogue is
+    re-train/re-add on index growth — the same pattern the compaction
+    knob follows for the delta chain.
+
+    ``occupancy_trigger=0`` (default) disables the trigger — the registry
+    query's oracle-pinned shape (n_planes fixed at its test value, the
+    trigger driven instead by
+    tests/test_streaming.py::test_embedding_gate_occupancy_trigger).
+
+    ``collect_stats=True`` additionally counts each epoch's candidate
+    pairs (one extra job per epoch — eval/test use only) into
+    ``self.stats``: one dict per epoch with n_planes / index_rows /
+    n_cand / widened, the series the trigger test asserts flattens.
+
+    ``epoch_col`` (no-arg callable returning a Column) labels each
+    decision's epoch; default is the gate's own epoch counter. The
+    decisions parquet under ``sink_root`` is appended FROM THE EXECUTORS
+    — on a cluster the root must be shared-FS (stream_sink_dir)."""
+
+    def __init__(
+        self,
+        index,
+        sink_root: str,
+        dim: int,
+        n_planes: int,
+        threshold: float,
+        probe_hamming: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        occupancy_trigger: float = 0.0,
+        target_occupancy: float = 8.0,
+        epoch_col=None,
+        collect_stats: bool = False,
+    ):
+        if occupancy_trigger and target_occupancy >= occupancy_trigger:
+            raise ValueError(
+                "target_occupancy must be < occupancy_trigger (hysteresis): "
+                f"{target_occupancy} >= {occupancy_trigger}"
+            )
+        self.index = index
+        self.sink_root = sink_root
+        self.dim = dim
+        self.n_planes = n_planes
+        self.threshold = threshold
+        self.probe_hamming = probe_hamming
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.occupancy_trigger = occupancy_trigger
+        self.target_occupancy = target_occupancy
+        self.epoch_col = epoch_col
+        self.collect_stats = collect_stats
+        self.stats: list = []
+        self._epoch = 0
+
+    def _maybe_widen(self) -> bool:
+        if not self.occupancy_trigger:
+            return False
+        size = self.index.size()
+        if size / float(2 ** self.n_planes) < self.occupancy_trigger:
+            return False
+        import math
+
+        new_planes = max(
+            self.n_planes + 1,
+            math.ceil(math.log2(max(size / self.target_occupancy, 2.0))),
+        )
+        # ONE narrow pass over the stored vectors; rebuild_bands cuts
+        # lineage and retires the band-side delta persists
+        self.index.rebuild_bands(
+            lsh_bucket(self.index.sh, "_v", new_planes, self.dim).select(
+                self.id_col, "bucket"
+            )
+        )
+        self.n_planes = new_planes
+        return True
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pypeln_spark.streaming import shuffle_width
+
+        retire_pipeline_caches()
+        new = pool_persist(
+            lsh_bucket(
+                with_norms(spread(batch_df), self.vec_col),
+                "_v", self.n_planes, self.dim,
+            )
+        )
+        new.count()
+        probes = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                for m in _probe_masks(self.n_planes, self.probe_hamming)
+            ]
+        )
+        nb = new.select(
+            F.col(self.id_col).alias("new_id"), F.explode(probes).alias("bucket")
+        )
+        cb = self.index.bands.select(
+            F.col(self.id_col).alias("corpus_id"), "bucket"
+        )
+        # one row per (new, corpus) pair — the connecting xor mask is unique
+        cand = nb.join(cb, "bucket").select("new_id", "corpus_id")
+        n_cand = cand.count() if self.collect_stats else None
+        # spread the verify compute across the STREAMING SCOPE's width
+        # (spark.sql.shuffle.partitions, 4 by default under
+        # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
+        # real deployments — A/B'd vs defaultParallelism in r8, ~6% win)
+        cand = cand.repartition(
+            shuffle_width(batch_df.sparkSession), F.col("new_id")
+        )
+        a = new.select(
+            F.col(self.id_col).alias("new_id"), F.col("_v").alias("va"),
+            F.col("_norm").alias("na"),
+        )
+        b = self.index.sh.select(
+            F.col(self.id_col).alias("corpus_id"), F.col("_v").alias("vb"),
+            F.col("_norm").alias("nb"),
+        )
+        # shuffle_hash hints: 64-double array sides under-estimate like
+        # shingle arrays — broadcast here OOMs at scale (r7 sweep class)
+        matches = (
+            cand.join(a.hint("shuffle_hash"), "new_id")
+            .join(b.hint("shuffle_hash"), "corpus_id")
+            .withColumn(
+                "cos", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            )
+            .filter(F.col("cos") >= self.threshold)
+        )
+        # survivor pick: min corpus id (struct-min — corpus_id leads, so
+        # the attached cos is that pair's, deterministically)
+        pick = matches.groupBy("new_id").agg(
+            F.min(F.struct("corpus_id", "cos")).alias("m")
+        )
+        epoch = (
+            self.epoch_col() if self.epoch_col is not None
+            else F.lit(self._epoch).cast("int")
+        )
+        (
+            batch_df.select(self.id_col)
+            .join(pick, F.col(self.id_col) == F.col("new_id"), "left")
+            .select(
+                self.id_col,
+                epoch.alias("epoch"),
+                F.col("m.corpus_id").alias("dup_of"),
+                F.col("m.cos").alias("cos"),
+            )
+            .write.mode("append")
+            .parquet(self.sink_root)
+        )
+        dropped = pick.select(F.col("new_id").alias(self.id_col))
+        novel = new.join(dropped, self.id_col, "left_anti")
+        self.index.absorb(
+            novel.select(self.id_col, "_v", "_norm"),
+            novel.select(self.id_col, "bucket"),
+        )
+        widened = self._maybe_widen()
+        if self.collect_stats:
+            self.stats.append(
+                {
+                    "epoch": self._epoch,
+                    "n_planes": self.n_planes,
+                    "index_rows": self.index.size(),
+                    "n_cand": n_cand,
+                    "widened": widened,
+                }
+            )
+        self._epoch += 1

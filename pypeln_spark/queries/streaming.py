@@ -1159,6 +1159,7 @@ def streaming_incremental_dedup(spark, sf_dir):
         cor_sh,
         cor_bands,
         compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "0")),
+        checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
     )
 
     def gate(batch_df, epoch_id):
@@ -1199,10 +1200,11 @@ def streaming_incremental_dedup(spark, sf_dir):
         # defaultParallelism=32 here, contradicting the r7 negative
         # result inside its own epoch: 32 tasks on |docs|/6-row epochs is
         # task-launch overhead (A/B min-of-3 at sf0.1: both gates ~6%
-        # faster scope-sized; layout-only, decisions unchanged)
+        # faster scope-sized; layout-only, decisions unchanged).
+        # ST.shuffle_width guards the conf parse (ADVICE r8: managed
+        # runtimes may set the conf non-numeric, e.g. "auto")
         cand = cand.repartition(
-            int(batch_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            F.col("new_id"),
+            ST.shuffle_width(batch_df.sparkSession), F.col("new_id")
         )
         a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("sh_a"))
         b = index.sh.select(
@@ -1369,14 +1371,23 @@ def streaming_embedding_ingest(spark, sf_dir):
     log2(index_size / target_bucket_occupancy) and re-buckets the index
     as it grows (cheap: one narrow pass, the index stores vectors). The
     oracle unrolls the three epochs and replays bucketing, the multiprobe
-    predicate, verification, survivor pick AND the absorb step."""
+    predicate, verification, survivor pick AND the absorb step.
+
+    SELF-MANAGED since r9 (VERDICT r8 #2): the sizing rule is wired INTO
+    the gate — ext/similarity.EmbeddingIngestGate checks mean bucket
+    occupancy after every absorb (tracked counts, no extra job) and
+    re-buckets the whole index wider when it crosses
+    PYPELN_SPARK_EMB_GATE_OCCUPANCY (default 0 = disabled HERE, because
+    the oracle replays the fixed n_planes=6 shape; the trigger itself is
+    driven by tests/test_streaming.py::test_embedding_gate_occupancy_trigger
+    on a growing synthetic stream, asserting the widen fires, decisions
+    match the never-widened gate, and candidate growth flattens)."""
     import os
 
     from pyspark.sql import types as T
 
     from pypeln_spark.ext import dedup as D
     from pypeln_spark.ext import similarity as S
-    from pypeln_spark.ext.similarity import dot_ieee
 
     from .similarity import DIM, N_PLANES, NEAR_DUP_T
 
@@ -1394,6 +1405,7 @@ def streaming_embedding_ingest(spark, sf_dir):
         cor.select("vec_id", "_v", "_norm"),
         cor.select("vec_id", "bucket"),
         compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "0")),
+        checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
     )
 
     root = ST.stream_sink_dir("pypeln_spark_embingest_")
@@ -1409,76 +1421,13 @@ def streaming_embedding_ingest(spark, sf_dir):
         "append"
     ).parquet(root)
 
-    def gate(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
-        D.retire_pipeline_caches()
-        new = D.pool_persist(
-            S.lsh_bucket(S.with_norms(D.spread(batch_df)), "_v", N_PLANES, DIM)
-        )
-        new.count()
-        probes = F.array(
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
-                for m in S._probe_masks(N_PLANES, 1)
-            ]
-        )
-        nb = new.select(
-            F.col("vec_id").alias("new_id"), F.explode(probes).alias("bucket")
-        )
-        cb = index.bands.select(F.col("vec_id").alias("corpus_id"), "bucket")
-        # one row per (new, corpus) pair — the connecting xor mask is unique
-        cand = nb.join(cb, "bucket").select("new_id", "corpus_id")
-        # spread the verify compute across the STREAMING SCOPE's width
-        # (spark.sql.shuffle.partitions, 4 by default under
-        # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
-        # real deployments) — the first cut pinned local
-        # defaultParallelism=32 here, contradicting the r7 negative
-        # result inside its own epoch: 32 tasks on |docs|/6-row epochs is
-        # task-launch overhead (A/B min-of-3 at sf0.1: both gates ~6%
-        # faster scope-sized; layout-only, decisions unchanged)
-        cand = cand.repartition(
-            int(batch_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            F.col("new_id"),
-        )
-        a = new.select(
-            F.col("vec_id").alias("new_id"), F.col("_v").alias("va"),
-            F.col("_norm").alias("na"),
-        )
-        b = index.sh.select(
-            F.col("vec_id").alias("corpus_id"), F.col("_v").alias("vb"),
-            F.col("_norm").alias("nb"),
-        )
-        matches = (
-            cand.join(a.hint("shuffle_hash"), "new_id")
-            .join(b.hint("shuffle_hash"), "corpus_id")
-            .withColumn(
-                "cos", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-            )
-            .filter(F.col("cos") >= NEAR_DUP_T)
-        )
-        pick = matches.groupBy("new_id").agg(
-            F.min(F.struct("corpus_id", "cos")).alias("m")
-        )
-        (
-            batch_df.select("vec_id")
-            .join(pick, F.col("vec_id") == F.col("new_id"), "left")
-            .select(
-                "vec_id",
-                F.expr("CAST(((vec_id % 6) - 1) DIV 2 AS INT)").alias("epoch"),
-                F.col("m.corpus_id").alias("dup_of"),
-                F.col("m.cos").alias("cos"),
-            )
-            .write.mode("append")
-            .parquet(root)
-        )
-        dropped = pick.select(F.col("new_id").alias("vec_id"))
-        novel = new.join(dropped, "vec_id", "left_anti")
-        index.absorb(
-            novel.select("vec_id", "_v", "_norm"),
-            novel.select("vec_id", "bucket"),
-        )
-
+    gate = S.EmbeddingIngestGate(
+        index, root, DIM, N_PLANES, NEAR_DUP_T, probe_hamming=1,
+        occupancy_trigger=float(
+            os.environ.get("PYPELN_SPARK_EMB_GATE_OCCUPANCY", "0")
+        ),
+        epoch_col=lambda: F.expr("CAST(((vec_id % 6) - 1) DIV 2 AS INT)"),
+    )
     ST.staged_foreach_batch(spark, epochs, gate)
     D.retire_pipeline_caches()
     index.close()

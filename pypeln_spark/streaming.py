@@ -68,6 +68,19 @@ def remove_sink_dir(spark: SparkSession, path: str) -> None:
         pass
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """The live session's spark.sql.shuffle.partitions as an int — the
+    width the ingest gates size their verify repartition to (the streaming
+    scope's setting under _stream_partitions). GUARDED (ADVICE r8): some
+    managed runtimes set the conf to a non-numeric value ("auto"), which a
+    bare int() turns into a query-fatal ValueError inside foreachBatch;
+    fall back to defaultParallelism, the pre-r8 sizing."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def read_stream_parquet(
     spark: SparkSession,
     path: str,

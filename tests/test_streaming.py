@@ -1113,3 +1113,127 @@ def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch
     # the planted absorb matches must actually be present in both gates
     assert any(r[0] == 3 and r[2] == 7 for r in base_txt)
     assert any(r[0] == 3 and r[2] == 7 for r in base_emb)
+
+
+def test_shuffle_width_guarded(spark, monkeypatch):
+    """ADVICE r8: the gates' verify repartition must not assume
+    spark.sql.shuffle.partitions parses as an int — managed runtimes may
+    set it to "auto". Numeric passes through; non-numeric falls back to
+    defaultParallelism."""
+    assert ST.shuffle_width(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    monkeypatch.setattr(type(spark.conf), "get", lambda self, k, d=None: "auto")
+    assert ST.shuffle_width(spark) == spark.sparkContext.defaultParallelism
+
+
+def test_incremental_index_durable_checkpoint(spark, tmp_path):
+    """ADVICE r8: localCheckpoint blocks are non-recomputable after
+    executor loss, so unbounded cluster gates need a DURABLE compaction
+    target. With checkpoint_dir set, each compaction writes the union as
+    parquet under <dir>/<side>_<gen> and reads it back; the previous
+    generation is removed only after the new one materializes; contents
+    stay the naive base∪deltas union."""
+    from pypeln_spark.ext import dedup as D
+
+    ckpt = str(tmp_path / "idx_ckpt")
+    os.makedirs(ckpt)
+
+    def mk(ids, tag):
+        return spark.createDataFrame(
+            [(i, f"{tag}{i}") for i in ids], "doc_id long, payload string"
+        )
+
+    idx = D.IncrementalLshIndex(
+        mk(range(5), "b"), mk(range(5), "b"),
+        compact_every=1, checkpoint_dir=ckpt,
+    )
+    idx.absorb(mk(range(10, 13), "d"), mk(range(10, 13), "d"))
+    assert {"sh_1", "bands_1"} <= set(os.listdir(ckpt))
+    idx.absorb(mk(range(20, 22), "e"), mk(range(20, 22), "e"))
+    names = set(os.listdir(ckpt))
+    assert {"sh_2", "bands_2"} <= names
+    assert "sh_1" not in names and "bands_1" not in names  # prior gen gone
+    want = (
+        {(i, f"b{i}") for i in range(5)}
+        | {(i, f"d{i}") for i in range(10, 13)}
+        | {(i, f"e{i}") for i in range(20, 22)}
+    )
+    assert {(r.doc_id, r.payload) for r in idx.sh.collect()} == want
+    assert {(r.doc_id, r.payload) for r in idx.bands.collect()} == want
+    # the durable dirs are the deployment's index state: close() keeps them
+    idx.close()
+    assert {"sh_2", "bands_2"} <= set(os.listdir(ckpt))
+
+
+def test_embedding_gate_occupancy_trigger(spark, tmp_path):
+    """VERDICT r8 #2, end-to-end: on a growing synthetic stream the gate
+    (a) fires its occupancy-triggered re-bucket, (b) emits decisions
+    IDENTICAL to the never-widened gate — planted duplicates are
+    same-vector, bucket-hamming-0 at any width, so the widen costs them
+    nothing — and (c) the widened gate's candidate growth flattens where
+    the fixed-width gate's keeps climbing with |new|·|index|/2^n."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 16
+    rng = random.Random(11)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+    base_rows = [(i, vec()) for i in range(300)]
+    planted_of = dict(base_rows[:2])  # vectors 0 and 1, replanted later
+    epoch_rows = []
+    for e, lo in enumerate((1000, 2000, 3000)):
+        rows = [(lo + j, vec()) for j in range(200)]
+        rows[0] = (lo, planted_of[e % 2])  # dup of a CORPUS vector
+        if e > 0:
+            # dup of the PREVIOUS epoch's novel vector 
+            rows[1] = (lo + 1, epoch_rows[e - 1][5][1])
+        epoch_rows.append(rows)
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(base_rows, schema)
+    epochs = [spark.createDataFrame(r, schema) for r in epoch_rows]
+
+    def run(trigger):
+        root = str(tmp_path / f"sink_{int(trigger)}")
+        cor = S.lsh_bucket(S.with_norms(S.spread(base)), "_v", 2, DIM)
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"), cor.select("vec_id", "bucket")
+        )
+        gate = S.EmbeddingIngestGate(
+            idx, root, DIM, n_planes=2, threshold=0.95, probe_hamming=1,
+            occupancy_trigger=(16.0 if trigger else 0.0),
+            target_occupancy=4.0, collect_stats=True,
+        )
+        for i, ep in enumerate(epochs):
+            gate(ep, i)
+        out = {
+            (r.vec_id): (r.epoch, r.dup_of, r.cos)
+            for r in spark.read.parquet(root).collect()
+        }
+        D.retire_pipeline_caches()
+        idx.close()
+        return gate, out
+
+    fixed_gate, fixed_out = run(False)
+    trig_gate, trig_out = run(True)
+    # (a) exactly one widen fires (hysteresis: occupancy lands at ~target
+    # and can't re-cross trigger within these three epochs)
+    assert [s["widened"] for s in fixed_gate.stats] == [False] * 3
+    assert sum(s["widened"] for s in trig_gate.stats) == 1
+    assert trig_gate.n_planes >= 7 > 2 == fixed_gate.n_planes
+    # (b) decisions identical — the planted dups all caught in both
+    assert trig_out == fixed_out
+    assert fixed_out[1000][1] == 0 and fixed_out[2000][1] == 1
+    assert fixed_out[3000][1] == 0
+    assert fixed_out[2001][1] == 1005  # cross-epoch absorption match
+    assert fixed_out[3001][1] == 2005
+    # (c) candidate growth flattens: post-widen epochs probe 2^7+ buckets
+    # instead of 4, so the widened gate's candidate count drops by ~an
+    # order of magnitude while the fixed gate's keeps growing
+    assert trig_gate.stats[2]["n_cand"] * 3 < fixed_gate.stats[2]["n_cand"]
+    assert fixed_gate.stats[2]["n_cand"] > fixed_gate.stats[0]["n_cand"]
