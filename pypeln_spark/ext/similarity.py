@@ -304,6 +304,7 @@ def ivf_assign(
     n_cells: int,
     keep: int = 1,
     id_col: str = "vec_id",
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``keep`` nearest centroid cells by cosine
     (deterministic tiebreak: centroid id). ``vecs``/``centroids`` are
@@ -317,7 +318,10 @@ def ivf_assign(
     but partial-aggregated: the n_cells-wide crossjoin collapses map-side
     to one row per vector BEFORE any exchange, where the window would
     shuffle+sort all n_cells×|corpus| scored rows. keep>1 (query probing —
-    the small side) keeps the window."""
+    the small side) keeps the window. ``with_rank`` (keep>1 only) retains
+    the probe rank column ``crank`` so a multi-nprobe eval can assign ONCE
+    at the largest nprobe and carve each arm with a filter
+    (ann_recall_eval_nprobe) instead of re-assigning per arm."""
     c = centroids.select(
         F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
     )
@@ -345,11 +349,11 @@ def ivf_assign(
             )
         )
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= keep)
-        .select(id_col, "_v", "_norm", "cid")
+    ranked = scored.withColumn("crank", F.row_number().over(w)).filter(
+        F.col("crank") <= keep
     )
+    cols = [id_col, "_v", "_norm", "cid"] + (["crank"] if with_rank else [])
+    return ranked.select(*cols)
 
 
 def kmeans_centroids(
@@ -622,6 +626,7 @@ def near_dup_lsh(
     n_planes: int = 6,
     dim: int | None = None,
     probe_hamming: int = 0,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """The BUCKETED production twin of near_dup_pairs: candidate pairs are
     limited to vectors sharing an LSH hyperplane bucket (self-equi-join on
@@ -648,11 +653,22 @@ def near_dup_lsh(
     bucket assignment AND the recall loss itself are value-checked.
     Output: (id_a < id_b, cos ≥ threshold). The bucketed frame persists
     (pool): both self-join sides read it, and the plane-dot fold is the
-    expensive projection."""
-    retire_pipeline_caches()
-    n = pool_persist(
-        lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim)
-    )
+    expensive projection.
+
+    ``bucketed`` (ADVICE r8): a caller running SEVERAL probe arms over
+    the SAME corpus (embedding_near_dup_recall_eval) passes its own
+    pooled lsh_bucket frame (columns id_col, _v, _norm, bucket) — the
+    operator then neither re-buckets nor retires the pipeline pool, so
+    the arms share one cached frame instead of each arm's entry evicting
+    the previous arm's (which made a 3-arm eval compute every arm cold
+    and the quadratic exact baseline 3×)."""
+    if bucketed is not None:
+        n = bucketed
+    else:
+        retire_pipeline_caches()
+        n = pool_persist(
+            lsh_bucket(with_norms(spread(emb), vec_col), "_v", n_planes, dim)
+        )
     a = n.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
         F.col("_norm").alias("na"), "bucket",

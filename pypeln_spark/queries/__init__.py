@@ -51,84 +51,83 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-8 rotation — EXACTLY 50 names (the driver samples 50;
+# Round-9 rotation — EXACTLY 50 names (the driver samples 50;
 # tests/test_correctness_gate.py::test_driver_window_rotation_invariants
-# pins the size, the no-duplicates rule, front-of-registry equality, and
-# that every never-driver-checked query sits inside the window). The
-# registry holds 202 entries, 202/202 ever-driver-green, zero failures.
-# The front 50 is (a) the eight entries the r7 window left out (the 7
-# r3-stale plus search_tfidf_cosine_topk, whose code was touched in r7)
-# — VERDICT r7 #1 puts them at positions 1-8; (b) the 11 greens whose
-# CODE changed in r8 (two-arm simhash/near-dup recall evals; the 5-arm
-# IVF quantizer eval; the three streaming harnesses on the configurable
-# sink root, the ingest gate also on IncrementalLshIndex; the pruned
-# TF-IDF eval after the champions-mode retire fix; simhash_near_pairs /
-# near_dup_lsh gained inert tables=/probe_hamming= params, default paths
-# plan-identical; ann_ivf_kmeans_topk and semantic_dedup_pairs consume
-# the re-keyed kmeans artifact — same training spec, values identical);
-# plus streaming_embedding_ingest, ADDED in r8 (never driver-checked —
-# must debut inside the window); then (c) 30 of the 49 r4-stale entries
-# in registry order. NOTE: with 203 entries and a 50-slot window, full
-# coverage takes 5 rounds — the 19 r4 entries that didn't fit
-# (merge_upsert_orders through streaming_interval_left_join, plus
-# q21_waiting_suppliers, see git log r8) go FIRST in r9, ahead of
-# anything newer. ALL 203 entries stay covered every session by the
-# local DuckDB gate (tests/test_correctness_gate.py).
+# pins the size, the no-duplicates rule, front-of-registry equality,
+# that every never-driver-checked query sits inside the window, AND —
+# restated per VERDICT r8 #1 — the ACHIEVABLE freshness invariant: with
+# 205 entries and a 50-slot window, full coverage takes a 5-round cycle,
+# so the mechanical rule is "every entry whose last driver check is 4+
+# rounds old goes in the window, oldest-first" (also test-pinned). The
+# registry holds 205 entries (203 from r8 plus the two r9 debuts),
+# 203/203 ever-driver-green, zero failures. The front 50 is (a) the 19
+# r4-stale entries the r8 window couldn't fit — VERDICT r8 #1 puts them
+# at positions 1-19; (b) the two r9 debuts (dedup_simhash_near_pairs_wide,
+# ann_recall_eval_nprobe — never driver-checked, must debut inside the
+# window); (c) the 5 greens whose CODE changed in r9 (the two ingest
+# gates — EmbeddingIngestGate refactor + occupancy trigger, durable
+# compact target, guarded verify-width parse; embedding_near_dup_recall_eval
+# on shared pooled frames; embedding_near_dup_lsh via near_dup_lsh's new
+# bucketed= param, default path unchanged; ann_ivf_topk as the keep>1
+# representative of ivf_assign's inert with_rank= param); then (d) 24 of
+# the 48 r5-stale entries in registry order — the remaining 24 go FIRST
+# in r10, ahead of anything newer. ALL 205 entries stay covered every
+# session by the local DuckDB gate (tests/test_correctness_gate.py).
 _PRIORITY = [
-    # -- (a) the eight the r7 window left out (VERDICT r7 #1) --
-    "text_top_tokens",
-    "text_tfidf_top_terms",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "sketch_bloom_filter_probe",
-    "streaming_cms_daily_heavy_hitters",
-    "streaming_hll_daily_distinct",
-    "search_tfidf_cosine_topk",
-    # -- (b) greens whose code changed in r8 --
-    "dedup_simhash_recall_eval",
-    "embedding_near_dup_recall_eval",
-    "ann_recall_eval_ivf_kmeans",
-    "streaming_incremental_dedup",
-    "streaming_asof_static_enrich",
-    "streaming_merge_upsert_orders",
-    "search_tfidf_pruned_recall_eval",
-    "dedup_simhash_near_pairs",
-    "embedding_near_dup_lsh",
-    "ann_ivf_kmeans_topk",
-    "semantic_dedup_pairs",
-    # -- (b') added in r8, never driver-checked --
+    # -- (a) the 19 r4-stale entries left out of the r8 window --
+    "q21_waiting_suppliers",
+    "merge_upsert_orders",
+    "recursive_cte_ancestry",
+    "variant_nested_event_doc",
+    "variant_props_rollup",
+    "streaming_variant_props_rollup",
+    "quality_expectations_lineitem",
+    "quality_profile_orders",
+    "ivm_orders_priority_merge",
+    "quality_table_diff_orders",
+    "events_value_anomalies",
+    "events_rolling_24h_stats",
+    "histogram_equi_depth_by_type",
+    "bloom_pruned_join_revenue",
+    "zorder_layout_events",
+    "graph_triangles_part_cooccurrence",
+    "streaming_funnel_stages",
+    "asof_join_with_tolerance",
+    "streaming_interval_left_join",
+    # -- (b) added in r9, never driver-checked --
+    "dedup_simhash_near_pairs_wide",
+    "ann_recall_eval_nprobe",
+    # -- (c) greens whose code changed in r9 --
     "streaming_embedding_ingest",
-    # -- (c) the r4-stale cohort, registry order (30 of 49 fit) --
-    "pipeline_datasource_source",
-    "pipeline_flat_map_udtf",
-    "pipeline_observe_metrics",
-    "curation_source_mix",
-    "text_unigram_lm_quality",
-    "ann_pq_adc_topk",
-    "ann_knn_classify",
-    "ann_ivf_pq_topk",
-    "q4_order_priority_checking",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
-    "events_retention_cohorts",
-    "full_outer_month_spenders",
-    "group_map_median_chars",
-    "group_agg_udaf_midrange",
-    "fuzzy_join_supplier_names",
-    "events_gapfill_hourly",
-    "events_scd2_status_intervals",
-    "window_distribution_gauntlet",
-    "q2_min_cost_supplier",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_part_values",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_volume_suppliers",
+    "streaming_incremental_dedup",
+    "embedding_near_dup_recall_eval",
+    "embedding_near_dup_lsh",
+    "ann_ivf_topk",
+    # -- (d) the r5-stale cohort, registry order (24 of 48 fit) --
+    "pipeline_map_revenue",
+    "pipeline_map_python_udf",
+    "pipeline_map_rows_python",
+    "pipeline_filter_shipdate",
+    "pipeline_flat_map_tokens",
+    "pipeline_flat_map_python",
+    "pipeline_concat_parties",
+    "pipeline_ordered_lineitem",
+    "pipeline_unbounded_pump",
+    "multimodal_real_decode_pnm",
+    "multimodal_real_decode_wav",
+    "multimodal_video_frame_sample",
+    "multimodal_asset_feature_stats",
+    "curation_token_budget",
+    "curation_temperature_weights",
+    "dedup_containment_pairs",
+    "dedup_incremental_vs_corpus",
+    "embedding_quantize_int8",
+    "search_hybrid_rrf",
+    "ann_recall_eval_ivf",
+    "ann_recall_eval_lsh",
+    "subquery_orders_above_avg",
+    "correlated_max_quantity_items",
+    "grouping_sets_orders",
 ]
 
 

@@ -338,9 +338,82 @@ def dedup_simhash_fingerprints(spark, sf_dir):
 def dedup_simhash_near_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3). Spark avoids O(n²) via the
     4-byte pigeonhole band join; the oracle's brute-force scan proves the
-    banding loses nothing."""
+    banding loses nothing.
+
+    DELIBERATELY tables=1 (ADVICE r8 — an earlier commit message
+    overstated a 'tables=4 production pin'): at hd ≤ 3 a SINGLE table is
+    pigeonhole-COMPLETE (3 flips leave ≥1 of 4 bytes intact), so extra
+    permutation tables add 4× candidate-explode cost and exactly zero
+    recall. The multi-table path earns its cost only past the guarantee —
+    that production shape is dedup_simhash_near_pairs_wide (hd ≤ 5,
+    tables=4) below, with its capture measured by
+    dedup_simhash_recall_eval."""
     (docs,) = tables(spark, sf_dir, "documents")
     return D.simhash_near_pairs(D.simhash_fingerprints(docs))
+
+
+@register(
+    "dedup_simhash_near_pairs_wide",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {_TH} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    contrib AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    ),
+    keysm AS (
+      SELECT doc_id,
+             t * 1024 + b * 256 +
+             SUM(((simhash >> CAST((mult * (8 * b + j) + boff) % 32 AS INT)) & 1)
+                 * (1 << CAST(j AS INT))) AS k
+      FROM fp
+      CROSS JOIN (VALUES (0, 1, 0), (1, 5, 7), (2, 7, 14), (3, 11, 21))
+                 tabs(t, mult, boff)
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      GROUP BY doc_id, t, b
+    ),
+    candm AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keysm a JOIN keysm b ON a.k = b.k AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+    FROM candm c
+    JOIN fp fa ON fa.doc_id = c.id_a
+    JOIN fp fb ON fb.doc_id = c.id_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 5
+    """,
+)
+def dedup_simhash_near_pairs_wide(spark, sf_dir):
+    """The WIDENED-RECALL production SimHash path (VERDICT r8 #6):
+    hamming ≤ 5 with tables=4 — the setting a deployment actually runs
+    for near-dup TEXT, where hd 4-5 pairs matter and one table's capture
+    decays (measured 0.91/0.75 at hd 4/5; 4 affine permutation tables
+    lift both to 1.00 at sf0.01, dedup_simhash_recall_eval / SCALING.md).
+    Candidate volume ∝ T on the explode side, the join stays a scalar-key
+    equi-join (plan-pinned by tests/test_plans.py).
+
+    Past the hd ≤ 3 pigeonhole guarantee the banding is APPROXIMATE, so
+    the oracle replays the CANDIDATE STAGE itself (the 4-table affine
+    key derivation, frozen constants from ext/dedup.SIMHASH_TABLE_A/B)
+    rather than a brute-force scan — the capture loss, if any, is part
+    of the verified contract, exactly like embedding_near_dup_lsh's
+    bucket replay."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        D.simhash_fingerprints(docs), max_hamming=5, tables=4
+    )
 
 
 @register(

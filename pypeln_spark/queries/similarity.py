@@ -501,17 +501,34 @@ def embedding_near_dup_recall_eval(spark, sf_dir):
     hamming(bucket_a, bucket_b) ≤ h, which is what the oracle replays;
     the capture each probe shell buys at mid-cosine is a side-by-side
     number. Verified-LSH output is exact ∩ candidates by construction,
-    so recall needs no second verify pass."""
+    so recall needs no second verify pass.
+
+    Shared-frame discipline (ADVICE r8): the three arms previously each
+    recomputed the quadratic exact baseline AND evicted each other's
+    pooled bucketed frame (near_dup_lsh retires the pool at entry, and
+    the union evaluates in ONE action at the end — so arms 0/1 ran fully
+    cold). Now the eval retires once, pool-persists the bucketed frame
+    and the exact pair set with eager counts (simhash_capture_table's
+    pattern), and hands the bucketed frame to each arm via near_dup_lsh's
+    ``bucketed`` parameter."""
     from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import dedup as D
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % NEARDUP_SAMPLE_MOD == 0)
+    D.retire_pipeline_caches()
+    bktd = D.pool_persist(
+        S.lsh_bucket(S.with_norms(S.spread(sample)), "_v", N_PLANES, DIM)
+    )
+    bktd.count()  # eager — all three arms' self-join sides consume it
+    exact = D.pool_persist(S.near_dup_pairs(sample, threshold=NEAR_DUP_T))
+    exact.count()  # eager — one recall rollup per arm consumes it
 
     def arm(ph: int):
-        exact = S.near_dup_pairs(sample, threshold=NEAR_DUP_T)
         cand = S.near_dup_lsh(
             sample, threshold=NEAR_DUP_T, n_planes=N_PLANES, dim=DIM,
-            probe_hamming=ph,
+            probe_hamming=ph, bucketed=bktd,
         ).select("id_a", "id_b")
         hit = cand.withColumn("hit", F.lit(1))
         return (
@@ -1464,6 +1481,159 @@ def _recall_table(ex, approx):
             F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
         )
     )
+
+
+NPROBE_ARMS = (2, 4, 8)
+
+
+def _nprobe_recall_oracle() -> str:
+    """The nprobe-axis oracle (VERDICT r8 #4): kmeans quantizer, DISJOINT
+    queries (the confound-free setting), one shared assignment, one
+    probes/topk/recall/n_scored chain per nprobe arm. n_scored replays
+    the arm's CANDIDATE COST — the corpus rows the probe join scores per
+    query — so the recall-vs-cost tradeoff is itself value-checked."""
+    q_pred = f"vec_id >= {DQ_LO} AND vec_id < {DQ_HI}"
+    q_pred_q = f"q.vec_id >= {DQ_LO} AND q.vec_id < {DQ_HI}"
+    ctes = f"""WITH {_E_CTE},
+    {_KM_CTE},
+    ex_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_dot("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id)
+                 AS rank
+        FROM n q JOIN n c ON {q_pred_q} AND q.vec_id <> c.vec_id)
+      WHERE rank <= {K}
+    ),
+    ascore AS (
+      SELECT x.vec_id, x.v, x.nrm, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_dot("x.v", "c.cv")} / (x.nrm * c.cn) DESC, c.cid)
+               AS crank
+      FROM n x JOIN {_KM_FINAL} c ON TRUE
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM ascore WHERE crank = 1)"""
+    arms = []
+    for a in NPROBE_ARMS:
+        ctes += f""",
+    probes_{a} AS (SELECT vec_id, v, nrm, cid FROM ascore
+                   WHERE crank <= {a} AND {q_pred}),
+    scored_{a} AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM probes_{a} q JOIN cells c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+    ),
+    iv_top_{a} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored_{a})
+      WHERE rank <= {K}
+    ),
+    nsc_{a} AS (SELECT query_id, COUNT(*) AS n_scored
+                FROM scored_{a} GROUP BY query_id),
+    arm_{a} AS (
+      SELECT CAST({a} AS INTEGER) AS nprobe, b.query_id, b.n_exact,
+             COALESCE(h.n_hits, 0) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+               AS recall,
+             s.n_scored
+      FROM (SELECT query_id, COUNT(*) AS n_exact FROM ex_top GROUP BY query_id) b
+      LEFT JOIN (
+        SELECT x.query_id, COUNT(*) AS n_hits
+        FROM ex_top x JOIN iv_top_{a} i
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id) h
+      ON h.query_id = b.query_id
+      JOIN nsc_{a} s ON s.query_id = b.query_id
+    )"""
+        arms.append(f"SELECT * FROM arm_{a}")
+    return ctes + "\n    " + "\n    UNION ALL\n    ".join(arms)
+
+
+@register("ann_recall_eval_nprobe", oracle=_nprobe_recall_oracle())
+def ann_recall_eval_nprobe(spark, sf_dir):
+    """The NPROBE PRODUCTIONIZATION of the IVF story (VERDICT r8 #4): r8's
+    5-arm quantizer eval established that on this corpus recall is
+    governed by partition physics, and nprobe — not quantizer training —
+    is the lever users actually tune (diagnostic readings 0.16→0.40→0.68
+    at nprobe 2→4→8). This eval promotes that diagnostic into an
+    oracle-replayed curve: recall@k AND candidate cost per query at
+    nprobe ∈ {2, 4, 8}, kmeans quantizer, DISJOINT query set (vec_id
+    100-109 — no query⊆centroid confound). ``n_scored`` is the corpus
+    rows the probe join scores for that query — the cost denominator of
+    the tradeoff: ~nprobe/n_cells of the corpus per query, the number a
+    deployment balances against the measured recall column.
+
+    Plan discipline: ONE corpus-assignment pass serves all three arms
+    (ivf_assign keep=1, pool-persisted with an eager count); queries
+    assign once at the LARGEST nprobe with the rank retained
+    (ivf_assign with_rank) and each arm is a crank filter — the same
+    share-the-expensive-pass structure as the 5-arm quantizer eval, one
+    step further (3 arms, 1 assignment pass). The oracle replays
+    training, assignment, probing, ranking, recall AND the per-query
+    candidate count."""
+    from pyspark.sql import Window, functions as F
+
+    from pypeln_spark.ext import dedup as D
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    q_d = emb.filter((F.col("vec_id") >= DQ_LO) & (F.col("vec_id") < DQ_HI))
+    D.retire_pipeline_caches()
+    ex = D.pool_persist(
+        S.cosine_topk(emb, q_d, k=K).select("query_id", "neighbor_id")
+    )
+    ex.count()  # eager — one recall rollup per arm consumes it
+    km = _kmeans_artifact(spark, sf_dir)
+    corpus = S.with_norms(S.spread(emb))
+    cells = D.pool_persist(
+        S.ivf_assign(corpus, km, N_CELLS, keep=1).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+            F.col("_norm").alias("cn"), "cid",
+        )
+    )
+    cells.count()  # eager — every arm's probe join reads the inverted lists
+    probes_all = S.ivf_assign(
+        S.with_norms(q_d), km, N_CELLS, keep=max(NPROBE_ARMS), with_rank=True
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"), "cid", "crank",
+    )
+
+    out = None
+    for np_ in NPROBE_ARMS:
+        probes = probes_all.filter(F.col("crank") <= np_).drop("crank")
+        scored = (
+            cells.join(F.broadcast(probes), "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cos",
+                S.dot_ieee(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+            )
+        )
+        n_scored = scored.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_scored")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select("query_id", "neighbor_id")
+        )
+        arm = (
+            _recall_table(ex, topk)
+            .join(n_scored, "query_id")
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "query_id", "n_exact", "n_hits", "recall", "n_scored",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
 
 
 @register(

@@ -136,6 +136,7 @@ def test_driver_window_rotation_invariants():
     window (a new query must be driver-checked in its debut round)."""
     import glob
     import json
+    import re
 
     import pypeln_spark.queries as Q
 
@@ -147,9 +148,28 @@ def test_driver_window_rotation_invariants():
     assert list(REGISTRY)[:window] == Q._PRIORITY
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked = set()
+    latest: dict = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        checked.update(json.load(open(path)))
-    never = [n for n in REGISTRY if n not in checked]
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    never = [n for n in REGISTRY if n not in latest]
     outside = [n for n in never if n not in Q._PRIORITY]
     assert outside == [], f"never-driver-checked queries outside the window: {outside}"
+
+    # The ACHIEVABLE freshness invariant (VERDICT r8 #1): with >4×window
+    # entries, "nothing older than 3 rounds" is arithmetically impossible;
+    # the enforced rule is a 5-round cycle — every entry whose last driver
+    # check is 4+ rounds behind the newest CORRECTNESS file MUST be in the
+    # upcoming window (oldest first, so none ever reaches 5 rounds stale).
+    if latest:
+        max_round = max(latest.values())
+        overdue = [
+            n for n in REGISTRY
+            if n in latest and latest[n] <= max_round - 4
+        ]
+        missing = [n for n in overdue if n not in Q._PRIORITY]
+        assert missing == [], (
+            f"entries 4+ rounds driver-stale left out of the window: {missing}"
+        )

@@ -182,6 +182,22 @@ def test_multitable_simhash_stays_equi_join(spark):
     assert e.count() == 64 * 16
 
 
+def test_simhash_wide_entry_plan_shape(spark):
+    """dedup_simhash_near_pairs_wide (hd≤5, tables=4 — the widened-recall
+    production path) must keep the banding plan: candidate rows ∝ T via
+    ONE explode, the self-join a hash equi-join on the scalar key, no
+    cartesian/nested-loop anywhere (its oracle replays the candidate
+    stage, so a degraded plan would also silently change semantics)."""
+    p = plan_of(spark, "dedup_simhash_near_pairs_wide")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "explode" in p.lower(), p[:2000]
+    assert (
+        p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+        + p.count("BroadcastHashJoin") >= 1
+    ), p[:2000]
+
+
 def test_ivf_kmeans_centroid_update_is_partial_aggregate(spark):
     """k-means training shuffles only (cell, dim) keyed partial means —
     key cardinality n_cells x dim regardless of corpus size. A plan
