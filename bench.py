@@ -133,6 +133,9 @@ HEADLINE = [
     "ann_recall_eval_ivf_kmeans",
     # round-8 additions
     "streaming_embedding_ingest",
+    # round-9 additions
+    "ann_recall_eval_nprobe",
+    "dedup_simhash_near_pairs_wide",
 ]
 
 
@@ -157,10 +160,25 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("PYPELN_SPARK_BENCH_RUNS", "4")))
     timings: dict[str, float] = {}
+    # storage-pool occupancy per query (VERDICT r8 #5): session caches
+    # accumulate across the sweep (cached_index frames live outside the
+    # invocation pool), and a query timed with the pool near capacity runs
+    # under eviction thrash (r8: the sf1 text gate measured 2× slower
+    # pressured vs isolated). Record the pool state each query STARTED
+    # under and flag rows above half capacity, so a pressured absolute
+    # number is read as a pressured number — ratios between two queries in
+    # the same sweep position stay comparable across rounds.
+    from pypeln_spark.ext.dedup import storage_pool_report
+
+    pool_at: dict[str, int] = {}
+    pool_cap = 1
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
+        rep = storage_pool_report(spark)
+        pool_at[name] = rep["mem_bytes"] + rep["disk_bytes"]
+        pool_cap = max(pool_cap, rep["capacity_bytes"])
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -172,11 +190,13 @@ def main() -> None:
         dt = min(samples)
         timings[name] = round(dt, 3)
         print(
-            f"# {name}: {dt:.3f}s (min of {[round(s, 3) for s in samples]})",
+            f"# {name}: {dt:.3f}s (min of {[round(s, 3) for s in samples]}; "
+            f"pool {pool_at[name] / 2**20:.0f}MB)",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    pressured = [n for n, b in pool_at.items() if b > 0.5 * pool_cap]
     print(
         json.dumps(
             {
@@ -187,6 +207,9 @@ def main() -> None:
                 "runs": runs,
                 "agg": "min",
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "pool_mb_max": round(max(pool_at.values()) / 2**20, 1),
+                "pool_capacity_mb": round(pool_cap / 2**20, 1),
+                "pool_pressured": pressured,
             }
         )
     )

@@ -76,6 +76,38 @@ def retire_pipeline_caches() -> None:
             pass
 
 
+def storage_pool_report(spark) -> dict:
+    """Executor storage-pool occupancy: cached-RDD count, cached bytes in
+    memory and on disk, and the pool's capacity — the observability half
+    of the r8 pressure finding (VERDICT r8 #5): the sf1 text ingest gate
+    measured 70.7 s inside a 40-query sweep vs 37.7 s isolated, because
+    10 persist-heavy queries' session caches (cached_index frames —
+    OUTSIDE the invocation pool retire_pipeline_caches drains) filled the
+    pool and every gate persist evicted under thrash. bench.py records
+    this per query and flags rows that ran with the pool above half
+    capacity, so a pressured absolute number is never mistaken for an
+    engine regression. Deployment mitigation, documented in SCALING.md:
+    run persist-heavy gates in their own session scope
+    (spark.newSession() shares the cluster but not the cache pool only on
+    separate drivers — on one driver, size spark.memory.storageFraction
+    for the co-resident working sets, or clear session caches
+    (similarity.drop_index) between pipeline families)."""
+    jsc = spark.sparkContext._jsc.sc()
+    infos = jsc.getRDDStorageInfo()
+    mem = sum(i.memSize() for i in infos)
+    disk = sum(i.diskSize() for i in infos)
+    cap = 0
+    it = jsc.getExecutorMemoryStatus().iterator()
+    while it.hasNext():
+        cap += it.next()._2()._1()
+    return {
+        "cached_rdds": len(infos),
+        "mem_bytes": int(mem),
+        "disk_bytes": int(disk),
+        "capacity_bytes": int(cap),
+    }
+
+
 def pool_persist(df: DataFrame, level=None) -> DataFrame:
     """persist() + enroll in the invocation-scoped cache pool (see
     retire_pipeline_caches)."""
@@ -602,18 +634,32 @@ class IncrementalLshIndex:
     ``compact_every=0`` (default) keeps the pure append-only behavior —
     right for bounded replays like the 3-epoch registry query.
 
-    ``checkpoint_dir`` chooses the compaction MATERIALIZATION TARGET:
-    None (default) keeps localCheckpoint — block-manager storage, right
-    for local[*] and for bounded replays, but NOT fault-tolerant (a lost
-    executor's checkpoint blocks are non-recomputable, which mid-stream
-    is query-fatal). A cluster deployment running an unbounded gate
-    passes a shared-FS path (or sets PYPELN_SPARK_INGEST_COMPACT_DIR,
-    which both registry gates wire through): each compaction then writes
-    the union to ``<dir>/<side>_<generation>`` as parquet and reads it
-    back — a durable lineage cut that survives executor loss, at the cost
-    of a filesystem round trip. The previous generation's files are
-    removed AFTER the new generation materializes (crash between write
-    and delete leaks a directory, never loses data)."""
+    RECOMMENDED K, measured at depth (12-epoch knee run at sf0.1,
+    tools/compaction_knee.py, SCALING.md "Compaction knee"): K=1 (26.2 s)
+    beat append-only (38.5 s) and K=4/8 (28.2/28.7 s) outright — at
+    index ≲ 100× batch the full rewrite costs less than what a deepening
+    union adds to EVERY epoch's planning and per-leaf scheduling, so
+    unbounded deployments should compact every epoch and only grow K
+    once the index dwarfs the batch (knee moves as index_rewrite ∝ index
+    overtakes epoch compute ∝ batch; size K ≈ acceptable
+    write-amplification × batch/index). Decisions are K-invariant
+    (asserted across all four arms of the knee run, and test-pinned).
+
+    ``checkpoint_dir`` chooses the MATERIALIZATION TARGET for deltas and
+    compactions alike: None (default) keeps localCheckpoint —
+    block-manager storage, right for local[*] and for bounded replays,
+    but NOT fault-tolerant (a lost executor's checkpoint blocks are
+    non-recomputable, which mid-stream is query-fatal). A cluster
+    deployment running an unbounded gate passes a shared-FS path (or
+    sets PYPELN_SPARK_INGEST_COMPACT_DIR, which both registry gates wire
+    through): every delta append and every compaction then writes
+    parquet under ``<dir>/<side>_<seq>`` and reads it back — which IS
+    the "index as a maintained table" deployment story (absorb = table
+    append, compact = table rewrite), durable across executor loss at
+    the cost of a filesystem round trip. Superseded files (deltas +
+    prior generation) are removed only AFTER a new compaction generation
+    fully materializes (a crash between write and delete leaks a
+    directory, never loses data)."""
 
     def __init__(
         self,
@@ -627,37 +673,42 @@ class IncrementalLshIndex:
         self.compact_every = compact_every
         self.checkpoint_dir = checkpoint_dir
         self.n_deltas = 0  # deltas since last compaction (or construction)
-        self._own_sh: list = []  # sh delta frames THIS index persisted
-        self._own_bands: list = []  # band delta frames THIS index persisted
+        self._own_sh: list = []  # sh delta frames THIS index materialized
+        self._own_bands: list = []  # band delta frames THIS index materialized
         self._n_rows: tp.Optional[int] = None  # lazy; tracked once known
-        self._gen = 0  # durable-checkpoint generation counter
-        self._ckpt_paths: list = []  # live durable dirs (previous gen)
+        self._seq = 0  # durable-checkpoint file sequence
+        self._ckpt_sh: list = []  # live durable dirs, sh side
+        self._ckpt_bands: list = []  # live durable dirs, bands side
 
     def size(self) -> int:
         """Row count of the index. First call counts ``sh`` (base +
-        deltas — all cached frames, so this is cheap); afterwards the
-        count is maintained arithmetically by absorb(), so the occupancy
-        checks the embedding gate runs per epoch cost no Spark job."""
+        materialized deltas — cheap); afterwards the count is maintained
+        arithmetically by absorb(), so the occupancy checks the embedding
+        gate runs per epoch cost one tiny cached-count job at most."""
         if self._n_rows is None:
             self._n_rows = self.sh.count()
         return self._n_rows
 
     def absorb(self, nov_sh: DataFrame, nov_bands: DataFrame) -> None:
         """Append one epoch's novel rows. The delta frames materialize NOW
-        (they usually derive from the caller's invocation-pooled batch
-        frames, which the next epoch's retire drops), then join the lazy
-        union."""
-        nov_sh = nov_sh.persist()
-        nov_bands = nov_bands.persist()
-        # two separate count jobs, deliberately: fusing them into one
-        # union-scan action (to shave a job launch) measured SLOWER on
-        # both gates (A/B min-of-3 at sf0.1: 13.25→14.29s / 10.72→11.39s)
-        # — the union barrier serializes two subtrees that otherwise
-        # pipeline, and the second count reuses the first delta's cache
-        n = nov_sh.count()
-        nov_bands.count()
+        with a LINEAGE CUT (localCheckpoint, or a durable parquet append
+        under checkpoint_dir). The cut is CORRECTNESS-AT-DEPTH, not an
+        optimization: a gate's novel delta derives from the decisions
+        join against the CURRENT index, so a persist-only delta's logical
+        plan NESTS the plans of every earlier delta — plan size grows
+        ~2^epochs, and the 12-epoch knee run (tools/compaction_knee.py,
+        r9) OOM'd the DRIVER heap merely BUILDING THE PLAN STRING for the
+        SQL-listener event (java.lang.OutOfMemoryError inside
+        QueryExecution.explainString) long before compute mattered; the
+        3-epoch registry replay survived only because 2^3 is small. With
+        the cut, every delta is one plan LEAF, the lazy union grows
+        linearly, and compaction bounds it at base+K. (This supersedes
+        r8's persist+two-counts A/B — the counts are gone because
+        eager checkpoint/write is itself the materialization job.)"""
+        nov_sh = self._materialize(nov_sh, "sh")
+        nov_bands = self._materialize(nov_bands, "bands")
         if self._n_rows is not None:
-            self._n_rows += n
+            self._n_rows += nov_sh.count()  # tiny: counts the cut frame
         self._own_sh.append(nov_sh)
         self._own_bands.append(nov_bands)
         self.sh = self.sh.unionByName(nov_sh)
@@ -669,33 +720,34 @@ class IncrementalLshIndex:
     def _materialize(self, df: DataFrame, side: str) -> DataFrame:
         """One lineage-cut materialization: localCheckpoint (default) or,
         with checkpoint_dir set, a durable parquet write+read under
-        ``<dir>/<side>_<generation>`` (ADVICE r8: block-manager-only
-        checkpoints are non-recomputable after executor loss, so an
-        unbounded cluster gate needs a durable target)."""
+        ``<dir>/<side>_<seq>`` (ADVICE r8: block-manager-only checkpoints
+        are non-recomputable after executor loss, so an unbounded cluster
+        gate needs a durable target)."""
         if not self.checkpoint_dir:
             return df.localCheckpoint(eager=True)
-        path = self.checkpoint_dir.rstrip("/") + f"/{side}_{self._gen}"
+        self._seq += 1
+        path = self.checkpoint_dir.rstrip("/") + f"/{side}_{self._seq:05d}"
         df.write.mode("overwrite").parquet(path)
-        self._ckpt_paths.append(path)
+        getattr(self, f"_ckpt_{side}").append(path)
         return df.sparkSession.read.parquet(path)
 
-    def _drop_ckpt_generation(self, spark, keep_paths: list) -> None:
-        """Remove durable checkpoint dirs not in keep_paths (the previous
-        generation) — only after the new generation is fully written."""
+    def _drop_ckpt(self, spark, side: str, keep_last: int) -> None:
+        """Remove this side's durable dirs except the newest keep_last —
+        called only after a superseding file fully materialized."""
         from pypeln_spark.streaming import remove_sink_dir
 
-        for p in [p for p in self._ckpt_paths if p not in keep_paths]:
+        paths = getattr(self, f"_ckpt_{side}")
+        cut = len(paths) - keep_last
+        for p in paths[:cut]:
             remove_sink_dir(spark, p)
-        self._ckpt_paths = list(keep_paths)
+        setattr(self, f"_ckpt_{side}", paths[cut:])
 
     def compact(self) -> None:
         """Materialize the current lazy union into ONE checkpointed frame
-        pair (eager — the deltas are still cached while it runs) and
-        release every delta persist this index owns. The shared initial
-        base frames are read, never unpersisted — they belong to the
-        session cache."""
-        old_paths = list(self._ckpt_paths)
-        self._gen += 1
+        pair (eager — the deltas are still live while it runs), release
+        every delta this index owns, and drop superseded durable files.
+        The shared initial base frames are read, never unpersisted — they
+        belong to the session cache."""
         new_sh = self._materialize(self.sh, "sh")
         new_bands = self._materialize(self.bands, "bands")
         retired = self._own_sh + self._own_bands
@@ -706,9 +758,8 @@ class IncrementalLshIndex:
         self.sh, self.bands = new_sh, new_bands
         for df in retired:
             df.unpersist(blocking=False)
-        self._drop_ckpt_generation(
-            spark, [p for p in self._ckpt_paths if p not in old_paths]
-        )
+        self._drop_ckpt(spark, "sh", keep_last=1)
+        self._drop_ckpt(spark, "bands", keep_last=1)
         self.n_deltas = 0
 
     def rebuild_bands(self, bands: DataFrame) -> None:
@@ -719,29 +770,181 @@ class IncrementalLshIndex:
         would hold (prefix-stable planes; equivalence pinned by
         tests/test_streaming.py::test_embedding_index_rebucket_widens_mid_stream).
         The new table materializes (lineage cut — it must not re-derive
-        from the band deltas being retired), band-side delta persists are
-        released, and sh-side deltas stay untouched."""
-        old_paths = list(self._ckpt_paths)
-        self._gen += 1
+        from the band deltas being retired), band-side deltas are
+        released, and the sh side stays untouched."""
         new_bands = self._materialize(bands, "bands")
         retired, self._own_bands = self._own_bands, []
         self.bands = new_bands
         for df in retired:
             df.unpersist(blocking=False)
-        keep = [p for p in self._ckpt_paths if p not in old_paths]
-        # sh-side durable generations (if any) must survive a band rebuild
-        keep += [p for p in old_paths if "/sh_" in p]
-        self._drop_ckpt_generation(new_bands.sparkSession, keep)
+        self._drop_ckpt(new_bands.sparkSession, "bands", keep_last=1)
 
     def close(self) -> None:
-        """Release every delta persist this index owns (never the shared
-        base; checkpointed compacted bases free via ContextCleaner once
-        the caller drops the index — durable checkpoint dirs under
-        checkpoint_dir are the DEPLOYMENT's index state and are left in
-        place)."""
+        """Release every delta this index owns (never the shared base;
+        checkpointed frames free via ContextCleaner once the caller drops
+        the index — durable dirs under checkpoint_dir are the
+        DEPLOYMENT's index state and are left in place)."""
         for df in self._own_sh + self._own_bands:
             df.unpersist(blocking=False)
         self._own_sh, self._own_bands = [], []
+
+
+class TextIngestGate:
+    """foreachBatch body of the streaming TEXT ingest gate — the per-epoch
+    pipeline queries/streaming.streaming_incremental_dedup runs (shingle +
+    minhash-band the arriving batch, band-join against the growing corpus
+    LSH index, exact-Jaccard verify, emit one keep/drop decision per doc,
+    absorb novel docs), factored into an engine operator symmetric with
+    similarity.EmbeddingIngestGate so depth experiments (the compaction
+    knee, tools/compaction_knee.py) drive the IDENTICAL per-epoch code at
+    arbitrary epoch counts instead of re-implementing the gate.
+
+    No occupancy trigger here, deliberately: MinHash band keys are
+    (band, signature-value) pairs whose cardinality GROWS with the data —
+    unlike the embedding gate's fixed 2^n_planes bucket space — so the
+    text index has no saturation knob to self-manage. Its unbounded-stream
+    knob is the index's delta-chain compaction (compact_every; measured
+    knee in SCALING.md).
+
+    ``epoch_col`` (no-arg callable returning a Column) labels each
+    decision's epoch; default is the gate's own epoch counter. Decisions
+    append to ``sink_root`` FROM THE EXECUTORS — shared-FS on clusters
+    (stream_sink_dir)."""
+
+    def __init__(
+        self,
+        index: IncrementalLshIndex,
+        sink_root: str,
+        n_hashes: int,
+        bands: int,
+        shingle_k: int,
+        threshold: float,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        epoch_col=None,
+    ):
+        self.index = index
+        self.sink_root = sink_root
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+        self.id_col = id_col
+        self.text_col = text_col
+        self.epoch_col = epoch_col
+        self._epoch = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pypeln_spark.streaming import shuffle_width
+
+        retire_pipeline_caches()
+        # Catalyst shingle/signature path, deliberately NOT the numpy
+        # single-pass (shingle_sigs_np) that wins in the batch pipeline:
+        # measured bit-identical but SLOWER here at both sf0.1 (13.3 →
+        # 14.3s) and sf1 (37.7 → 49.7s) — inside foreachBatch every epoch
+        # pays the mapInPandas Python-worker/Arrow round trip fresh, and
+        # the epoch-sized fold volume never amortizes it the way the
+        # whole-corpus batch pipeline does
+        new_sh = pool_persist(
+            shingle_arrays(spread(batch_df), self.text_col, self.id_col, self.shingle_k)
+        )
+        new_sh.count()
+        new_bands = lsh_band_table(
+            minhash_signatures_wide(new_sh, self.id_col, self.n_hashes),
+            self.id_col, self.bands, self.n_hashes // self.bands,
+        )
+        nb = new_bands.select(
+            F.col(self.id_col).alias("new_id"), "sigh", F.col("sig").alias("sig_n")
+        )
+        cb = self.index.bands.select(
+            F.col(self.id_col).alias("corpus_id"), "sigh", F.col("sig").alias("sig_c")
+        )
+        cand = (
+            nb.join(cb, "sigh")
+            .filter(F.col("sig_n") == F.col("sig_c"))
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        # spread the verify compute across the STREAMING SCOPE's width
+        # (spark.sql.shuffle.partitions, 4 by default under
+        # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
+        # real deployments) — the first cut pinned local
+        # defaultParallelism=32 here, contradicting the r7 negative
+        # result inside its own epoch: 32 tasks on epoch-sized inputs is
+        # task-launch overhead (A/B min-of-3 at sf0.1: both gates ~6%
+        # faster scope-sized; layout-only, decisions unchanged).
+        # shuffle_width guards the conf parse (ADVICE r8: managed
+        # runtimes may set the conf non-numeric, e.g. "auto")
+        cand = cand.repartition(
+            shuffle_width(batch_df.sparkSession), F.col("new_id")
+        )
+        a = new_sh.select(
+            F.col(self.id_col).alias("new_id"), F.col("sh_arr").alias("sh_a")
+        )
+        b = self.index.sh.select(
+            F.col(self.id_col).alias("corpus_id"), F.col("sh_arr").alias("sh_b")
+        )
+        n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        # shuffle_hash hints: the shingle-array sides are corpus-sized and
+        # must NEVER broadcast — the session's 64m auto-broadcast ceiling
+        # underestimates array columns badly enough that at 10× data Spark
+        # picked a broadcast here and the driver build OOM'd (r7 sweep)
+        matches = (
+            cand.join(a.hint("shuffle_hash"), "new_id")
+            .join(b.hint("shuffle_hash"), "corpus_id")
+            .withColumn("n_inter", n_inter)
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (
+                    F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_inter")
+                ).cast("double"),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+        )
+        # survivor pick: min corpus id (struct-min — corpus_id leads, so
+        # the attached jaccard is that pair's, deterministically)
+        pick = matches.groupBy("new_id").agg(
+            F.min(F.struct("corpus_id", "jaccard")).alias("m")
+        )
+        epoch = (
+            self.epoch_col() if self.epoch_col is not None
+            else F.lit(self._epoch).cast("int")
+        )
+        (
+            batch_df.select(self.id_col)
+            .join(pick, F.col(self.id_col) == F.col("new_id"), "left")
+            .select(
+                self.id_col,
+                epoch.alias("epoch"),
+                F.col("m.corpus_id").alias("dup_of"),
+                F.col("m.jaccard").alias("jaccard"),
+            )
+            .write.mode("append")
+            .parquet(self.sink_root)
+        )
+        # absorb: novel docs join the index before the next epoch.
+        # APPEND-ONLY by default: only the epoch's novel DELTA
+        # materializes (inside absorb(), WITH a lineage cut — the delta
+        # derives from this epoch's decisions against the current index,
+        # so an uncut plan nests all earlier epochs' plans, ~2^epochs:
+        # the 12-epoch knee run OOM'd the driver on plan STRINGS before
+        # the cut, absorb docstring); the index stays a LAZY union over
+        # the cached initial frames + one leaf per delta, so no epoch
+        # ever re-copies the whole corpus (the first cut persisted the
+        # full union per epoch — an O(corpus) copy every epoch, ~2× the
+        # sf0.1 wall and the dominant super-linear term at 10×). On
+        # unbounded streams the index's compact_every knob periodically
+        # collapses the delta chain (IncrementalLshIndex docstring);
+        # three epochs don't need it.
+        dropped = pick.select(F.col("new_id").alias(self.id_col))
+        self.index.absorb(
+            new_sh.join(dropped, self.id_col, "left_anti"),
+            new_bands.join(dropped, self.id_col, "left_anti"),
+        )
+        self._epoch += 1
 
 
 def span_dedup(

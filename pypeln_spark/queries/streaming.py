@@ -1162,105 +1162,14 @@ def streaming_incremental_dedup(spark, sf_dir):
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
     )
 
-    def gate(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
-        D.retire_pipeline_caches()
-        # Catalyst shingle/signature path, deliberately NOT the numpy
-        # single-pass (shingle_sigs_np) that wins in the batch pipeline:
-        # measured bit-identical but SLOWER here at both sf0.1 (13.3 →
-        # 14.3s) and sf1 (37.7 → 49.7s) — inside foreachBatch every epoch
-        # pays the mapInPandas Python-worker/Arrow round trip fresh, and
-        # the epoch-sized fold volume never amortizes it the way the
-        # whole-corpus batch pipeline does
-        new_sh = D.pool_persist(
-            D.shingle_arrays(D.spread(batch_df), "text", "doc_id", 5)
-        )
-        new_sh.count()
-        new_bands = D.lsh_band_table(
-            D.minhash_signatures_wide(new_sh, "doc_id", N_HASHES),
-            "doc_id", BANDS, rpb,
-        )
-        nb = new_bands.select(
-            F.col("doc_id").alias("new_id"), "sigh", F.col("sig").alias("sig_n")
-        )
-        cb = index.bands.select(
-            F.col("doc_id").alias("corpus_id"), "sigh", F.col("sig").alias("sig_c")
-        )
-        cand = (
-            nb.join(cb, "sigh")
-            .filter(F.col("sig_n") == F.col("sig_c"))
-            .select("new_id", "corpus_id")
-            .distinct()
-        )
-        # spread the verify compute across the STREAMING SCOPE's width
-        # (spark.sql.shuffle.partitions, 4 by default under
-        # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
-        # real deployments) — the first cut pinned local
-        # defaultParallelism=32 here, contradicting the r7 negative
-        # result inside its own epoch: 32 tasks on |docs|/6-row epochs is
-        # task-launch overhead (A/B min-of-3 at sf0.1: both gates ~6%
-        # faster scope-sized; layout-only, decisions unchanged).
-        # ST.shuffle_width guards the conf parse (ADVICE r8: managed
-        # runtimes may set the conf non-numeric, e.g. "auto")
-        cand = cand.repartition(
-            ST.shuffle_width(batch_df.sparkSession), F.col("new_id")
-        )
-        a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("sh_a"))
-        b = index.sh.select(
-            F.col("doc_id").alias("corpus_id"), F.col("sh_arr").alias("sh_b")
-        )
-        n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        # shuffle_hash hints: the shingle-array sides are corpus-sized and
-        # must NEVER broadcast — the session's 64m auto-broadcast ceiling
-        # underestimates array columns badly enough that at 10× data Spark
-        # picked a broadcast here and the driver build OOM'd (r7 sweep)
-        matches = (
-            cand.join(a.hint("shuffle_hash"), "new_id")
-            .join(b.hint("shuffle_hash"), "corpus_id")
-            .withColumn("n_inter", n_inter)
-            .withColumn(
-                "jaccard",
-                F.col("n_inter").cast("double")
-                / (
-                    F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_inter")
-                ).cast("double"),
-            )
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        )
-        # survivor pick: min corpus id (struct-min — corpus_id leads, so
-        # the attached jaccard is that pair's, deterministically)
-        pick = matches.groupBy("new_id").agg(
-            F.min(F.struct("corpus_id", "jaccard")).alias("m")
-        )
-        (
-            batch_df.select("doc_id")
-            .join(pick, F.col("doc_id") == F.col("new_id"), "left")
-            .select(
-                "doc_id",
-                F.expr("CAST(((doc_id % 6) - 1) DIV 2 AS INT)").alias("epoch"),
-                F.col("m.corpus_id").alias("dup_of"),
-                F.col("m.jaccard").alias("jaccard"),
-            )
-            .write.mode("append")
-            .parquet(root)
-        )
-        # absorb: novel docs join the index before the next epoch.
-        # APPEND-ONLY by default: only the epoch's novel DELTA persists
-        # (materialized inside absorb() — it derives from the
-        # pool-persisted new_sh, which the next epoch's retire drops);
-        # the index stays a LAZY union over the cached initial frames +
-        # cached deltas, so no epoch ever re-copies the whole corpus (the
-        # first cut persisted the full union per epoch — an O(corpus)
-        # copy every epoch, ~2× the sf0.1 wall and the dominant
-        # super-linear term at 10×). On unbounded streams the index's
-        # compact_every knob periodically collapses the delta chain
-        # (IncrementalLshIndex docstring); three epochs don't need it.
-        dropped = pick.select(F.col("new_id").alias("doc_id"))
-        index.absorb(
-            new_sh.join(dropped, "doc_id", "left_anti"),
-            new_bands.join(dropped, "doc_id", "left_anti"),
-        )
+    # per-epoch body lives in ext/dedup.TextIngestGate (r9 — factored out
+    # symmetric with the embedding gate so tools/compaction_knee.py can
+    # drive the IDENTICAL gate code at 12+ epoch depths; plan and
+    # decisions unchanged, pinned by the oracle replay)
+    gate = D.TextIngestGate(
+        index, root, N_HASHES, BANDS, 5, JACCARD_THRESHOLD,
+        epoch_col=lambda: F.expr("CAST(((doc_id % 6) - 1) DIV 2 AS INT)"),
+    )
 
     # The 4-partition streaming default (state_partitions) is load-bearing
     # here even though this query keeps NO state stores: the gate runs

@@ -1129,11 +1129,12 @@ def test_shuffle_width_guarded(spark, monkeypatch):
 
 def test_incremental_index_durable_checkpoint(spark, tmp_path):
     """ADVICE r8: localCheckpoint blocks are non-recomputable after
-    executor loss, so unbounded cluster gates need a DURABLE compaction
-    target. With checkpoint_dir set, each compaction writes the union as
-    parquet under <dir>/<side>_<gen> and reads it back; the previous
-    generation is removed only after the new one materializes; contents
-    stay the naive base∪deltas union."""
+    executor loss, so unbounded cluster gates need a DURABLE target. With
+    checkpoint_dir set, every DELTA APPEND and every compaction writes
+    parquet under <dir>/<side>_<seq> and reads it back (absorb = table
+    append, compact = table rewrite — the maintained-index-table story);
+    superseded files are removed only after a compaction generation fully
+    materializes; contents stay the naive base∪deltas union."""
     from pypeln_spark.ext import dedup as D
 
     ckpt = str(tmp_path / "idx_ckpt")
@@ -1144,16 +1145,25 @@ def test_incremental_index_durable_checkpoint(spark, tmp_path):
             [(i, f"{tag}{i}") for i in ids], "doc_id long, payload string"
         )
 
+    def sides():
+        names = sorted(os.listdir(ckpt))
+        return (
+            [n for n in names if n.startswith("sh_")],
+            [n for n in names if n.startswith("bands_")],
+        )
+
     idx = D.IncrementalLshIndex(
         mk(range(5), "b"), mk(range(5), "b"),
-        compact_every=1, checkpoint_dir=ckpt,
+        compact_every=2, checkpoint_dir=ckpt,
     )
     idx.absorb(mk(range(10, 13), "d"), mk(range(10, 13), "d"))
-    assert {"sh_1", "bands_1"} <= set(os.listdir(ckpt))
+    sh_d, bd_d = sides()
+    assert len(sh_d) == 1 and len(bd_d) == 1  # the durable delta append
     idx.absorb(mk(range(20, 22), "e"), mk(range(20, 22), "e"))
-    names = set(os.listdir(ckpt))
-    assert {"sh_2", "bands_2"} <= names
-    assert "sh_1" not in names and "bands_1" not in names  # prior gen gone
+    # second absorb hit compact_every=2: deltas written, union rewritten,
+    # then the superseded delta files removed — one live file per side
+    sh_d, bd_d = sides()
+    assert len(sh_d) == 1 and len(bd_d) == 1, (sh_d, bd_d)
     want = (
         {(i, f"b{i}") for i in range(5)}
         | {(i, f"d{i}") for i in range(10, 13)}
@@ -1161,9 +1171,13 @@ def test_incremental_index_durable_checkpoint(spark, tmp_path):
     )
     assert {(r.doc_id, r.payload) for r in idx.sh.collect()} == want
     assert {(r.doc_id, r.payload) for r in idx.bands.collect()} == want
+    # the index is now readable from the durable files ALONE — the
+    # executor-loss recovery story (fresh frames, no session state)
+    recovered = spark.read.parquet(os.path.join(ckpt, sh_d[0]))
+    assert {(r.doc_id, r.payload) for r in recovered.collect()} == want
     # the durable dirs are the deployment's index state: close() keeps them
     idx.close()
-    assert {"sh_2", "bands_2"} <= set(os.listdir(ckpt))
+    assert sides() == ((sh_d), (bd_d))
 
 
 def test_embedding_gate_occupancy_trigger(spark, tmp_path):
