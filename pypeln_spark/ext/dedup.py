@@ -634,16 +634,18 @@ class IncrementalLshIndex:
     ``compact_every=0`` (default) keeps the pure append-only behavior —
     right for bounded replays like the 3-epoch registry query.
 
-    RECOMMENDED K, measured at depth (12-epoch knee run at sf0.1,
-    tools/compaction_knee.py, SCALING.md "Compaction knee"): K=1 (26.2 s)
-    beat append-only (38.5 s) and K=4/8 (28.2/28.7 s) outright — at
-    index ≲ 100× batch the full rewrite costs less than what a deepening
-    union adds to EVERY epoch's planning and per-leaf scheduling, so
-    unbounded deployments should compact every epoch and only grow K
-    once the index dwarfs the batch (knee moves as index_rewrite ∝ index
-    overtakes epoch compute ∝ batch; size K ≈ acceptable
-    write-amplification × batch/index). Decisions are K-invariant
-    (asserted across all four arms of the knee run, and test-pinned).
+    RECOMMENDED K, measured at depth (12-epoch knee runs at sf0.1 AND
+    the synthetic sf1, tools/compaction_knee.py, SCALING.md "Compaction
+    knee"): K=1 won outright at BOTH scales — 26.2 s vs 38.5 s
+    append-only (K=4/8: 28.2/28.7) at sf0.1, and 55.4 s vs 80.1 s
+    (K=4/8: 71.5/69.0) at sf1 — at index ≲ 100× batch the full rewrite
+    costs less than what a deepening union adds to EVERY epoch's
+    planning and per-leaf scheduling, so unbounded deployments should
+    compact every epoch and only grow K once the index dwarfs the batch
+    (knee moves as index_rewrite ∝ index overtakes epoch compute ∝
+    batch; size K ≈ acceptable write-amplification × batch/index).
+    Decisions are K-invariant (asserted across all arms of both knee
+    runs, and test-pinned).
 
     ``checkpoint_dir`` chooses the MATERIALIZATION TARGET for deltas and
     compactions alike: None (default) keeps localCheckpoint —
