@@ -631,8 +631,9 @@ class IncrementalLshIndex:
     COMPACTED bases are checkpointed RDD blocks, not persisted plans —
     dropping the reference hands them to Spark's ContextCleaner (freed at
     the next driver GC), while delta frames unpersist explicitly.
-    ``compact_every=0`` (default) keeps the pure append-only behavior —
-    right for bounded replays like the 3-epoch registry query.
+    ``compact_every=0`` (the CLASS default) keeps the pure append-only
+    behavior; the registry gates pass 1 by default since r9 (the measured
+    winner below — PYPELN_SPARK_INGEST_COMPACT_EPOCHS overrides).
 
     RECOMMENDED K, measured at depth (12-epoch knee runs at sf0.1 AND
     the synthetic sf1, tools/compaction_knee.py, SCALING.md "Compaction

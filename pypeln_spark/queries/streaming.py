@@ -1110,10 +1110,13 @@ def streaming_incremental_dedup(spark, sf_dir):
     ST.stream_sink_dir (shared-FS via PYPELN_SPARK_STREAM_SINK_ROOT on a
     cluster, driver-local tempfile on local[*] — same as the asof harness
     above). Index maintenance lives in ext/dedup.IncrementalLshIndex;
-    PYPELN_SPARK_INGEST_COMPACT_EPOCHS=K turns on delta-chain compaction
-    every K epochs for unbounded streams (default 0 = pure append-only —
-    three epochs don't need it; decisions are compaction-invariant,
-    pinned side-by-side in tests/test_streaming.py)."""
+    PYPELN_SPARK_INGEST_COMPACT_EPOCHS=K sets the delta-chain compaction
+    cadence (default 1 since r9 — the MEASURED best at every scale tried:
+    the 12-epoch knee runs read K=1 26.2 s vs append-only 38.5 s at
+    sf0.1 and 55.4 s vs 80.1 s at sf1, and r8's 3-epoch A/B read 12.6 s
+    vs 15.9 s; 0 = pure append-only remains available. Decisions are
+    compaction-invariant, pinned side-by-side in
+    tests/test_streaming.py)."""
     import os
 
     from pyspark.sql import types as T
@@ -1158,7 +1161,7 @@ def streaming_incremental_dedup(spark, sf_dir):
     index = D.IncrementalLshIndex(
         cor_sh,
         cor_bands,
-        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "0")),
+        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")),
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
     )
 
@@ -1313,7 +1316,7 @@ def streaming_embedding_ingest(spark, sf_dir):
     index = D.IncrementalLshIndex(
         cor.select("vec_id", "_v", "_norm"),
         cor.select("vec_id", "bucket"),
-        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "0")),
+        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")),
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
     )
 

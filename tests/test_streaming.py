@@ -1105,6 +1105,10 @@ def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch
         S.drop_index()
         return sorted(map(tuple, REGISTRY[name].fn(spark, sf).collect()))
 
+    # pin BOTH arms explicitly: append-only (0) vs every-epoch compaction
+    # (1, the measured r9 default) — the gates' env default is now 1, so
+    # relying on the default here would compare 1 against 1
+    monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "0")
     base_txt = run("streaming_incremental_dedup")
     base_emb = run("streaming_embedding_ingest")
     monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")
@@ -1178,6 +1182,19 @@ def test_incremental_index_durable_checkpoint(spark, tmp_path):
     # the durable dirs are the deployment's index state: close() keeps them
     idx.close()
     assert sides() == ((sh_d), (bd_d))
+
+
+def test_embedding_gate_rejects_non_hysteretic_config():
+    """target_occupancy ≥ occupancy_trigger would re-fire the widen every
+    epoch (no hysteresis) — rejected at construction, before any Spark
+    work."""
+    from pypeln_spark.ext import similarity as S
+
+    with pytest.raises(ValueError, match="hysteresis"):
+        S.EmbeddingIngestGate(
+            None, "/tmp/x", 16, 6, 0.9,
+            occupancy_trigger=8.0, target_occupancy=8.0,
+        )
 
 
 def test_embedding_gate_occupancy_trigger(spark, tmp_path):

@@ -98,6 +98,7 @@ ALLOW_BNLJ = {
     "ann_recall_eval_lsh",  # same ground-truth theta-join, LSH retriever arm
     "ann_recall_eval_pq",  # same ground-truth theta-join, PQ-ADC retriever arm
     "ann_recall_eval_ivf_kmeans",  # same ground-truth theta-join + centroid cross-score
+    "ann_recall_eval_nprobe",  # same ground-truth theta-join + centroid cross-score (r9)
     "embedding_near_dup_recall_eval",  # exact-pairs ground truth, like the ANN evals
     "dedup_simhash_recall_eval",  # same ground-truth theta-join, simhash arm
     "events_time_to_convert_quantiles",  # one-row sketch × one-row count broadcast
