@@ -1117,6 +1117,22 @@ def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch
     # the planted absorb matches must actually be present in both gates
     assert any(r[0] == 3 and r[2] == 7 for r in base_txt)
     assert any(r[0] == 3 and r[2] == 7 for r in base_emb)
+    # end-to-end durable arm (ADVICE r8): same registry gate, compaction
+    # materializing to a shared-FS dir instead of localCheckpoint —
+    # decisions identical, and the final index is readable from the
+    # durable files alone (the executor-loss recovery story)
+    ckpt = str(tmp_path / "gate_ckpt")
+    os.makedirs(ckpt)
+    monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_DIR", ckpt)
+    assert run("streaming_incremental_dedup") == base_txt
+    live = sorted(os.listdir(ckpt))
+    assert [n for n in live if n.startswith("sh_")], live
+    newest_sh = [n for n in live if n.startswith("sh_")][-1]
+    recovered = spark.read.parquet(os.path.join(ckpt, newest_sh))
+    # base corpus (even ids) + every novel absorbed doc = all non-dup ids
+    dups = {r[0] for r in base_txt if r[2] is not None}
+    want_ids = {doc_id for doc_id, _ in rows} - dups
+    assert {r.doc_id for r in recovered.collect()} == want_ids
 
 
 def test_shuffle_width_guarded(spark, monkeypatch):
