@@ -260,8 +260,17 @@ def staged_foreach_batch(
     its OWN micro-batch epoch, in order, and ``fn(batch_df, epoch_id)``
     runs exactly once per epoch — the deterministic harness for CDC/merge
     pipelines, where epoch ordering IS the semantics (later updates must
-    win). One file lands per feed and processAllAvailable drains it before
-    the next, so the epoch boundary is guaranteed, not timing-dependent."""
+    win). ONE data file lands per feed (repartition(1) — load-bearing,
+    not a tidy-up: a multi-partition feed commits N part-files by
+    SEQUENTIAL rename while the idle stream is polling the directory, so
+    the source can list a PARTIAL feed and split one epoch across two
+    micro-batches. Measured at the synthetic sf1, r9: 3 feeds arrived as
+    4-5 nondeterministic micro-batches across trials — e.g. epoch 0 as
+    1306+2028 rows — which made the ingest gates' decisions
+    run-to-run-nondeterministic at scale while every sf0.01 replay
+    stayed green. One file = one atomic rename = the boundary actually
+    guaranteed), and processAllAvailable drains it before the next feed
+    is written."""
     src_dir = stream_sink_dir("pypeln_spark_cdc_")
     ckpt = stream_sink_dir("pypeln_spark_ckpt_")
     stream = spark.readStream.schema(batches[0].schema).parquet(src_dir)
@@ -273,7 +282,7 @@ def staged_foreach_batch(
         )
         try:
             for b in batches:
-                b.write.mode("append").parquet(src_dir)
+                b.repartition(1).write.mode("append").parquet(src_dir)
                 q.processAllAvailable()
         finally:
             q.stop()
@@ -290,10 +299,14 @@ def staged_replay(
 ) -> DataFrame:
     """Replay N batch DataFrames as N guaranteed-separate microbatches.
 
-    Writes each batch as a parquet file into a monitored directory and calls
-    processAllAvailable between writes — this is how watermark/late-data
-    semantics are exercised deterministically (file-source trigger order is
-    otherwise timing-dependent)."""
+    Writes each batch as ONE parquet file into a monitored directory and
+    calls processAllAvailable between writes — this is how watermark/
+    late-data semantics are exercised deterministically (file-source
+    trigger order is otherwise timing-dependent). The repartition(1) is
+    the same atomic-feed guarantee staged_foreach_batch documents: a
+    multi-file feed can be listed PARTIALLY mid-commit and split one
+    intended micro-batch into two, which changes watermark advancement
+    and late-data outcomes nondeterministically at scale."""
     src_dir = stream_sink_dir("pypeln_spark_replay_")
     ckpt = stream_sink_dir("pypeln_spark_ckpt_")
     name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -311,7 +324,7 @@ def staged_replay(
         )
         try:
             for i, b in enumerate(batches):
-                b.write.mode("append").parquet(src_dir)
+                b.repartition(1).write.mode("append").parquet(src_dir)
                 q.processAllAvailable()
         finally:
             q.stop()

@@ -1284,3 +1284,22 @@ def test_embedding_gate_occupancy_trigger(spark, tmp_path):
     # order of magnitude while the fixed gate's keeps growing
     assert trig_gate.stats[2]["n_cand"] * 3 < fixed_gate.stats[2]["n_cand"]
     assert fixed_gate.stats[2]["n_cand"] > fixed_gate.stats[0]["n_cand"]
+
+
+def test_staged_feeds_arrive_as_single_micro_batches(spark):
+    """The epoch-boundary guarantee, pinned (r9): a multi-partition feed
+    used to commit N part-files by sequential rename while the idle
+    stream polled the directory, so the source could list a PARTIAL feed
+    and split one epoch across two micro-batches — measured at the
+    synthetic sf1 as 3 feeds arriving as 4-5 nondeterministic batches,
+    which made the ingest gates' decisions nondeterministic at scale.
+    Feeds now land as ONE file (one atomic rename); every feed must
+    arrive as exactly one micro-batch with its full row count, even when
+    the input frame has many partitions."""
+    feeds = [
+        spark.range(n).repartition(32).selectExpr("id", "id * 2 AS v")
+        for n in (40_000, 35_000, 30_000)
+    ]
+    seen = []
+    ST.staged_foreach_batch(spark, feeds, lambda df, eid: seen.append(df.count()))
+    assert seen == [40_000, 35_000, 30_000], seen
