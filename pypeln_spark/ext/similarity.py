@@ -1367,6 +1367,14 @@ class EmbeddingIngestGate:
     trigger driven instead by
     tests/test_streaming.py::test_embedding_gate_occupancy_trigger).
 
+    Measured at the synthetic sf1 (SCALING.md r9): the trigger cuts the
+    saturating gate 91 → 42 s; at production thresholds (0.9, planted
+    exact dups) it costs ZERO recall (900/900 caught, decision sets
+    identical, 2.3×); at a low 0.35 threshold it loses 27% of dup
+    decisions (mid-cosine pairs are weakly bucket-stable), and ONE extra
+    probe shell (probe_hamming=2) buys most of that back at 3× wall —
+    trigger + probe_hamming are the gate's two measured dials.
+
     ``collect_stats=True`` additionally counts each epoch's candidate
     pairs (one extra job per epoch — eval/test use only) into
     ``self.stats``: one dict per epoch with n_planes / index_rows /
