@@ -51,83 +51,73 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-9 rotation — EXACTLY 50 names (the driver samples 50;
-# tests/test_correctness_gate.py::test_driver_window_rotation_invariants
-# pins the size, the no-duplicates rule, front-of-registry equality,
-# that every never-driver-checked query sits inside the window, AND —
-# restated per VERDICT r8 #1 — the ACHIEVABLE freshness invariant: with
-# 205 entries and a 50-slot window, full coverage takes a 5-round cycle,
-# so the mechanical rule is "every entry whose last driver check is 4+
-# rounds old goes in the window, oldest-first" (also test-pinned). The
-# registry holds 205 entries (203 from r8 plus the two r9 debuts),
-# 203/203 ever-driver-green, zero failures. The front 50 is (a) the 19
-# r4-stale entries the r8 window couldn't fit — VERDICT r8 #1 puts them
-# at positions 1-19; (b) the two r9 debuts (dedup_simhash_near_pairs_wide,
-# ann_recall_eval_nprobe — never driver-checked, must debut inside the
-# window); (c) the 5 greens whose CODE changed in r9 (the two ingest
-# gates — EmbeddingIngestGate refactor + occupancy trigger, durable
-# compact target, guarded verify-width parse; embedding_near_dup_recall_eval
-# on shared pooled frames; embedding_near_dup_lsh via near_dup_lsh's new
-# bucketed= param, default path unchanged; ann_ivf_topk as the keep>1
-# representative of ivf_assign's inert with_rank= param); then (d) 24 of
-# the 48 r5-stale entries in registry order — the remaining 24 go FIRST
-# in r10, ahead of anything newer. ALL 205 entries stay covered every
-# session by the local DuckDB gate (tests/test_correctness_gate.py).
+# Round-10 rotation — EXACTLY 50 names (driver samples 50; invariants
+# pinned by tests/test_correctness_gate.py::test_driver_window_rotation_
+# invariants: window size, no duplicates, front-of-registry equality,
+# never-driver-checked entries inside the window, and the two-phase
+# 5-round-cycle freshness rule). Registry holds 205 ever-green entries.
+# The front 50 is (a) VERDICT r9 #2: ALL 24 remaining r5-stale entries,
+# oldest cohort first — they hit the 5-round hard-fail threshold if they
+# miss this window; (b) r10 debuts (never driver-checked, must debut
+# inside the window); (c) greens whose CODE changed in r10; then (d) the
+# r6-stale cohort in registry order filling the remaining slots (VERDICT
+# r9 #7 — chip the 46-entry r6 cohort ahead of schedule). ALL 205 entries
+# stay covered every session by the local DuckDB gate
+# (tests/test_correctness_gate.py replays every oracle).
 _PRIORITY = [
-    # -- (a) the 19 r4-stale entries left out of the r8 window --
-    "q21_waiting_suppliers",
-    "merge_upsert_orders",
-    "recursive_cte_ancestry",
-    "variant_nested_event_doc",
-    "variant_props_rollup",
-    "streaming_variant_props_rollup",
-    "quality_expectations_lineitem",
-    "quality_profile_orders",
-    "ivm_orders_priority_merge",
-    "quality_table_diff_orders",
-    "events_value_anomalies",
-    "events_rolling_24h_stats",
-    "histogram_equi_depth_by_type",
-    "bloom_pruned_join_revenue",
-    "zorder_layout_events",
-    "graph_triangles_part_cooccurrence",
-    "streaming_funnel_stages",
-    "asof_join_with_tolerance",
-    "streaming_interval_left_join",
-    # -- (b) added in r9, never driver-checked --
-    "dedup_simhash_near_pairs_wide",
-    "ann_recall_eval_nprobe",
-    # -- (c) greens whose code changed in r9 --
-    "streaming_embedding_ingest",
-    "streaming_incremental_dedup",
-    "embedding_near_dup_recall_eval",
-    "embedding_near_dup_lsh",
-    "ann_ivf_topk",
-    # -- (d) the r5-stale cohort, registry order (24 of 48 fit) --
-    "pipeline_map_revenue",
-    "pipeline_map_python_udf",
-    "pipeline_map_rows_python",
-    "pipeline_filter_shipdate",
-    "pipeline_flat_map_tokens",
-    "pipeline_flat_map_python",
-    "pipeline_concat_parties",
-    "pipeline_ordered_lineitem",
-    "pipeline_unbounded_pump",
-    "multimodal_real_decode_pnm",
-    "multimodal_real_decode_wav",
-    "multimodal_video_frame_sample",
-    "multimodal_asset_feature_stats",
-    "curation_token_budget",
-    "curation_temperature_weights",
-    "dedup_containment_pairs",
-    "dedup_incremental_vs_corpus",
-    "embedding_quantize_int8",
-    "search_hybrid_rrf",
-    "ann_recall_eval_ivf",
-    "ann_recall_eval_lsh",
-    "subquery_orders_above_avg",
-    "correlated_max_quantity_items",
-    "grouping_sets_orders",
+    # -- (a) the 24 r5-stale entries (5-round cycle deadline this round) --
+    "array_function_gauntlet",
+    "unpivot_order_status_counts",
+    "manual_median_price_by_priority",
+    "cheapest_item_supplier_per_part",
+    "nation_pair_trade_volume",
+    "not_in_parts_never_shipped",
+    "window_navigation_gauntlet",
+    "listagg_region_nations",
+    "stats_moments_by_event_type",
+    "skew_salted_event_totals",
+    "sketch_quantile_global_histogram",
+    "bucketed_join_priority_revenue",
+    "events_transition_matrix",
+    "sketch_kmv_overlap_users",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "events_time_to_convert_quantiles",
+    "graph_ppr_part_cooccurrence",
+    "graph_pagerank_part_cooccurrence",
+    "graph_kcore_part_cooccurrence",
+    "graph_lpa_part_cooccurrence",
+    "quality_drift_events_cohorts",
+    "quality_ks_test_value_cohorts",
+    "streaming_drift_daily_mix",
+    # -- (d) r6-stale cohort, registry order (26 fit; tail slots get
+    # swapped for r10 debuts / code-changed greens as the round adds them) --
+    "pipeline_each_audit_count",
+    "pipeline_to_iterable_roundtrip",
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    "agg_nation_customer_stats",
+    "groupby_having_hot_parts",
+    "count_distinct_parts_by_brand",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_join_auto_orders",
+    "anti_join_idle_customers",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_lag_order_gap_days",
+    "top_k_expensive_parts",
+    "set_intersect_nations",
+    "set_except_nations",
+    "distinct_order_months",
+    "rollup_order_status_priority",
+    "cube_lineitem_flags",
+    "pivot_priority_by_status",
+    "scalar_function_gauntlet",
+    "date_function_gauntlet",
+    "case_when_price_tiers",
+    "json_extract_event_props",
+    "events_hourly_by_type",
 ]
 
 
