@@ -633,7 +633,11 @@ class IncrementalLshIndex:
     the next driver GC), while delta frames unpersist explicitly.
     ``compact_every=0`` (the CLASS default) keeps the pure append-only
     behavior; the registry gates pass 1 by default since r9 (the measured
-    winner below — PYPELN_SPARK_INGEST_COMPACT_EPOCHS overrides).
+    winner below — PYPELN_SPARK_INGEST_COMPACT_EPOCHS overrides);
+    ``compact_every="auto"`` (r10) re-derives K on every absorb from the
+    live index/batch row ratio using the measured 50×/100× knee
+    boundaries below — the setting an unbounded deployment should run,
+    since any fixed K is only right for one region of the curve.
 
     RECOMMENDED K, measured at depth (12-epoch knee runs at sf0.1 AND
     the synthetic sf1, tools/compaction_knee.py, SCALING.md "Compaction
@@ -672,12 +676,23 @@ class IncrementalLshIndex:
         self,
         sh: DataFrame,
         bands: DataFrame,
-        compact_every: int = 0,
+        compact_every: tp.Union[int, str] = 0,
         checkpoint_dir: tp.Optional[str] = None,
     ):
         self.sh = sh
         self.bands = bands
-        self.compact_every = compact_every
+        # "auto" (VERDICT r9 #3) promotes the measured knee rule to gate
+        # behavior: each absorb recomputes K from the LIVE index/batch
+        # ratio — K=1 below 50× (full rewrite beats a deepening union at
+        # every scale tried), K=4 in the measured 50-100× convergence
+        # zone, K=8 past 100× (write-amplification bound: rewrite cost ∝
+        # index has overtaken epoch compute ∝ batch). The LSM analogy is
+        # deliberate: small index = one-level full compaction, large
+        # index = leveled, amortized. Decisions are K-invariant, so auto
+        # only moves WALL time; test-pinned against fixed-K across the
+        # boundary (tests/test_dedup_incremental.py).
+        self._auto = compact_every == "auto"
+        self.compact_every = 1 if self._auto else int(compact_every)
         self.checkpoint_dir = checkpoint_dir
         self.n_deltas = 0  # deltas since last compaction (or construction)
         self._own_sh: list = []  # sh delta frames THIS index materialized
@@ -714,8 +729,18 @@ class IncrementalLshIndex:
         eager checkpoint/write is itself the materialization job.)"""
         nov_sh = self._materialize(nov_sh, "sh")
         nov_bands = self._materialize(nov_bands, "bands")
+        if self._auto:
+            pre_rows = self.size()  # pre-absorb index rows (lazy count once)
+        batch_rows = (
+            nov_sh.count()  # tiny: counts the cut frame
+            if (self._auto or self._n_rows is not None)
+            else None
+        )
         if self._n_rows is not None:
-            self._n_rows += nov_sh.count()  # tiny: counts the cut frame
+            self._n_rows += batch_rows
+        if self._auto:
+            ratio = pre_rows / max(batch_rows, 1)
+            self.compact_every = 1 if ratio < 50 else (4 if ratio < 100 else 8)
         self._own_sh.append(nov_sh)
         self._own_bands.append(nov_bands)
         self.sh = self.sh.unionByName(nov_sh)
@@ -778,7 +803,12 @@ class IncrementalLshIndex:
         tests/test_streaming.py::test_embedding_index_rebucket_widens_mid_stream).
         The new table materializes (lineage cut — it must not re-derive
         from the band deltas being retired), band-side deltas are
-        released, and the sh side stays untouched."""
+        released, and the sh side stays untouched. ``n_deltas`` is
+        deliberately NOT reset (ADVICE r9 #2): it gates compaction of the
+        union CHAIN, and the sh-side chain — one leaf per absorb — is
+        still live after a re-bucket; only the band side collapsed. The
+        next compact() therefore fires on the sh-side schedule, which is
+        the side whose plan depth re-bucketing does not shorten."""
         new_bands = self._materialize(bands, "bands")
         retired, self._own_bands = self._own_bands, []
         self.bands = new_bands
@@ -916,9 +946,13 @@ class TextIngestGate:
         pick = matches.groupBy("new_id").agg(
             F.min(F.struct("corpus_id", "jaccard")).alias("m")
         )
+        # default label = the harness-provided epoch_id, NOT the internal
+        # processed-batch counter: the counter skips empty micro-batches,
+        # so its labels silently diverge from Spark epoch ids whenever one
+        # interleaves (ADVICE r9 #3). _epoch stays as the stats ordinal.
         epoch = (
             self.epoch_col() if self.epoch_col is not None
-            else F.lit(self._epoch).cast("int")
+            else F.lit(int(epoch_id)).cast("int")
         )
         (
             batch_df.select(self.id_col)

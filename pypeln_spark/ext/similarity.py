@@ -322,6 +322,11 @@ def ivf_assign(
     the probe rank column ``crank`` so a multi-nprobe eval can assign ONCE
     at the largest nprobe and carve each arm with a filter
     (ann_recall_eval_nprobe) instead of re-assigning per arm."""
+    if with_rank and keep == 1:
+        # the argmax fast path below never builds crank — fail loudly
+        # instead of silently returning a rank-less frame (ADVICE r9 #1)
+        raise ValueError("with_rank=True requires keep > 1 (the argmax "
+                         "keep=1 path carries no rank column)")
     c = centroids.select(
         F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
     )
@@ -1500,9 +1505,13 @@ class EmbeddingIngestGate:
         pick = matches.groupBy("new_id").agg(
             F.min(F.struct("corpus_id", "cos")).alias("m")
         )
+        # default label = the harness-provided epoch_id, NOT the internal
+        # processed-batch counter: the counter skips empty micro-batches,
+        # so its labels silently diverge from Spark epoch ids whenever one
+        # interleaves (ADVICE r9 #3). _epoch stays as the stats ordinal.
         epoch = (
             self.epoch_col() if self.epoch_col is not None
-            else F.lit(self._epoch).cast("int")
+            else F.lit(int(epoch_id)).cast("int")
         )
         (
             batch_df.select(self.id_col)

@@ -16,6 +16,17 @@ from pypeln_spark.functions import dsum, dsum_expr
 from .base import load_table, register, tables
 
 
+def _compact_epochs():
+    """Compaction cadence for the ingest gates from
+    PYPELN_SPARK_INGEST_COMPACT_EPOCHS: an int K, or "auto" (r10) to let
+    IncrementalLshIndex re-derive K per absorb from the live index/batch
+    ratio at the measured 50x/100x knee. Default stays the measured K=1."""
+    import os
+
+    v = os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")
+    return "auto" if v.strip().lower() == "auto" else int(v)
+
+
 @register(
     "streaming_tumbling_hourly",
     oracle=f"""
@@ -1161,7 +1172,7 @@ def streaming_incremental_dedup(spark, sf_dir):
     index = D.IncrementalLshIndex(
         cor_sh,
         cor_bands,
-        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")),
+        compact_every=_compact_epochs(),
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
     )
 
@@ -1316,7 +1327,7 @@ def streaming_embedding_ingest(spark, sf_dir):
     index = D.IncrementalLshIndex(
         cor.select("vec_id", "_v", "_norm"),
         cor.select("vec_id", "bucket"),
-        compact_every=int(os.environ.get("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")),
+        compact_every=_compact_epochs(),
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
     )
 

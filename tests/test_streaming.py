@@ -1073,6 +1073,36 @@ def test_incremental_index_random_schedules_property(spark):
     prop()
 
 
+def test_incremental_lsh_index_auto_compaction_tracks_ratio(spark):
+    """compact_every="auto" (VERDICT r9 #3): K is re-derived on every
+    absorb from the LIVE index/batch row ratio at the MEASURED knee
+    boundaries (K=1 below 50x — full rewrite beats a deepening union;
+    K=4 across the measured 50-100x convergence zone; K=8 past 100x),
+    and index contents stay identical to the naive union — auto moves
+    only WALL time, never rows. The synthetic stream drives the ratio
+    across both boundaries in three absorbs."""
+    from pypeln_spark.ext import dedup as D
+
+    def mk(ids, tag):
+        return spark.createDataFrame(
+            [(i, f"{tag}{i}") for i in ids], "doc_id long, payload string"
+        )
+
+    base = mk(range(600), "base")
+    idx = D.IncrementalLshIndex(base, base, compact_every="auto")
+    expect = {(i, f"base{i}") for i in range(600)}
+    # (batch size, expected K): 600/100=6x -> 1; 700/12=58x -> 4;
+    # 712/6=119x -> 8  (pre-absorb index rows / batch rows)
+    for start, n, want_k in ((1000, 100, 1), (2000, 12, 4), (3000, 6, 8)):
+        ids = range(start, start + n)
+        idx.absorb(mk(ids, "d"), mk(ids, "d"))
+        assert idx.compact_every == want_k, (n, idx.compact_every)
+        expect |= {(i, f"d{i}") for i in ids}
+    got = {(r.doc_id, r.payload) for r in idx.sh.collect()}
+    idx.close()
+    assert got == expect
+
+
 def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch):
     """End-to-end half of the compaction contract: the registry ingest
     gate emits IDENTICAL keep/drop decisions with compaction forced every
@@ -1114,6 +1144,12 @@ def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch
     monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")
     assert run("streaming_incremental_dedup") == base_txt
     assert run("streaming_embedding_ingest") == base_emb
+    # r10 (VERDICT r9 #3): "auto" — K re-derived per absorb from the live
+    # index/batch ratio — must emit the same decisions as any fixed K
+    monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "auto")
+    assert run("streaming_incremental_dedup") == base_txt
+    assert run("streaming_embedding_ingest") == base_emb
+    monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_EPOCHS", "1")
     # the planted absorb matches must actually be present in both gates
     assert any(r[0] == 3 and r[2] == 7 for r in base_txt)
     assert any(r[0] == 3 and r[2] == 7 for r in base_emb)

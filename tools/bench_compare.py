@@ -31,10 +31,18 @@ def load(path: str) -> dict:
     if "queries" in d and isinstance(d["queries"], dict):
         return {k: float(v) for k, v in d["queries"].items()}
     if "tail" in d:  # driver record with a truncated stderr buffer
-        pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d["tail"])
-        meta = {"runs", "value", "sf", "n", "rc", "cpus", "pool_mb_max",
-                "pool_capacity_mb"}
-        return {k: float(v) for k, v in pairs if k not in meta}
+        # Anchor to the "queries" OBJECT, not a sibling-key denylist
+        # (ADVICE r9 #5 — a future numeric top-level key would be
+        # misparsed as a query timing). Two truncation shapes exist:
+        # the opener survived (scan from it to its closing brace), or
+        # the buffer starts MID-object (scan from the buffer start to
+        # the first closing brace).
+        tail = d["tail"]
+        m = re.search(r'"queries":\s*\{', tail)
+        body = tail[m.end():] if m else tail
+        body = body.split("}", 1)[0]
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', body)
+        return {k: float(v) for k, v in pairs}
     raise SystemExit(f"{path}: no 'queries' dict or 'tail' buffer")
 
 
