@@ -150,6 +150,12 @@ HEADLINE = [
     # round-9 additions
     "ann_recall_eval_nprobe",
     "dedup_simhash_near_pairs_wide",
+    # round-10 additions: the durable-compaction arm (its delta vs
+    # streaming_incremental_dedup prices the write-amplification of
+    # executor-loss safety) and the k-means-cell gate mode (the
+    # semantic-threshold bucketing; vs streaming_embedding_ingest)
+    "streaming_incremental_dedup_durable",
+    "streaming_embedding_ingest_cells",
 ]
 
 

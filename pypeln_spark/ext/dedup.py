@@ -887,7 +887,13 @@ class TextIngestGate:
         new_sh = pool_persist(
             shingle_arrays(spread(batch_df), self.text_col, self.id_col, self.shingle_k)
         )
-        new_sh.count()
+        n_new = new_sh.count()
+        # width=auto: re-size this epoch's shuffle width from its row
+        # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto);
+        # shuffle_width below then reads the adjusted conf
+        from pypeln_spark.streaming import autosize_stream_width
+
+        autosize_stream_width(batch_df.sparkSession, n_new)
         new_bands = lsh_band_table(
             minhash_signatures_wide(new_sh, self.id_col, self.n_hashes),
             self.id_col, self.bands, self.n_hashes // self.bands,

@@ -1447,28 +1447,51 @@ class EmbeddingIngestGate:
         self.n_planes = new_planes
         return True
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        from pypeln_spark.streaming import shuffle_width
+    # -- bucketing hooks (r10): the gate body is bucketing-agnostic; the
+    # hyperplane defaults below produce the EXACT pre-r10 plan, and
+    # CellEmbeddingIngestGate overrides them with k-means cell
+    # assignment for the semantic-threshold regime --
 
-        retire_pipeline_caches()
-        new = pool_persist(
-            lsh_bucket(
-                with_norms(spread(batch_df), self.vec_col),
-                "_v", self.n_planes, self.dim,
-            )
+    def _prepare_new(self, batch_df: DataFrame) -> DataFrame:
+        """Arriving side: spread + norms + this gate's bucket column."""
+        return lsh_bucket(
+            with_norms(spread(batch_df), self.vec_col),
+            "_v", self.n_planes, self.dim,
         )
-        new.count()
+
+    def _probe_rows(self, new: DataFrame) -> DataFrame:
+        """(new_id, bucket) probe rows — hyperplane hd≤probe_hamming
+        shells via xor masks; one row per (new, corpus) pair downstream
+        because the connecting mask is unique."""
         probes = F.array(
             *[
                 F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
                 for m in _probe_masks(self.n_planes, self.probe_hamming)
             ]
         )
-        nb = new.select(
+        return new.select(
             F.col(self.id_col).alias("new_id"), F.explode(probes).alias("bucket")
         )
+
+    def _novel_bands(self, novel: DataFrame) -> DataFrame:
+        """(id, bucket) rows the index absorbs for this epoch's novel
+        vectors — hyperplane: their own bucket column."""
+        return novel.select(self.id_col, "bucket")
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pypeln_spark.streaming import shuffle_width
+
+        retire_pipeline_caches()
+        new = pool_persist(self._prepare_new(batch_df))
+        n_new = new.count()
+        # width=auto: re-size this epoch's shuffle width from its row
+        # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto)
+        from pypeln_spark.streaming import autosize_stream_width
+
+        autosize_stream_width(batch_df.sparkSession, n_new)
+        nb = self._probe_rows(new)
         cb = self.index.bands.select(
             F.col(self.id_col).alias("corpus_id"), "bucket"
         )
@@ -1529,7 +1552,7 @@ class EmbeddingIngestGate:
         novel = new.join(dropped, self.id_col, "left_anti")
         self.index.absorb(
             novel.select(self.id_col, "_v", "_norm"),
-            novel.select(self.id_col, "bucket"),
+            self._novel_bands(novel),
         )
         widened = self._maybe_widen()
         if self.collect_stats:
@@ -1543,3 +1566,75 @@ class EmbeddingIngestGate:
                 }
             )
         self._epoch += 1
+
+
+class CellEmbeddingIngestGate(EmbeddingIngestGate):
+    """The embedding ingest gate bucketed by K-MEANS CELLS instead of
+    hyperplanes — the gate mode for SEMANTIC-range thresholds (VERDICT
+    r9 #4). The r9 sf1 measurements exposed the hyperplane dial's limit:
+    at a low threshold (0.35) the occupancy-triggered widen costs 27% of
+    dup decisions, because mid-cosine pairs are weakly bucket-stable —
+    E[plane flips] grows with every added plane, so a wider hyperplane
+    index is structurally the WRONG recall/cost dial for semantic gates
+    (zero cost at ≥0.9 where near-exact pairs share buckets at any
+    width). Cells don't have that failure mode: a centroid cell's radius
+    is set by the DATA's cluster structure, not by how many random
+    planes a pair must agree on, and probing the nprobe nearest cells
+    degrades gracefully (the semantic_dedup_pairs / IVF shape).
+
+    Mechanics: centroids train ONCE on the initial corpus
+    (kmeans_centroids — frozen-hash seeds, decimal-exact updates, so the
+    whole gate replays in DuckDB); arriving vectors probe their
+    ``nprobe`` nearest cells (ivf_assign keep=nprobe), the index stores
+    each vector in its ONE nearest cell (keep=1), candidates come from
+    the cell equi-join, verify/survivor-pick/absorb are the parent's.
+    No occupancy trigger: cell count is a training-time choice and cells
+    grow with corpus density, not bucket saturation — the at-scale
+    maintenance move is a periodic RE-TRAIN on the grown index (the
+    standard IVF rebuild), which swaps centroids + re-assigns in two
+    narrow passes (index.rebuild_bands), deliberately left to the
+    deployment's cadence. Three-arm recall/wall vs the hyperplane arms
+    measured on the r9 planted-pair sf1 stream: SCALING.md r10."""
+
+    def __init__(
+        self,
+        index,
+        sink_root: str,
+        dim: int,
+        centroids: DataFrame,
+        n_cells: int,
+        threshold: float,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch_col=None,
+        collect_stats: bool = False,
+    ):
+        super().__init__(
+            index, sink_root, dim, n_planes=0, threshold=threshold,
+            probe_hamming=0, id_col=id_col, vec_col=vec_col,
+            occupancy_trigger=0.0, epoch_col=epoch_col,
+            collect_stats=collect_stats,
+        )
+        self.centroids = centroids
+        self.n_cells = n_cells
+        self.nprobe = nprobe
+
+    def _prepare_new(self, batch_df: DataFrame) -> DataFrame:
+        # no bucket column here — cell assignment happens per consumer
+        # (probe rows want keep=nprobe, the absorbed rows keep=1)
+        return with_norms(spread(batch_df), self.vec_col)
+
+    def _probe_rows(self, new: DataFrame) -> DataFrame:
+        # each (new, corpus) pair connects through at most one cell —
+        # the index stores a vector in exactly ONE cell — so the parent's
+        # no-distinct candidate join stays pair-unique at any nprobe
+        return ivf_assign(
+            new, self.centroids, self.n_cells, keep=self.nprobe,
+            id_col=self.id_col,
+        ).select(F.col(self.id_col).alias("new_id"), F.col("cid").alias("bucket"))
+
+    def _novel_bands(self, novel: DataFrame) -> DataFrame:
+        return ivf_assign(
+            novel, self.centroids, self.n_cells, keep=1, id_col=self.id_col
+        ).select(self.id_col, F.col("cid").alias("bucket"))

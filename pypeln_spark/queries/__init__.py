@@ -90,8 +90,16 @@ _PRIORITY = [
     "quality_drift_events_cohorts",
     "quality_ks_test_value_cohorts",
     "streaming_drift_daily_mix",
-    # -- (d) r6-stale cohort, registry order (26 fit; tail slots get
-    # swapped for r10 debuts / code-changed greens as the round adds them) --
+    # -- (b) r10 debuts, never driver-checked --
+    "streaming_incremental_dedup_durable",
+    "streaming_embedding_ingest_cells",
+    # -- (c) greens whose CODE changed in r10 (gate refactor: bucketing
+    # hooks + _text_ingest_gate helper + epoch-label default + auto
+    # compaction cadence plumbing) --
+    "streaming_incremental_dedup",
+    "streaming_embedding_ingest",
+    # -- (d) r6-stale cohort, registry order (22 fit; the last 4 roll to
+    # the r11 window) --
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
     "q1_pricing_summary",
@@ -114,10 +122,6 @@ _PRIORITY = [
     "cube_lineitem_flags",
     "pivot_priority_by_status",
     "scalar_function_gauntlet",
-    "date_function_gauntlet",
-    "case_when_price_tiers",
-    "json_extract_event_props",
-    "events_hourly_by_type",
 ]
 
 

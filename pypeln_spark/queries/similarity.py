@@ -210,6 +210,7 @@ def _kmeans_ctes(
     train_mod: int | None = None,
     prefix: str = "",
     seeding: str = "hash",
+    base: str = "n",
 ) -> tuple[str, str]:
     """DuckDB CTE chain replaying ext/similarity.kmeans_centroids exactly:
     seed draw (``seeding="hash"`` = frozen-hash smallest-n_cells;
@@ -219,15 +220,18 @@ def _kmeans_ctes(
     hash-sampled training set (h31(id) % m == 0) — seeds and iteration
     passes draw from the sample, final assignment stays full-corpus.
     ``prefix`` namespaces every CTE so two quantizer replays can coexist
-    in one oracle. Returns (cte_sql, final_name)."""
+    in one oracle. ``base`` names the normed-vector CTE the quantizer
+    trains over (default the full-corpus ``n``; the cells ingest gate
+    passes its corpus-only CTE — a gate trains on what exists at stream
+    start). Returns (cte_sql, final_name)."""
     h = sql_h31("CAST(vec_id AS VARCHAR)")
     p = prefix
-    train = "n"
+    train = base
     cte = ""
     if train_mod is not None:
         train = f"{p}ktrain"
         cte = f"""
-    {train} AS (SELECT * FROM n WHERE {h} % {train_mod} = 0),"""
+    {train} AS (SELECT * FROM {base} WHERE {h} % {train_mod} = 0),"""
     if seeding == "hash":
         cte += f"""
     {p}seeds AS (

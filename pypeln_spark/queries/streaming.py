@@ -1091,8 +1091,7 @@ def _incr_stream_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
 
-@register("streaming_incremental_dedup", oracle=_incr_stream_oracle())
-def streaming_incremental_dedup(spark, sf_dir):
+def _text_ingest_gate(spark, sf_dir, checkpoint_dir=None):
     """The PRODUCTION INGEST GATE for a continuously crawled training set,
     run as a real stream (VERDICT r6 #8): new documents (odd doc_ids,
     three epochs by doc_id % 6) arrive through foreachBatch; each epoch
@@ -1173,7 +1172,7 @@ def streaming_incremental_dedup(spark, sf_dir):
         cor_sh,
         cor_bands,
         compact_every=_compact_epochs(),
-        checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+        checkpoint_dir=checkpoint_dir,
     )
 
     # per-epoch body lives in ext/dedup.TextIngestGate (r9 — factored out
@@ -1199,6 +1198,47 @@ def streaming_incremental_dedup(spark, sf_dir):
     out = spark.read.parquet(root).localCheckpoint(eager=True)
     ST.remove_sink_dir(spark, root)
     return out
+
+
+@register("streaming_incremental_dedup", oracle=_incr_stream_oracle())
+def streaming_incremental_dedup(spark, sf_dir):
+    """The registry text ingest gate (see _text_ingest_gate). Compaction
+    target = localCheckpoint (block-manager) unless the deployment env
+    knob PYPELN_SPARK_INGEST_COMPACT_DIR points at a shared-FS dir."""
+    import os
+
+    return _text_ingest_gate(
+        spark, sf_dir,
+        os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+    )
+
+
+@register("streaming_incremental_dedup_durable", oracle=_incr_stream_oracle())
+def streaming_incremental_dedup_durable(spark, sf_dir):
+    """The SAME text ingest gate with its index materialization on the
+    DURABLE path (VERDICT r9 #5): every delta append and every compaction
+    writes parquet under a checkpoint dir and reads it back — the
+    "index as a maintained table" shape a real cluster runs, safe across
+    executor loss where localCheckpoint blocks are not (a lost executor's
+    block-manager checkpoint is non-recomputable, mid-stream fatal; see
+    IncrementalLshIndex's docstring, ext/dedup.py). Decisions are
+    target-invariant — this entry shares _incr_stream_oracle() verbatim
+    with streaming_incremental_dedup, so the driver hash-checks that the
+    filesystem round trip changes NOTHING — and its bench row prices the
+    write-amplification of durability (SCALING.md r10). Here the dir is a
+    driver-local tempdir (local[*] has no shared FS); a deployment sets
+    PYPELN_SPARK_INGEST_COMPACT_DIR to shared storage and keeps the final
+    generation as the recoverable index table instead of deleting it."""
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="pypeln_spark_ingest_ckpt_")
+    try:
+        # decisions localCheckpoint eagerly inside the helper, so the
+        # index files are free to go once the frame is materialized
+        return _text_ingest_gate(spark, sf_dir, ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _emb_gate_oracle() -> str:
@@ -1349,6 +1389,172 @@ def streaming_embedding_ingest(spark, sf_dir):
         occupancy_trigger=float(
             os.environ.get("PYPELN_SPARK_EMB_GATE_OCCUPANCY", "0")
         ),
+        epoch_col=lambda: F.expr("CAST(((vec_id % 6) - 1) DIV 2 AS INT)"),
+    )
+    ST.staged_foreach_batch(spark, epochs, gate)
+    D.retire_pipeline_caches()
+    index.close()
+    out = spark.read.parquet(root).localCheckpoint(eager=True)
+    ST.remove_sink_dir(spark, root)
+    return out
+
+
+def _emb_cells_gate_oracle() -> str:
+    """Oracle for streaming_embedding_ingest_cells — the k-means-cell
+    twin of _emb_gate_oracle: centroids train ONCE on the initial corpus
+    (frozen-hash seeds, decimal-exact updates — the _kmeans_ctes replay,
+    base = the corpus-only CTE), ONE shared assignment ranking serves
+    both sides (corpus cells = rank 1, arriving probes = rank ≤ nprobe —
+    equivalent to the gate's two ivf_assign calls because assignment is
+    deterministic), then 3 unrolled epochs of cell equi-join → exact
+    cosine verify → min-corpus-id survivor → absorb novel at rank 1."""
+    from .similarity import (
+        DIM, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
+        _dot, _kmeans_ctes,
+    )
+
+    nprobe = 2
+    vv = _dot("v", "v")
+    km_cte, km_final = _kmeans_ctes(
+        N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD, prefix="g", base="cn"
+    )
+    ctes = [
+        """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)""",
+        f"n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)",
+        "cn AS (SELECT * FROM n WHERE vec_id % 2 = 0)",
+        km_cte.strip().rstrip(","),
+        f"""gasg AS MATERIALIZED (
+          SELECT x.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                   ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC,
+                            c.cid) AS rk
+          FROM n x JOIN {km_final} c ON TRUE
+        )""",
+        """c0 AS MATERIALIZED (
+          SELECT vec_id, cid FROM gasg WHERE rk = 1 AND vec_id % 2 = 0
+        )""",
+    ]
+    finals = []
+    for ep in range(3):
+        cls = 2 * ep + 1  # vec_id % 6 ∈ {1, 3, 5} → epochs 0, 1, 2
+        ctes.append(
+            f"n{ep} AS (SELECT vec_id FROM n WHERE vec_id % 6 = {cls})"
+        )
+        ctes.append(f"""m{ep} AS (
+          SELECT new_id, corpus_id, cos FROM (
+            SELECT p.vec_id AS new_id, cc.vec_id AS corpus_id,
+                   {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+            FROM gasg p
+            JOIN n{ep} ON n{ep}.vec_id = p.vec_id
+            JOIN c{ep} cc ON cc.cid = p.cid
+            JOIN n a ON a.vec_id = p.vec_id
+            JOIN n b ON b.vec_id = cc.vec_id
+            WHERE p.rk <= {nprobe})
+          WHERE cos >= {NEAR_DUP_T}
+        )""")
+        ctes.append(f"""p{ep} AS (
+          SELECT new_id, corpus_id, cos FROM (
+            SELECT new_id, corpus_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY new_id
+                                      ORDER BY corpus_id ASC) AS rn
+            FROM m{ep})
+          WHERE rn = 1
+        )""")
+        ctes.append(f"""c{ep + 1} AS MATERIALIZED (
+          SELECT vec_id, cid FROM c{ep}
+          UNION ALL
+          SELECT g.vec_id, g.cid FROM gasg g
+          JOIN n{ep} ON n{ep}.vec_id = g.vec_id
+          ANTI JOIN p{ep} ON p{ep}.new_id = g.vec_id
+          WHERE g.rk = 1
+        )""")
+        finals.append(
+            f"""SELECT n{ep}.vec_id, CAST({ep} AS INTEGER) AS epoch,
+                 p{ep}.corpus_id AS dup_of, p{ep}.cos AS cos
+          FROM n{ep} LEFT JOIN p{ep} ON p{ep}.new_id = n{ep}.vec_id"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("streaming_embedding_ingest_cells", oracle=_emb_cells_gate_oracle())
+def streaming_embedding_ingest_cells(spark, sf_dir):
+    """The embedding ingest gate in K-MEANS CELL mode (VERDICT r9 #4) —
+    the bucketing a SEMANTIC-threshold deployment should run: the r9 sf1
+    measurements showed the hyperplane gate's occupancy widen costs 27%
+    of dup decisions at this query's low threshold (0.35) while costing
+    zero at ≥0.9 — mid-cosine pairs are weakly bucket-stable under random
+    hyperplanes, and widening only sharpens that. Cells bucket by the
+    DATA's cluster structure instead: centroids train once on the initial
+    corpus (ext/similarity.kmeans_centroids — frozen-hash seeds,
+    decimal-exact means, hash-sampled training set, all DuckDB-replayable),
+    arriving vectors probe their 2 nearest cells, the index stores each
+    vector in its single nearest cell, and verify/survivor/absorb are the
+    shared gate body (ext/similarity.CellEmbeddingIngestGate). Scale
+    shape: assignment is a broadcast of n_cells tiny centroid rows — one
+    narrow pass per epoch over the BATCH only — candidates come from the
+    cell equi-join (new × index), and the at-scale maintenance move is a
+    periodic centroid re-train + index.rebuild_bands (the standard IVF
+    rebuild), not bucket widening. The oracle replays training,
+    assignment, probing, verification, survivor pick AND absorb across
+    the three unrolled epochs."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    from .similarity import (
+        DIM, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    epochs = [emb.filter(F.col("vec_id") % 6 == c) for c in (1, 3, 5)]
+
+    # train-once centroid artifact, keyed separately from the full-corpus
+    # ANN quantizer: a gate only knows the corpus that exists at stream
+    # start, so its centroids (and the oracle's) train on even ids only
+    cents = S.trained_artifact(
+        spark,
+        ("gate_cells_cents", sf_dir, N_CELLS, KMEANS_ITERS, KMEANS_TRAIN_MOD),
+        lambda: S.kmeans_centroids(
+            corpus, N_CELLS, KMEANS_ITERS, train_mod=KMEANS_TRAIN_MOD
+        ),
+    )
+
+    def build_index():
+        nf = S.with_norms(S.spread(corpus))
+        return S.ivf_assign(nf, cents, N_CELLS, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+
+    cor = S.cached_index(
+        ("emb_gate_cells_index", sf_dir, N_CELLS, KMEANS_ITERS), build_index
+    )
+    index = D.IncrementalLshIndex(
+        cor.select("vec_id", "_v", "_norm"),
+        cor.select("vec_id", "bucket"),
+        compact_every=_compact_epochs(),
+        checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+    )
+
+    root = ST.stream_sink_dir("pypeln_spark_embcells_")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(root)
+
+    gate = S.CellEmbeddingIngestGate(
+        index, root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe=2,
         epoch_col=lambda: F.expr("CAST(((vec_id % 6) - 1) DIV 2 AS INT)"),
     )
     ST.staged_foreach_batch(spark, epochs, gate)

@@ -1322,6 +1322,125 @@ def test_embedding_gate_occupancy_trigger(spark, tmp_path):
     assert fixed_gate.stats[2]["n_cand"] > fixed_gate.stats[0]["n_cand"]
 
 
+def test_cell_gate_matches_hyperplane_at_high_threshold(spark, tmp_path):
+    """VERDICT r9 #4's decision-equality half: at a production threshold
+    (≥0.9) the k-means-CELL gate emits decision sets IDENTICAL to the
+    hyperplane gate on a planted-dup stream — an exact copy shares its
+    source's nearest cell (same vector → same argmax, same deterministic
+    tiebreak) exactly as it shares its hyperplane bucket at any width —
+    including the cross-epoch absorption matches, which read cells the
+    index absorbed mid-stream. dim=64 keeps random cosines ~N(0, 1/64)
+    (sd 0.125), so no unplanted pair comes near 0.9 and the two gates'
+    DIFFERENT sub-threshold candidate sets cannot leak into decisions."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 64
+    rng = random.Random(23)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+    base_rows = [(i, vec()) for i in range(300)]
+    planted_of = dict(base_rows[:2])
+    epoch_rows = []
+    for e, lo in enumerate((1000, 2000, 3000)):
+        rows = [(lo + j, vec()) for j in range(200)]
+        rows[0] = (lo, planted_of[e % 2])  # dup of a CORPUS vector
+        if e > 0:  # dup of the PREVIOUS epoch's novel vector
+            rows[1] = (lo + 1, epoch_rows[e - 1][5][1])
+        epoch_rows.append(rows)
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(base_rows, schema)
+    epochs = [spark.createDataFrame(r, schema) for r in epoch_rows]
+
+    def collect(root, idx, gate):
+        for i, ep in enumerate(epochs):
+            gate(ep, i)
+        out = {
+            r.vec_id: (r.epoch, r.dup_of, r.cos)
+            for r in spark.read.parquet(root).collect()
+        }
+        D.retire_pipeline_caches()
+        idx.close()
+        return out
+
+    root_h = str(tmp_path / "hyper")
+    cor = S.lsh_bucket(S.with_norms(S.spread(base)), "_v", 4, DIM)
+    idx_h = D.IncrementalLshIndex(
+        cor.select("vec_id", "_v", "_norm"), cor.select("vec_id", "bucket")
+    )
+    hyper = collect(
+        root_h, idx_h,
+        S.EmbeddingIngestGate(idx_h, root_h, DIM, n_planes=4, threshold=0.9),
+    )
+
+    root_c = str(tmp_path / "cells")
+    nf = S.with_norms(S.spread(base))
+    cents = S.kmeans_centroids(base, n_cells=8, iters=2)
+    corc = S.ivf_assign(nf, cents, 8, keep=1).select(
+        "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+    )
+    idx_c = D.IncrementalLshIndex(
+        corc.select("vec_id", "_v", "_norm"), corc.select("vec_id", "bucket")
+    )
+    cells = collect(
+        root_c, idx_c,
+        S.CellEmbeddingIngestGate(idx_c, root_c, DIM, cents, 8, 0.9, nprobe=2),
+    )
+
+    assert cells == hyper
+    assert cells[1000][1] == 0 and cells[2000][1] == 1 and cells[3000][1] == 0
+    assert cells[2001][1] == 1005  # cross-epoch absorption match
+    assert cells[3001][1] == 2005
+
+
+def test_autosize_stream_width(spark, monkeypatch):
+    """width=auto (VERDICT r9 #6): the per-epoch width is
+    clamp(ceil(rows/500), 4, defaultParallelism) — constants from the r9
+    measured curve (sf0.1 ~833-row epochs optimum 4-8; sf1 ~8333-row
+    epochs optimum 16; 32 on tiny shuffles regressed 2.3x) — applied to
+    the session conf so every epoch shuffle picks it up; static mode
+    reports the scope width untouched."""
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        monkeypatch.setattr(ST, "STREAM_WIDTH_AUTO", True)
+        cap = spark.sparkContext.defaultParallelism  # 8 in the test session
+        assert ST.autosize_stream_width(spark, 100) == 4  # floor
+        assert spark.conf.get(key) == "4"
+        want = max(4, min(cap, 17))  # ceil(8333/500) = 17 pre-clamp
+        assert ST.autosize_stream_width(spark, 8333) == want
+        assert spark.conf.get(key) == str(want)
+        assert ST.autosize_stream_width(spark, 10**9) == cap  # ceiling
+        monkeypatch.setattr(ST, "STREAM_WIDTH_AUTO", False)
+        spark.conf.set(key, "7")
+        assert ST.autosize_stream_width(spark, 10**9) == 7  # static: scope width
+    finally:
+        spark.conf.set(key, orig)
+
+
+def test_gate_decisions_invariant_under_auto_width(spark, monkeypatch):
+    """Width is LAYOUT, never semantics: the registry text gate run with
+    width=auto must emit exactly the default-width decision set."""
+    from pypeln_spark.ext import similarity as S
+    from pypeln_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        S.drop_index()
+        return sorted(
+            map(tuple, REGISTRY["streaming_incremental_dedup"].fn(spark, sf).collect())
+        )
+
+    base = run()
+    monkeypatch.setattr(ST, "STREAM_WIDTH_AUTO", True)
+    assert run() == base
+
+
 def test_staged_feeds_arrive_as_single_micro_batches(spark):
     """The epoch-boundary guarantee, pinned (r9): a multi-partition feed
     used to commit N part-files by sequential rename while the idle
