@@ -1609,16 +1609,72 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         vec_col: str = "embedding",
         epoch_col=None,
         collect_stats: bool = False,
+        occupancy_trigger: float = 0.0,
+        target_occupancy: float = 8.0,
+        retrain_iters: int = 2,
+        retrain_train_mod: tp.Optional[int] = 4,
     ):
         super().__init__(
             index, sink_root, dim, n_planes=0, threshold=threshold,
             probe_hamming=0, id_col=id_col, vec_col=vec_col,
-            occupancy_trigger=0.0, epoch_col=epoch_col,
+            occupancy_trigger=occupancy_trigger,
+            target_occupancy=target_occupancy, epoch_col=epoch_col,
             collect_stats=collect_stats,
         )
         self.centroids = centroids
         self.n_cells = n_cells
         self.nprobe = nprobe
+        self.retrain_iters = retrain_iters
+        self.retrain_train_mod = retrain_train_mod
+
+    def retrain(self, n_cells: tp.Optional[int] = None) -> None:
+        """The cells gate's at-scale maintenance move, as an operator
+        (r10): re-train centroids on the CURRENT index vectors (the
+        corpus + everything absorbed — index.sh IS a with_norms frame)
+        and re-assign the whole index in one narrow pass
+        (index.rebuild_bands — lineage-cut, band deltas retired, sh side
+        untouched). This is the standard periodic IVF rebuild: training
+        is one broadcast-join assignment pass per iteration over the
+        hash-sampled index (centroid-count-sized shuffle keys), and the
+        re-assignment is the same ivf_assign every epoch already runs,
+        over index rows instead of batch rows. Deterministic end to end
+        (frozen-hash seeds, decimal means), so a replay after any number
+        of retrains is still engine-reproducible."""
+        n_cells = n_cells or self.n_cells
+        cents = kmeans_centroids(
+            None, n_cells, self.retrain_iters, id_col=self.id_col,
+            normed=self.index.sh, train_mod=self.retrain_train_mod,
+        )
+        # collect-and-replay like trained_artifact: the centroid frame is
+        # n_cells tiny rows, and materializing it here keeps rebuild's
+        # lineage (and every later epoch's probes) off the training plan
+        spark = self.index.sh.sparkSession
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+        self.index.rebuild_bands(
+            ivf_assign(self.index.sh, cents, n_cells, keep=1,
+                       id_col=self.id_col)
+            .select(self.id_col, F.col("cid").alias("bucket"))
+        )
+        self.centroids = cents
+        self.n_cells = n_cells
+
+    def _maybe_widen(self) -> bool:
+        """Occupancy-triggered RE-TRAIN (the cells analogue of the
+        hyperplane gate's re-bucket): when mean vectors-per-cell crosses
+        the trigger, grow the cell count back to target occupancy and
+        retrain on the grown index. Same hysteresis contract as the
+        parent (target < trigger, validated there)."""
+        if not self.occupancy_trigger:
+            return False
+        size = self.index.size()
+        if size / float(self.n_cells) < self.occupancy_trigger:
+            return False
+        import math
+
+        self.retrain(
+            max(self.n_cells + 1, math.ceil(size / self.target_occupancy))
+        )
+        return True
 
     def _prepare_new(self, batch_df: DataFrame) -> DataFrame:
         # no bucket column here — cell assignment happens per consumer

@@ -1397,6 +1397,80 @@ def test_cell_gate_matches_hyperplane_at_high_threshold(spark, tmp_path):
     assert cells[3001][1] == 2005
 
 
+def test_cell_gate_occupancy_retrain(spark, tmp_path):
+    """The cells gate's self-managed maintenance (r10): on a growing
+    stream the gate (a) fires its occupancy-triggered RE-TRAIN (grow
+    cells back to target occupancy, retrain on the current index,
+    re-assign in one narrow pass), (b) emits decisions IDENTICAL to the
+    never-retrained gate at a high threshold — an exact copy lands in
+    its source's argmax cell under ANY centroid set — and (c) the
+    retrained gate's candidate volume flattens while the fixed gate's
+    grows with index size / n_cells."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 16
+    rng = random.Random(31)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+    base_rows = [(i, vec()) for i in range(300)]
+    planted_of = dict(base_rows[:2])
+    epoch_rows = []
+    for e, lo in enumerate((1000, 2000, 3000)):
+        rows = [(lo + j, vec()) for j in range(200)]
+        rows[0] = (lo, planted_of[e % 2])
+        if e > 0:
+            rows[1] = (lo + 1, epoch_rows[e - 1][5][1])
+        epoch_rows.append(rows)
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(base_rows, schema)
+    epochs = [spark.createDataFrame(r, schema) for r in epoch_rows]
+
+    def run(trigger):
+        root = str(tmp_path / f"cells_{int(trigger)}")
+        nf = S.with_norms(S.spread(base))
+        cents = S.kmeans_centroids(base, 4, 2)
+        cor = S.ivf_assign(nf, cents, 4, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"), cor.select("vec_id", "bucket")
+        )
+        gate = S.CellEmbeddingIngestGate(
+            idx, root, DIM, cents, 4, 0.95, nprobe=2,
+            occupancy_trigger=(100.0 if trigger else 0.0),
+            target_occupancy=20.0, collect_stats=True,
+        )
+        for i, ep in enumerate(epochs):
+            gate(ep, i)
+        out = {
+            r.vec_id: (r.epoch, r.dup_of, r.cos)
+            for r in spark.read.parquet(root).collect()
+        }
+        D.retire_pipeline_caches()
+        idx.close()
+        return gate, out
+
+    fixed_gate, fixed_out = run(False)
+    trig_gate, trig_out = run(True)
+    # (a) the retrain fires exactly once (hysteresis: occupancy lands at
+    # ~target and can't re-cross the trigger within three epochs)
+    assert [s["widened"] for s in fixed_gate.stats] == [False] * 3
+    assert sum(s["widened"] for s in trig_gate.stats) == 1
+    assert trig_gate.n_cells > 4 == fixed_gate.n_cells
+    # (b) decisions identical at the high threshold, planted dups caught
+    assert trig_out == fixed_out
+    assert fixed_out[1000][1] == 0 and fixed_out[2000][1] == 1
+    assert fixed_out[3000][1] == 0
+    assert fixed_out[2001][1] == 1005 and fixed_out[3001][1] == 2005
+    # (c) candidate volume flattens post-retrain
+    assert trig_gate.stats[2]["n_cand"] < fixed_gate.stats[2]["n_cand"]
+
+
 def test_autosize_stream_width(spark, monkeypatch):
     """width=auto (VERDICT r9 #6): the per-epoch width is
     clamp(ceil(rows/500), 4, defaultParallelism) — constants from the r9

@@ -51,7 +51,8 @@ def main() -> None:
         elif args[i] == "--sf":
             sf_dir = args[i + 1]; i += 2
         else:
-            ks.append(int(args[i])); i += 1
+            a = args[i]
+            ks.append(a if a == "auto" else int(a)); i += 1
     ks = ks or [0, 1, 4, 8]
 
     import pypeln_spark as pl
@@ -93,12 +94,14 @@ def main() -> None:
             index, root, N_HASHES, BANDS, 5, JACCARD_THRESHOLD
         )
         per_epoch = []
+        k_sched = []  # the K the auto policy picked per absorb
         t_all = time.time()
         with ST._stream_partitions(spark):  # the registry gate's scope
             for e, ep in enumerate(epochs):
                 t = time.time()
                 gate(ep, e)
                 per_epoch.append(round(time.time() - t, 3))
+                k_sched.append(index.compact_every)
         total = round(time.time() - t_all, 3)
         lf = leaves(index.sh)
         n_dup = (
@@ -118,6 +121,7 @@ def main() -> None:
             "per_epoch_sec": per_epoch,
             "index_plan_leaves": lf,
             "n_dup_decisions": n_dup,
+            **({"k_schedule": k_sched} if k == "auto" else {}),
         }
         print(
             f"K={k}: total {total}s, leaves {lf}, "
