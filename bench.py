@@ -156,6 +156,9 @@ HEADLINE = [
     # semantic-threshold bucketing; vs streaming_embedding_ingest)
     "streaming_incremental_dedup_durable",
     "streaming_embedding_ingest_cells",
+    # the retrieval half: stream of queries served against the static
+    # corpus IVF index (shares the cells gate's centroid + cell artifacts)
+    "streaming_ann_topk_serving",
 ]
 
 

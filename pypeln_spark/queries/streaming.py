@@ -1565,6 +1565,164 @@ def streaming_embedding_ingest_cells(spark, sf_dir):
     return out
 
 
+def _ann_serving_oracle() -> str:
+    """Oracle for streaming_ann_topk_serving: the IVF serving path over
+    the SAME corpus-trained quantizer and cell assignment as the cells
+    ingest gate (one index, two consumers). No absorb — each arriving
+    query probes its nprobe nearest cells of the STATIC corpus, exact
+    cosine over the probed lists, top-k per query — so the replay is one
+    batch SQL over all queries, with the epoch label a pure function of
+    the id."""
+    from .similarity import (
+        DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, _dot, _kmeans_ctes,
+    )
+
+    nprobe = 2
+    vv = _dot("v", "v")
+    km_cte, km_final = _kmeans_ctes(
+        N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD, prefix="g", base="cn"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e),
+    cn AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+    {km_cte.strip().rstrip(',')},
+    gasg AS MATERIALIZED (
+      SELECT x.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC,
+                        c.cid) AS rk
+      FROM n x JOIN {km_final} c ON TRUE
+    ),
+    cells AS (SELECT vec_id, cid FROM gasg WHERE rk = 1 AND vec_id % 2 = 0),
+    probes AS (SELECT vec_id, cid FROM gasg
+               WHERE rk <= {nprobe} AND vec_id % 2 = 1),
+    scored AS (
+      SELECT p.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+      FROM probes p
+      JOIN cells cc ON cc.cid = p.cid
+      JOIN n a ON a.vec_id = p.vec_id
+      JOIN n b ON b.vec_id = cc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, CAST(((query_id % 6) - 1) // 2 AS INTEGER) AS epoch,
+           neighbor_id, cos, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= {K}
+    """
+
+
+@register("streaming_ann_topk_serving", oracle=_ann_serving_oracle())
+def streaming_ann_topk_serving(spark, sf_dir):
+    """The RETRIEVAL half of the vector-index story (r10): a stream of
+    query vectors (odd vec_ids, three epochs by vec_id % 6) served
+    against the STATIC corpus IVF index — the production ANN serving
+    shape (FAISS's search() as a stream), complementing the ingest gates
+    (which build/maintain the index). Deliberately shares BOTH artifacts
+    with streaming_embedding_ingest_cells: the corpus-trained centroids
+    (same trained_artifact key) and the cell-assignment frame (same
+    cached_index key) — one maintained index, two consumers, exactly how
+    a deployment runs it. Per micro-batch: assign arriving queries to
+    their nprobe=2 nearest cells (ivf_assign keep=2 over broadcast
+    centroids — a narrow pass over the BATCH), equi-join the probed
+    inverted lists, exact cosine, top-K per query by window, decisions
+    appended from the executors. Scale shape: per-query cost is
+    nprobe/n_cells of the corpus, the batch side never shuffles more
+    than its probe rows, and the static index is the bucketed table a
+    cluster would pin in storage. No state grows — the serving gate is
+    embarrassingly micro-batch-parallel (contrast: the ingest gates'
+    absorb is the stateful half)."""
+    from pyspark.sql import types as T
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    from .similarity import DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS
+
+    nprobe = 2
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    epochs = [emb.filter(F.col("vec_id") % 6 == c) for c in (1, 3, 5)]
+
+    cents = S.trained_artifact(
+        spark,
+        ("gate_cells_cents", sf_dir, N_CELLS, KMEANS_ITERS, KMEANS_TRAIN_MOD),
+        lambda: S.kmeans_centroids(
+            corpus, N_CELLS, KMEANS_ITERS, train_mod=KMEANS_TRAIN_MOD
+        ),
+    )
+
+    def build_index():
+        nf = S.with_norms(S.spread(corpus))
+        return S.ivf_assign(nf, cents, N_CELLS, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+
+    cor = S.cached_index(
+        ("emb_gate_cells_index", sf_dir, N_CELLS, KMEANS_ITERS), build_index
+    )
+    lists = cor.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"), F.col("bucket").alias("cid"),
+    )
+
+    root = ST.stream_sink_dir("pypeln_spark_annserve_")
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(root)
+
+    from pyspark.sql import Window
+
+    from pypeln_spark.ext.similarity import dot_ieee
+
+    def serve(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        q = S.with_norms(S.spread(batch_df))
+        probes = S.ivf_assign(q, cents, N_CELLS, keep=nprobe).select(
+            F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
+            F.col("_norm").alias("qn"), F.col("cid"),
+        )
+        scored = probes.join(lists.hint("shuffle_hash"), "cid").withColumn(
+            "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select(
+                "query_id",
+                F.expr("CAST(((query_id % 6) - 1) DIV 2 AS INT)").alias("epoch"),
+                "neighbor_id", "cos", "rank",
+            )
+            .write.mode("append")
+            .parquet(root)
+        )
+
+    ST.staged_foreach_batch(spark, epochs, serve)
+    D.retire_pipeline_caches()
+    out = spark.read.parquet(root).localCheckpoint(eager=True)
+    ST.remove_sink_dir(spark, root)
+    return out
+
+
 @register(
     "streaming_merge_upsert_orders",
     oracle=f"""
