@@ -1563,6 +1563,14 @@ class EmbeddingIngestGate:
                     "index_rows": self.index.size(),
                     "n_cand": n_cand,
                     "widened": widened,
+                    # the cells subclass's capacity knob is cell count,
+                    # not plane count — report whichever is live so the
+                    # stats a trigger test reads name the real dial
+                    **(
+                        {"n_cells": self.n_cells}
+                        if hasattr(self, "n_cells")
+                        else {}
+                    ),
                 }
             )
         self._epoch += 1
