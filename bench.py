@@ -159,6 +159,9 @@ HEADLINE = [
     # the retrieval half: stream of queries served against the static
     # corpus IVF index (shares the cells gate's centroid + cell artifacts)
     "streaming_ann_topk_serving",
+    # the composed production pipeline: quality screen -> LSH gate ->
+    # filtered absorb, one stream (the batch e2e capstone's front half live)
+    "streaming_curated_ingest",
 ]
 
 

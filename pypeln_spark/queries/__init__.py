@@ -94,12 +94,13 @@ _PRIORITY = [
     "streaming_incremental_dedup_durable",
     "streaming_embedding_ingest_cells",
     "streaming_ann_topk_serving",
+    "streaming_curated_ingest",
     # -- (c) greens whose CODE changed in r10 (gate refactor: bucketing
     # hooks + _text_ingest_gate helper + epoch-label default + auto
     # compaction cadence plumbing) --
     "streaming_incremental_dedup",
     "streaming_embedding_ingest",
-    # -- (d) r6-stale cohort, registry order (21 fit; the last 5 roll to
+    # -- (d) r6-stale cohort, registry order (20 fit; the last 6 roll to
     # the r11 window) --
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
@@ -121,7 +122,6 @@ _PRIORITY = [
     "distinct_order_months",
     "rollup_order_status_priority",
     "cube_lineitem_flags",
-    "pivot_priority_by_status",
 ]
 
 
