@@ -1471,6 +1471,54 @@ def test_cell_gate_occupancy_retrain(spark, tmp_path):
     assert trig_gate.stats[2]["n_cand"] < fixed_gate.stats[2]["n_cand"]
 
 
+def test_curated_ingest_composition(spark, tmp_path):
+    """The composed pipeline's semantics, planted (r10): a doc that
+    FAILS the quality screen must come back low_quality even when it is
+    a near-dup of the corpus (screen wins, gate never sees it), must
+    NOT be absorbed (a later near-dup of IT stays 'keep'), while a
+    quality-passing near-dup of an absorbed epoch-0 novel doc is caught
+    cross-epoch — the same absorb property as the plain gate, now
+    through the screen."""
+    from pypeln_spark.ext import similarity as S
+    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries.curation import MIN_TOKENS
+
+    # quality-passing text: > MIN_TOKENS tokens with plenty of stopwords
+    good = ("the quick brown fox and the lazy dog are in the yard with "
+            "a ball and it is a fine day for all of them to play " * 2)
+    good2 = ("we saw that the river was wide and the boats on it were "
+             "slow but they kept moving into the evening light " * 2)
+    low = "short junk"  # fails the token floor
+    assert len(low.split()) < MIN_TOKENS
+    rows = [
+        (0, good),        # corpus (even), passes screen -> in index
+        (2, low),         # corpus, fails screen -> NOT in index
+        (1, good),        # epoch 0: quality near-dup of corpus 0 -> dup
+        (7, low),         # epoch 0: low-quality (also dup-of-0 text!) -> low_quality
+        (13, good2),      # epoch 0: quality novel -> keep, absorbed
+        (3, good2),       # epoch 1: near-dup of ABSORBED 13 -> dup(13)
+        (9, low + " again"),   # epoch 1: low-quality -> low_quality
+        (5, low),         # epoch 2: same text as screened-out 7 — 7 was
+                          # never absorbed, so this is low_quality (and
+                          # would be 'keep' were it quality: nothing to match)
+    ]
+    sf = str(tmp_path / "curated")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    S.drop_index()
+    out = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in REGISTRY["streaming_curated_ingest"].fn(spark, sf).collect()
+    }
+    assert out[1] == ("dup", 0)
+    assert out[7] == ("low_quality", None)  # screen wins over dup
+    assert out[13] == ("keep", None)
+    assert out[3] == ("dup", 13)  # cross-epoch absorb through the screen
+    assert out[9] == ("low_quality", None)
+    assert out[5] == ("low_quality", None)  # screened-out 7 was never absorbed
+
+
 def test_autosize_stream_width(spark, monkeypatch):
     """width=auto (VERDICT r9 #6): the per-epoch width is
     clamp(ceil(rows/500), 4, defaultParallelism) — constants from the r9
