@@ -1928,7 +1928,18 @@ def streaming_ann_topk_serving(spark, sf_dir):
             F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
             F.col("_norm").alias("qn"), F.col("cid"),
         )
-        scored = probes.join(lists.hint("shuffle_hash"), "cid").withColumn(
+        # BROADCAST the probe side — the serving join's sides are wildly
+        # asymmetric (probes = |batch|·nprobe skinny rows, bounded by the
+        # micro-batch; lists = the CORPUS), so the corpus lists must
+        # never move. Measured at sf1 (10k queries vs 10k-vector lists,
+        # 16 cells): broadcast-probes 22.3s vs shuffle_hash 50.6s (2.3x),
+        # decisions identical — and at 100 TB the gap is the difference
+        # between shipping megabytes of probes and shuffling the index.
+        # (Contrast the INGEST gates, where broadcast is wrong: their
+        # batch side carries corpus-scale shingle arrays, the r7 OOM
+        # class.) A deployment with huge micro-batches bounds this via
+        # maxFilesPerTrigger — the probe frame must fit the driver.
+        scored = lists.join(F.broadcast(probes), "cid").withColumn(
             "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
         w = Window.partitionBy("query_id").orderBy(
