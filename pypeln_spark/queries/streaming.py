@@ -1863,9 +1863,10 @@ def streaming_ann_topk_serving(spark, sf_dir):
     centroids — a narrow pass over the BATCH), equi-join the probed
     inverted lists, exact cosine, top-K per query by window, decisions
     appended from the executors. Scale shape: per-query cost is
-    nprobe/n_cells of the corpus, the batch side never shuffles more
-    than its probe rows, and the static index is the bucketed table a
-    cluster would pin in storage. No state grows — the serving gate is
+    nprobe/n_cells of the corpus, the bounded probe side BROADCASTS so
+    the corpus lists never move (measured 2.3x at sf1; the inline
+    comment has the full A/B), and the static index is the bucketed
+    table a cluster would pin in storage. No state grows — the gate is
     embarrassingly micro-batch-parallel (contrast: the ingest gates'
     absorb is the stateful half)."""
     from pyspark.sql import types as T

