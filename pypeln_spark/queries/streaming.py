@@ -1383,9 +1383,14 @@ def streaming_curated_ingest(spark, sf_dir):
         ).cast("double")
         return D.spread(df).select(
             "doc_id", "text",
-            (
+            # coalesce: an empty/whitespace doc makes stop_hits/n_toks
+            # NULL, and a null q_pass would drop the doc from BOTH the
+            # reject and the pass branch — no verdict row at all. Empty
+            # docs fail the screen, they don't vanish.
+            F.coalesce(
                 (F.size(toks).cast("long") >= MIN_TOKENS)
-                & ((stop_hits / n_toks) >= MIN_STOPWORD_RATIO)
+                & ((stop_hits / n_toks) >= MIN_STOPWORD_RATIO),
+                F.lit(False),
             ).alias("q_pass"),
         )
 

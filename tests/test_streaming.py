@@ -1501,6 +1501,9 @@ def test_curated_ingest_composition(spark, tmp_path):
         (5, low),         # epoch 2: same text as screened-out 7 — 7 was
                           # never absorbed, so this is low_quality (and
                           # would be 'keep' were it quality: nothing to match)
+        (11, ""),         # epoch 1: EMPTY doc — the null-ratio edge: must
+                          # get a low_quality row, never vanish (q_pass
+                          # coalesces the null stopword ratio to False)
     ]
     sf = str(tmp_path / "curated")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
@@ -1517,6 +1520,7 @@ def test_curated_ingest_composition(spark, tmp_path):
     assert out[3] == ("dup", 13)  # cross-epoch absorb through the screen
     assert out[9] == ("low_quality", None)
     assert out[5] == ("low_quality", None)  # screened-out 7 was never absorbed
+    assert out[11] == ("low_quality", None)  # empty doc gets a verdict row
 
 
 def test_autosize_stream_width(spark, monkeypatch):
