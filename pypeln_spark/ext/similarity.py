@@ -1514,7 +1514,14 @@ class EmbeddingIngestGate:
             F.col("_norm").alias("nb"),
         )
         # shuffle_hash hints: 64-double array sides under-estimate like
-        # shingle arrays — broadcast here OOMs at scale (r7 sweep class)
+        # shingle arrays — broadcast of the CORPUS side OOMs at scale
+        # (r7 sweep class). Broadcasting the bounded NEW side was also
+        # tried (r10, the serving gate's winning move): sf1 fixed arm
+        # 105.4s shuffle_hash vs 107.0s broadcast, decisions identical —
+        # no win, because the saturated gate is candidate-VOLUME-bound
+        # (3.8M pairs/epoch through the verify), not join-layout-bound;
+        # the serving gate won 2.3x from the same move only because its
+        # corpus side never has to move at all. Kept on shuffle_hash.
         matches = (
             cand.join(a.hint("shuffle_hash"), "new_id")
             .join(b.hint("shuffle_hash"), "corpus_id")
