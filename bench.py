@@ -162,6 +162,9 @@ HEADLINE = [
     # the composed production pipeline: quality screen -> LSH gate ->
     # filtered absorb, one stream (the batch e2e capstone's front half live)
     "streaming_curated_ingest",
+    # the hot-bucket star cap (vs dedup_minhash_lsh: prices the guard's
+    # window+join overhead when no production-scale bucket binds)
+    "dedup_lsh_hot_bucket_star",
 ]
 
 

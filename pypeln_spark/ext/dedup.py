@@ -341,22 +341,88 @@ def lsh_band_table(
 
 
 def lsh_candidate_pairs(
-    wide: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+    wide: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
 
     Band rows from lsh_band_table, then a self-equi-join on the scalar band
     hash. At scale the join's shuffle bytes stay ∝ n_docs × bands,
-    independent of document size."""
+    independent of document size — but the PAIRS a bucket emits are
+    quadratic in its size, and real web corpora have degenerate buckets
+    (boilerplate pages, mirror sites: dup clusters of 10^4-10^6 docs whose
+    every band collides). ``bucket_cap`` is the production guard: buckets
+    with ≤ cap members emit all pairs exactly as before; a HOT bucket
+    (> cap) emits a STAR instead — each member pairs with the bucket's
+    min-id representative — so its pair count drops from m(m-1)/2 to m-1
+    while every member stays reachable from the representative. For the
+    downstream connected-components clustering (the dedup keep-list) a
+    giant bucket is near-certainly one dup cluster, and the star keeps it
+    one component; what star mode gives up is the individual (member,
+    member) verified edge inside hot buckets — pairs whose BOTH endpoints
+    verify below threshold against the representative can fall out of the
+    pair OUTPUT even when their direct similarity clears it. That trade is
+    the standard one (it is why production dedup runs exact-dedup before
+    LSH and caps bucket width); callers that need exhaustive hot-bucket
+    pairs leave bucket_cap=None and accept the quadratic.
+
+    Cost shape with a cap: one extra hash shuffle of the skinny band table
+    (the size/rank window over (sigh, sig)); the self-join then only ever
+    multiplies ≤ cap × cap rows per bucket key. At 100 TB a cap of ~10^3
+    bounds the worst bucket at ~10^6 pairs where uncapped boilerplate
+    buckets are 10^12-pair jobs that never finish."""
     banded = lsh_band_table(wide, id_col, bands, rows_per_band)
-    a = banded.select(F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a"))
-    b = banded.select(F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b"))
-    return (
+    if bucket_cap is None:
+        a = banded.select(
+            F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a")
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b")
+        )
+        return (
+            a.join(b, "sigh")
+            .filter((F.col("id_a") < F.col("id_b")) & (F.col("sig_a") == F.col("sig_b")))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    from pyspark.sql import Window
+
+    # Bucket identity is the exact (sigh, sig) pair the uncapped join
+    # checks; one shuffle serves both window functions. row_number over
+    # min-id order makes rank 1 the representative, so star pairs keep
+    # id_a < id_b for free.
+    bw = Window.partitionBy("sigh", "sig")
+    ranked = banded.select(
+        F.col(id_col),
+        "sigh",
+        "sig",
+        F.count(F.lit(1)).over(bw).alias("bsz"),
+        F.row_number().over(bw.orderBy(F.col(id_col))).alias("rnk"),
+    )
+    small = ranked.filter(F.col("bsz") <= bucket_cap)
+    a = small.select(F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a"))
+    b = small.select(F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b"))
+    dense = (
         a.join(b, "sigh")
         .filter((F.col("id_a") < F.col("id_b")) & (F.col("sig_a") == F.col("sig_b")))
         .select("id_a", "id_b")
-        .distinct()
     )
+    hot = ranked.filter(F.col("bsz") > bucket_cap)
+    reps = hot.filter(F.col("rnk") == 1).select(
+        F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a")
+    )
+    members = hot.filter(F.col("rnk") > 1).select(
+        F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b")
+    )
+    star = (
+        members.join(reps, "sigh")
+        .filter(F.col("sig_a") == F.col("sig_b"))
+        .select("id_a", "id_b")
+    )
+    return dense.unionByName(star).distinct()
 
 
 def jaccard_pairs_from_candidates(
@@ -424,8 +490,14 @@ def minhash_lsh_dedup(
     hasher=None,
     impl: str = "catalyst",
     measure: str = "jaccard",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    ``bucket_cap`` forwards to lsh_candidate_pairs: hot band buckets
+    (> cap members) emit representative-star pairs instead of all pairs —
+    the guard that keeps boilerplate dup clusters from going quadratic at
+    corpus scale (see lsh_candidate_pairs for the exact semantics trade).
 
     ``measure="containment"`` verifies candidates with max-containment
     |A∩B| / min(|A|, |B|) instead of Jaccard (see
@@ -477,7 +549,9 @@ def minhash_lsh_dedup(
         if persist:
             wide = pool_persist(wide)
             wide.count()
-    cand = lsh_candidate_pairs(wide, id_col, bands, n_hashes // bands)
+    cand = lsh_candidate_pairs(
+        wide, id_col, bands, n_hashes // bands, bucket_cap=bucket_cap
+    )
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold, measure)
 
 

@@ -95,12 +95,14 @@ _PRIORITY = [
     "streaming_embedding_ingest_cells",
     "streaming_ann_topk_serving",
     "streaming_curated_ingest",
+    # the hot-bucket star cap: LSH candidate generation bounded per bucket
+    "dedup_lsh_hot_bucket_star",
     # -- (c) greens whose CODE changed in r10 (gate refactor: bucketing
     # hooks + _text_ingest_gate helper + epoch-label default + auto
     # compaction cadence plumbing) --
     "streaming_incremental_dedup",
     "streaming_embedding_ingest",
-    # -- (d) r6-stale cohort, registry order (20 fit; the last 6 roll to
+    # -- (d) r6-stale cohort, registry order (19 fit; the last 7 roll to
     # the r11 window) --
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
@@ -121,7 +123,6 @@ _PRIORITY = [
     "set_except_nations",
     "distinct_order_months",
     "rollup_order_status_priority",
-    "cube_lineitem_flags",
 ]
 
 

@@ -106,6 +106,55 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+HOT_BUCKET_CAP = 3  # binds on 18 of 3,596 sf0.01 buckets (sizes 4-7) so the
+# star path is actually exercised by the driver check; a deployment sets ~10^3
+
+
+@register(
+    "dedup_lsh_hot_bucket_star",
+    oracle=f"""
+    WITH {_SH_CTE}, {_MH_CTE},
+    banded AS (
+      SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // 4
+    ),
+    ranked AS (
+      SELECT doc_id, band, sig,
+             COUNT(*) OVER (PARTITION BY band, sig) AS bsz,
+             ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rnk
+      FROM banded
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {HOT_BUCKET_CAP}
+        UNION ALL
+        SELECT r.doc_id AS id_a, m.doc_id AS id_b
+        FROM ranked r JOIN ranked m ON r.band = m.band AND r.sig = m.sig
+        WHERE r.bsz > {HOT_BUCKET_CAP} AND r.rnk = 1 AND m.rnk > 1
+      )
+    ),
+    {_JACCARD_TAIL.format(t=JACCARD_THRESHOLD)}
+    """,
+)
+def dedup_lsh_hot_bucket_star(spark, sf_dir):
+    """MinHash-LSH with the hot-bucket guard: band buckets wider than
+    HOT_BUCKET_CAP emit representative-STAR candidate pairs (member ↔
+    min-id rep, m-1 pairs) instead of all pairs (m(m-1)/2) — the cap that
+    keeps boilerplate/mirror dup clusters from going quadratic at corpus
+    scale. Small buckets are bit-identical to dedup_minhash_lsh; the
+    oracle replays the size/rank window and BOTH emission arms, so the
+    driver check covers exactly which pairs the cap does and doesn't
+    surface."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+        bucket_cap=HOT_BUCKET_CAP,
+    )
+
+
 @register(
     "dedup_ngram_jaccard_exact",
     oracle=f"""

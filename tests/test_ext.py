@@ -2243,3 +2243,53 @@ def test_simhash_capture_table_hand_constructed(spark):
         for r in D2.simhash_near_pairs(fp, max_hamming=3, tables=4).collect()
     }
     assert one3 == four3
+
+
+def test_lsh_hot_bucket_star_caps_pairs_and_keeps_clusters(spark):
+    """The hot-bucket guard (lsh_candidate_pairs bucket_cap): a planted
+    m-wide exact-dup cluster must emit m-1 star candidates instead of
+    m(m-1)/2, and the downstream connected-components labeling must be
+    IDENTICAL to the uncapped run — the property the star exists for."""
+    from pypeln_spark.ext import dedup as D
+
+    m = 12
+    rows = [(i, "the same boilerplate footer text repeated verbatim") for i in range(m)]
+    # plus a handful of unrelated docs that land in singleton buckets
+    rows += [(100 + i, f"unique document body number {i} with its own words {i*7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = D.shingle_arrays(docs)
+    wide = D.minhash_signatures_wide(sh, n_hashes=16)
+    uncapped = D.lsh_candidate_pairs(wide, bands=4, rows_per_band=4)
+    capped = D.lsh_candidate_pairs(wide, bands=4, rows_per_band=4, bucket_cap=3)
+
+    un_pairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    cluster_un = {p for p in un_pairs if p[0] < 100 and p[1] < 100}
+    cluster_cap = {p for p in cap_pairs if p[0] < 100 and p[1] < 100}
+    assert len(cluster_un) == m * (m - 1) // 2
+    # every band bucket holds the same 12 docs -> one star from rep 0
+    assert cluster_cap == {(0, i) for i in range(1, m)}
+    # star pairs always keep id_a < id_b
+    assert all(a < b for a, b in cap_pairs)
+
+    cc_un = {r.doc_id: r.cluster_id for r in D.connected_components(uncapped).collect()}
+    cc_cap = {r.doc_id: r.cluster_id for r in D.connected_components(capped).collect()}
+    assert cc_un == cc_cap
+
+
+def test_lsh_bucket_cap_noop_when_no_bucket_exceeds_it(spark, sf_dir):
+    """With a cap no real bucket exceeds, capped output must be
+    bit-identical to the uncapped join — small buckets take the exact
+    pre-guard path."""
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.queries.base import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    wide = D.minhash_signatures_wide(D.shingle_arrays(docs), n_hashes=16)
+    base = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(wide, bands=4).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(wide, bands=4, bucket_cap=10**6).collect()
+    }
+    assert base == capped
