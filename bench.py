@@ -165,6 +165,9 @@ HEADLINE = [
     # the hot-bucket star cap (vs dedup_minhash_lsh: prices the guard's
     # window+join overhead when no production-scale bucket binds)
     "dedup_lsh_hot_bucket_star",
+    # its streaming twin (vs streaming_incremental_dedup: prices the
+    # per-compaction rank window when no bucket is hot)
+    "streaming_incremental_dedup_capped",
 ]
 
 

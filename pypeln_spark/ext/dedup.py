@@ -752,9 +752,30 @@ class IncrementalLshIndex:
         bands: DataFrame,
         compact_every: tp.Union[int, str] = 0,
         checkpoint_dir: tp.Optional[str] = None,
+        bucket_cap: tp.Optional[int] = None,
     ):
+        # ``bucket_cap`` (r10): bound the width of every band bucket the
+        # gate PROBES — the streaming twin of lsh_candidate_pairs'
+        # hot-bucket star cap. A sub-threshold template family (pages
+        # similar enough to share band signatures but below the dup
+        # threshold, so every one is kept and absorbed) grows its buckets
+        # ∝ family size, and every later epoch's candidate join pays that
+        # width. With a cap, the band view keeps only the bucket_cap
+        # LOWEST-id rows per (band-key) bucket — applied lazily to the
+        # initial base here and re-applied to the whole union at every
+        # compact(), so width stays ≤ cap + K·|batch| forever. Keeping
+        # the LOWEST ids makes the cap decision-invariant for exact-dup
+        # traffic: the min-id member (the survivor pick's target) always
+        # survives capping, so dup_of/jaccard match the uncapped gate
+        # bit-for-bit on any doc that matches a surviving member. The
+        # trade is recall on near-dups whose ONLY matching members were
+        # evicted (test-pinned); the embedding gate manages occupancy by
+        # widening planes instead and does not use this knob. Convention:
+        # the band frame's FIRST column is the id; all other columns form
+        # the bucket key ((sigh, sig) for MinHash band tables).
+        self.bucket_cap = bucket_cap
         self.sh = sh
-        self.bands = bands
+        self.bands = self._cap_bands(bands)
         # "auto" (VERDICT r9 #3) promotes the measured knee rule to gate
         # behavior: each absorb recomputes K from the LIVE index/batch
         # ratio — K=1 below 50× (full rewrite beats a deepening union at
@@ -784,6 +805,24 @@ class IncrementalLshIndex:
         if self._n_rows is None:
             self._n_rows = self.sh.count()
         return self._n_rows
+
+    def _cap_bands(self, bands: DataFrame) -> DataFrame:
+        """Rank-filter the band frame to the bucket_cap lowest-id rows per
+        bucket (no-op without a cap). One hash shuffle of the skinny band
+        table — paid lazily at init and once per compact(), never per
+        probe."""
+        if self.bucket_cap is None:
+            return bands
+        from pyspark.sql import Window
+
+        idc = bands.columns[0]
+        key = [c for c in bands.columns if c != idc]
+        w = Window.partitionBy(*key).orderBy(F.col(idc))
+        return (
+            bands.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= self.bucket_cap)
+            .drop("_rnk")
+        )
 
     def absorb(self, nov_sh: DataFrame, nov_bands: DataFrame) -> None:
         """Append one epoch's novel rows. The delta frames materialize NOW
@@ -853,9 +892,12 @@ class IncrementalLshIndex:
         pair (eager — the deltas are still live while it runs), release
         every delta this index owns, and drop superseded durable files.
         The shared initial base frames are read, never unpersisted — they
-        belong to the session cache."""
+        belong to the session cache. With bucket_cap set the band union is
+        rank-filtered BEFORE materializing — iterated capping: rows evicted
+        by an earlier compaction never come back, and the materialized
+        bucket width returns to ≤ cap every cycle."""
         new_sh = self._materialize(self.sh, "sh")
-        new_bands = self._materialize(self.bands, "bands")
+        new_bands = self._materialize(self._cap_bands(self.bands), "bands")
         retired = self._own_sh + self._own_bands
         self._own_sh, self._own_bands = [], []
         spark = new_sh.sparkSession

@@ -97,12 +97,14 @@ _PRIORITY = [
     "streaming_curated_ingest",
     # the hot-bucket star cap: LSH candidate generation bounded per bucket
     "dedup_lsh_hot_bucket_star",
+    # its streaming twin: the gate's probed band view width-capped forever
+    "streaming_incremental_dedup_capped",
     # -- (c) greens whose CODE changed in r10 (gate refactor: bucketing
     # hooks + _text_ingest_gate helper + epoch-label default + auto
     # compaction cadence plumbing) --
     "streaming_incremental_dedup",
     "streaming_embedding_ingest",
-    # -- (d) r6-stale cohort, registry order (19 fit; the last 7 roll to
+    # -- (d) r6-stale cohort, registry order (18 fit; the last 8 roll to
     # the r11 window) --
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
@@ -122,7 +124,6 @@ _PRIORITY = [
     "set_intersect_nations",
     "set_except_nations",
     "distinct_order_months",
-    "rollup_order_status_priority",
 ]
 
 

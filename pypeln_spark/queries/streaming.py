@@ -1021,14 +1021,23 @@ def streaming_asof_static_enrich(spark, sf_dir):
     return out
 
 
-def _incr_stream_oracle() -> str:
+def _incr_stream_oracle(bucket_cap=None) -> str:
     """Oracle for streaming_incremental_dedup: replays the 3-epoch ingest
     gate — per epoch, match the arriving batch against the CURRENT corpus
     index (banded-LSH candidates + exact-Jaccard verify, min-corpus-id
     survivor pick), then absorb the epoch's novel docs into the corpus
     before the next epoch. Unrolled (3 fixed epochs), because the epoch
     ORDER is the semantics: a doc absorbed in epoch 0 must be matchable
-    in epochs 1-2."""
+    in epochs 1-2.
+
+    ``bucket_cap`` replays the capped-gate variant
+    (streaming_incremental_dedup_capped): the corpus band view the epoch
+    probes is a maintained table b{e} holding only the cap lowest-id rows
+    per (band, sig) bucket — b0 = rank-filter of the initial corpus
+    bands; after each epoch's absorb, b{e+1} = rank-filter(b{e} ∪ the
+    novel docs' band rows), ITERATED capping exactly as
+    IncrementalLshIndex(compact_every=1) applies it (rows evicted by an
+    earlier compaction never come back)."""
     from .dedup import JACCARD_THRESHOLD, _MH_CTE, _SH_CTE
 
     ctes = [
@@ -1041,11 +1050,29 @@ def _incr_stream_oracle() -> str:
         "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)",
         "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)",
     ]
+    if bucket_cap is not None:
+        ctes.append(f"""b0 AS (
+          SELECT doc_id, band, sig FROM (
+            SELECT b.doc_id, b.band, b.sig,
+                   ROW_NUMBER() OVER (PARTITION BY b.band, b.sig
+                                      ORDER BY b.doc_id) AS rnk
+            FROM banded b JOIN c0 ON c0.doc_id = b.doc_id)
+          WHERE rnk <= {bucket_cap}
+        )""")
     finals = []
     for e in range(3):
         cls = 2 * e + 1  # doc_id % 6 ∈ {1, 3, 5} → epochs 0, 1, 2
         ctes.append(
             f"n{e} AS (SELECT doc_id FROM documents WHERE doc_id % 6 = {cls})"
+        )
+        cand_corpus = (
+            f"JOIN b{e} cb ON nb.band = cb.band AND nb.sig = cb.sig"
+            if bucket_cap is not None
+            else "JOIN banded cb ON nb.band = cb.band AND nb.sig = cb.sig"
+        )
+        cand_filter = (
+            "" if bucket_cap is not None
+            else f"\n                JOIN c{e} ON c{e}.doc_id = cb.doc_id"
         )
         ctes.append(f"""m{e} AS (
           SELECT new_id, corpus_id, jaccard FROM (
@@ -1057,9 +1084,8 @@ def _incr_stream_oracle() -> str:
               FROM (
                 SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
                 FROM banded nb
-                JOIN banded cb ON nb.band = cb.band AND nb.sig = cb.sig
-                JOIN n{e} ON n{e}.doc_id = nb.doc_id
-                JOIN c{e} ON c{e}.doc_id = cb.doc_id
+                {cand_corpus}
+                JOIN n{e} ON n{e}.doc_id = nb.doc_id{cand_filter}
               ) p
               JOIN sh a ON a.doc_id = p.new_id
               JOIN sh b ON b.doc_id = p.corpus_id AND b.sh = a.sh
@@ -1083,6 +1109,21 @@ def _incr_stream_oracle() -> str:
           SELECT n{e}.doc_id FROM n{e}
           ANTI JOIN p{e} ON p{e}.new_id = n{e}.doc_id
         )""")
+        if bucket_cap is not None:
+            ctes.append(f"""b{e + 1} AS (
+              SELECT doc_id, band, sig FROM (
+                SELECT u.doc_id, u.band, u.sig,
+                       ROW_NUMBER() OVER (PARTITION BY u.band, u.sig
+                                          ORDER BY u.doc_id) AS rnk
+                FROM (
+                  SELECT doc_id, band, sig FROM b{e}
+                  UNION ALL
+                  SELECT b.doc_id, b.band, b.sig FROM banded b
+                  JOIN n{e} ON n{e}.doc_id = b.doc_id
+                  ANTI JOIN p{e} ON p{e}.new_id = b.doc_id
+                ) u)
+              WHERE rnk <= {bucket_cap}
+            )""")
         finals.append(
             f"""SELECT n{e}.doc_id, CAST({e} AS INTEGER) AS epoch,
                  p{e}.corpus_id AS dup_of, p{e}.jaccard AS jaccard
@@ -1091,7 +1132,7 @@ def _incr_stream_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
 
-def _text_ingest_gate(spark, sf_dir, checkpoint_dir=None):
+def _text_ingest_gate(spark, sf_dir, checkpoint_dir=None, bucket_cap=None):
     """The PRODUCTION INGEST GATE for a continuously crawled training set,
     run as a real stream (VERDICT r6 #8): new documents (odd doc_ids,
     three epochs by doc_id % 6) arrive through foreachBatch; each epoch
@@ -1171,8 +1212,13 @@ def _text_ingest_gate(spark, sf_dir, checkpoint_dir=None):
     index = D.IncrementalLshIndex(
         cor_sh,
         cor_bands,
-        compact_every=_compact_epochs(),
+        # the capped gate PINS compact_every=1: with a bucket_cap,
+        # decisions are no longer K-invariant (the cap re-applies at each
+        # compaction, and the oracle replays exactly the every-epoch
+        # schedule), so the env knob must not move it
+        compact_every=1 if bucket_cap is not None else _compact_epochs(),
         checkpoint_dir=checkpoint_dir,
+        bucket_cap=bucket_cap,
     )
 
     # per-epoch body lives in ext/dedup.TextIngestGate (r9 — factored out
@@ -1239,6 +1285,26 @@ def streaming_incremental_dedup_durable(spark, sf_dir):
         return _text_ingest_gate(spark, sf_dir, ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_incremental_dedup_capped", oracle=_incr_stream_oracle(bucket_cap=2)
+)
+def streaming_incremental_dedup_capped(spark, sf_dir):
+    """The text ingest gate with the HOT-BUCKET WIDTH CAP (the streaming
+    twin of dedup_lsh_hot_bucket_star): the index's band view keeps only
+    the 2 lowest-id rows per (band, sig) bucket — rank-filtered at init
+    and re-applied at every compaction (compact_every pinned to 1), so
+    the width every epoch probes is bounded FOREVER even as a
+    sub-threshold template family grows its buckets without bound. cap=2
+    binds on 10 initial sf0.01 corpus buckets plus whatever the absorbs
+    add, so the driver check exercises eviction, iterated re-capping AND
+    the decision consequences (a near-dup whose only matching members
+    were evicted reads novel — the oracle replays exactly which). Keeping
+    LOWEST ids makes exact-dup traffic decision-identical to the uncapped
+    gate (the min-id member — the survivor pick's target — always
+    survives capping; measured + test-pinned, SCALING.md r10)."""
+    return _text_ingest_gate(spark, sf_dir, bucket_cap=2)
 
 
 def _curated_stream_oracle() -> str:

@@ -1584,3 +1584,84 @@ def test_staged_feeds_arrive_as_single_micro_batches(spark):
     seen = []
     ST.staged_foreach_batch(spark, feeds, lambda df, eid: seen.append(df.count()))
     assert seen == [40_000, 35_000, 30_000], seen
+
+
+def test_incremental_index_bucket_cap_bounds_width(spark):
+    """bucket_cap keeps only the cap LOWEST-id rows per bucket — applied
+    lazily at init and re-applied at every compaction. With min-id
+    priority, iterated capping is history-independent: the surviving set
+    always equals the cap-lowest ids per bucket over everything ever
+    absorbed, so the view right after any compaction is schedule-free."""
+    from pypeln_spark.ext import dedup as D
+
+    def bands(rows):
+        return spark.createDataFrame(rows, "doc_id long, sigh long, sig array<bigint>")
+
+    def sh(ids):
+        return spark.createDataFrame(
+            [(i, [i]) for i in ids], "doc_id long, sh_arr array<bigint>"
+        )
+
+    base = bands([(3, 10, [1, 2]), (4, 10, [1, 2]), (7, 10, [1, 2]), (9, 20, [9])])
+    idx = D.IncrementalLshIndex(sh([3, 4, 7, 9]), base, compact_every=1, bucket_cap=2)
+    # init: bucket 10 keeps lowest ids {3,4}; 7 evicted; singleton untouched
+    assert {(r.doc_id, r.sigh) for r in idx.bands.collect()} == {
+        (3, 10), (4, 10), (9, 20)
+    }
+    # absorb a LOWER id into bucket 10; K=1 compaction re-caps the union
+    idx.absorb(sh([1]), bands([(1, 10, [1, 2])]))
+    assert {(r.doc_id, r.sigh) for r in idx.bands.collect()} == {
+        (1, 10), (3, 10), (9, 20)
+    }
+    # the sh side is NEVER capped — it is the corpus record
+    assert {r.doc_id for r in idx.sh.collect()} == {1, 3, 4, 7, 9}
+    idx.close()
+
+
+def test_text_gate_bucket_cap_exact_dup_decisions_identical(spark, tmp_path):
+    """min-id capping is decision-invariant for exact-dup traffic: the
+    min-id bucket member (the survivor pick's target) always survives the
+    cap, so dup_of/jaccard match the uncapped gate bit-for-bit even when
+    the bucket is 5 wide and the cap keeps 2."""
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.queries.dedup import BANDS, N_HASHES
+
+    boiler = "boilerplate footer navigation copyright terms privacy contact"
+    corpus_rows = [(i, boiler) for i in (0, 2, 4, 6, 8)] + [
+        (50 + i, f"entirely unrelated corpus document {i} talking about topic {i*3}")
+        for i in range(4)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    epochs = [
+        [(11, boiler), (13, "a fresh novel document about gardening and soil")],
+        [(21, boiler), (23, "another novel text concerning sailing and knots")],
+    ]
+
+    def run(cap, root):
+        cor_sh = D.pool_persist(D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5))
+        cor_sh.count()
+        cor_bands = D.lsh_band_table(
+            D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+            "doc_id", BANDS, N_HASHES // BANDS,
+        )
+        idx = D.IncrementalLshIndex(
+            cor_sh, cor_bands, compact_every=1, bucket_cap=cap
+        )
+        gate = D.TextIngestGate(idx, root, N_HASHES, BANDS, 5, 0.5)
+        for e, rows in enumerate(epochs):
+            gate(spark.createDataFrame(rows, "doc_id long, text string"), e)
+        idx.close()
+        out = {
+            (r.doc_id, r.epoch, r.dup_of, r.jaccard)
+            for r in spark.read.parquet(root).collect()
+        }
+        D.retire_pipeline_caches()
+        return out
+
+    capped = run(2, str(tmp_path / "capped"))
+    uncapped = run(None, str(tmp_path / "uncapped"))
+    assert capped == uncapped
+    # and the boilerplate copies were all flagged dups of the min-id member
+    assert {(11, 0, 0, 1.0), (21, 1, 0, 1.0)} <= {
+        (d, e, du, j) for d, e, du, j in capped
+    }
