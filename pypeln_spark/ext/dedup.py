@@ -924,8 +924,16 @@ class IncrementalLshIndex:
         union CHAIN, and the sh-side chain — one leaf per absorb — is
         still live after a re-bucket; only the band side collapsed. The
         next compact() therefore fires on the sh-side schedule, which is
-        the side whose plan depth re-bucketing does not shorten."""
-        new_bands = self._materialize(bands, "bands")
+        the side whose plan depth re-bucketing does not shorten.
+
+        With bucket_cap set the rebuilt table is re-capped under the NEW
+        bucket geometry before materializing: a rebuild derives from the
+        UNCAPPED sh side, so rows an earlier cap evicted reappear — right
+        for buckets the wider geometry actually splits, but a cluster of
+        IDENTICAL vectors shares every bucket at any width (widening
+        cannot split it; the occupancy trigger's one blind spot), and
+        only the cap keeps its probed width bounded."""
+        new_bands = self._materialize(self._cap_bands(bands), "bands")
         retired, self._own_bands = self._own_bands, []
         self.bands = new_bands
         for df in retired:

@@ -1665,3 +1665,88 @@ def test_text_gate_bucket_cap_exact_dup_decisions_identical(spark, tmp_path):
     assert {(11, 0, 0, 1.0), (21, 1, 0, 1.0)} <= {
         (d, e, du, j) for d, e, du, j in capped
     }
+
+
+def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
+    """The occupancy trigger's blind spot, pinned: a cluster of IDENTICAL
+    vectors shares every hyperplane bucket at any width, so widening can
+    NEVER split it — its probed width stays m forever. bucket_cap is the
+    only guard, and min-id capping keeps decisions identical (every later
+    copy still reads dup of the cluster's min-id member)."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 16
+    rng = random.Random(7)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+    boiler = vec()  # the identical-embedding cluster (not in the corpus)
+    base = spark.createDataFrame(
+        [(i, vec()) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    epochs_rows = [
+        # epoch 0 plants m=60 identical copies — pairwise within-batch,
+        # so all read novel and absorb
+        [(1000 + j, boiler) for j in range(60)],
+        # epoch 1: 5 more copies + regular novel traffic
+        [(2000 + j, boiler) for j in range(5)] + [(2500 + j, vec()) for j in range(20)],
+    ]
+    epochs = [
+        spark.createDataFrame(r, "vec_id long, embedding array<float>")
+        for r in epochs_rows
+    ]
+
+    def run(cap, trigger, tag):
+        # n_planes=6 → 64 buckets: buckets must be FINER than the cap for
+        # capping to make sense (at 2 planes / 4 buckets, ~25 corpus rows
+        # per bucket saturate any small cap and evict the whole cluster —
+        # the first cut of this test demonstrated exactly that)
+        root = str(tmp_path / tag)
+        cor = S.lsh_bucket(S.with_norms(S.spread(base)), "_v", 6, DIM)
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"),
+            cor.select("vec_id", "bucket"),
+            compact_every=1,
+            bucket_cap=cap,
+        )
+        gate = S.EmbeddingIngestGate(
+            idx, root, DIM, n_planes=6, threshold=0.95, probe_hamming=1,
+            occupancy_trigger=(2.0 if trigger else 0.0),
+            target_occupancy=1.0, collect_stats=True,
+        )
+        for i, ep in enumerate(epochs):
+            gate(ep, i)
+        cluster_band_rows = idx.bands.filter(
+            F.col("vec_id").between(1000, 1999)
+        ).count()
+        min_survives = idx.bands.filter(F.col("vec_id") == 1000).count()
+        out = {
+            r.vec_id: (r.epoch, r.dup_of, r.cos)
+            for r in spark.read.parquet(root).collect()
+        }
+        widened = any(s["widened"] for s in gate.stats)
+        D.retire_pipeline_caches()
+        idx.close()
+        return out, cluster_band_rows, min_survives, widened
+
+    wide_out, wide_rows, _, wide_widened = run(None, True, "widen")
+    cap_out, cap_rows, cap_min, _ = run(4, False, "cap")
+
+    # the trigger fired yet the cluster's probed width is STILL 60 —
+    # widening re-derives bands from the stored vectors, and identical
+    # vectors land in one bucket at ANY plane count
+    assert wide_widened
+    assert wide_rows == 60
+    # the cap bounds it (≤ cap; corpus rows sharing the bucket take slots)
+    # and the min-id member — the survivor pick's target — survives
+    assert 1 <= cap_rows <= 4
+    assert cap_min == 1
+    # decisions identical: epoch-1 copies read dup of the min-id member
+    assert cap_out == wide_out
+    for j in range(5):
+        e, dup_of, cos = cap_out[2000 + j]
+        assert (e, dup_of) == (1, 1000) and cos == 1.0

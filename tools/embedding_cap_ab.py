@@ -1,0 +1,121 @@
+"""A/B the embedding gate's index bucket_cap on a planted identical-vector
+cluster — the occupancy trigger's blind spot: identical vectors share every
+hyperplane bucket at ANY plane count, so widening never splits the bucket
+and its probed width grows with every absorbed copy. Only the cap bounds it.
+
+Epoch 0 plants m identical copies of one synthetic vector (no corpus match
+→ all absorb); later epochs carry 50 fresh copies + regular vectors.
+Decisions for the copies must be IDENTICAL across arms (min-id member
+survives the cap) — asserted.
+
+    python tools/embedding_cap_ab.py [m] [cap] [epochs]
+
+defaults m=20000, cap=8, epochs=3.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pypeln_spark.ext import dedup as D  # noqa: E402
+from pypeln_spark.ext import similarity as S  # noqa: E402
+from pypeln_spark.queries.base import load_table  # noqa: E402
+from pypeln_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DIM = 64
+N_PLANES = 8
+BOILER_BASE = 20_000_000
+
+
+def main() -> None:
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    spark = get_spark()
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    regular = emb.filter(F.col("vec_id") % 2 == 1).persist()
+    regular.count()
+    # synthetic cluster vector, deterministic, not in the corpus
+    boiler = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(DIM)]
+    boiler_lit = F.array(*[F.lit(float(x)).cast("float") for x in boiler])
+
+    def copies(n, base_id):
+        return spark.range(n).select(
+            (F.lit(base_id) + F.col("id")).alias("vec_id"),
+            boiler_lit.alias("embedding"),
+        )
+
+    def epoch_frames():
+        frames = [copies(m, BOILER_BASE)]
+        for e in range(1, n_epochs + 1):
+            reg = regular.filter(
+                (F.col("vec_id") % (2 * n_epochs)) == (2 * e - 1)
+            )
+            frames.append(
+                copies(50, BOILER_BASE + 100_000 * e).unionByName(reg)
+            )
+        return frames
+
+    def run(bucket_cap):
+        root = tempfile.mkdtemp(prefix="pypeln_emb_cap_ab_")
+        D.retire_pipeline_caches()
+        cor = S.lsh_bucket(S.with_norms(S.spread(corpus)), "_v", N_PLANES, DIM)
+        cor = D.pool_persist(cor)
+        cor.count()
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"),
+            cor.select("vec_id", "bucket"),
+            compact_every=1,
+            bucket_cap=bucket_cap,
+        )
+        gate = S.EmbeddingIngestGate(
+            idx, root, DIM, n_planes=N_PLANES, threshold=0.95,
+            probe_hamming=1,
+        )
+        walls = []
+        for e, frame in enumerate(epoch_frames()):
+            t0 = time.time()
+            gate(frame, e)
+            walls.append(time.time() - t0)
+        idx.close()
+        out = spark.read.parquet(root)
+        decisions = {
+            (r.vec_id, r.epoch, r.dup_of, r.cos)
+            for r in out.filter(F.col("vec_id") >= BOILER_BASE).collect()
+        }
+        n_flagged = out.filter(
+            (F.col("vec_id") >= BOILER_BASE) & F.col("dup_of").isNotNull()
+        ).count()
+        shutil.rmtree(root, ignore_errors=True)
+        D.retire_pipeline_caches()
+        return walls, decisions, n_flagged
+
+    results = {}
+    for label, bc in (("capped", cap), ("uncapped", None)):
+        walls, decisions, n_flagged = run(bc)
+        results[label] = decisions
+        per = " ".join(f"e{i}={w:5.1f}s" for i, w in enumerate(walls))
+        print(
+            f"{label:9s} total={sum(walls):6.1f}s {per} "
+            f"cluster-dups-flagged={n_flagged}"
+        )
+    same = results["capped"] == results["uncapped"]
+    print(f"cluster decisions identical across arms: {same}")
+    if not same:
+        diff = results["capped"] ^ results["uncapped"]
+        print(f"  DIFFERING ROWS ({len(diff)}): {sorted(diff)[:10]}")
+
+
+if __name__ == "__main__":
+    main()
