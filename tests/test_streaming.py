@@ -1750,3 +1750,74 @@ def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
     for j in range(5):
         e, dup_of, cos = cap_out[2000 + j]
         assert (e, dup_of) == (1, 1000) and cos == 1.0
+
+
+def test_incremental_index_bucket_cap_history_independent_property(spark):
+    """The docstring's history-independence claim, property-tested: with
+    min-id priority, the post-compaction capped band view equals the
+    cap-lowest ids per bucket over EVERYTHING ever absorbed — for ANY
+    absorb schedule, any interleaving of manual compactions, and any cap.
+    (Mid-cycle the view may legitimately carry uncapped deltas; the claim
+    is about the view right after a compact().)"""
+    from hypothesis import given, settings, strategies as st
+
+    from pypeln_spark.ext import dedup as D
+
+    def bands(rows):
+        return spark.createDataFrame(
+            [(i, b, [b]) for i, b in rows], "doc_id long, sigh long, sig array<bigint>"
+        )
+
+    def sh(rows):
+        return spark.createDataFrame(
+            [(i, [i]) for i, _ in rows], "doc_id long, sh_arr array<bigint>"
+        )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        epochs=st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=100, max_value=160),  # doc ids
+                    st.integers(min_value=0, max_value=2),  # bucket key
+                ),
+                min_size=0,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        cap=st.integers(min_value=1, max_value=3),
+        k=st.integers(min_value=1, max_value=3),
+    )
+    def prop(epochs, cap, k):
+        base_rows = [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)]
+        # unique doc ids across base + all epochs
+        seen_ids = {i for i, _ in base_rows}
+        clean_epochs = []
+        for rows in epochs:
+            rows = [(i, b) for i, b in rows if i not in seen_ids]
+            dedup_rows = list({i: (i, b) for i, b in rows}.values())
+            seen_ids |= {i for i, _ in dedup_rows}
+            clean_epochs.append(dedup_rows)
+
+        idx = D.IncrementalLshIndex(
+            sh(base_rows), bands(base_rows), compact_every=k, bucket_cap=cap
+        )
+        everything = list(base_rows)
+        for rows in clean_epochs:
+            if rows:
+                idx.absorb(sh(rows), bands(rows))
+            everything += rows
+        idx.compact()
+        got = {(r.doc_id, r.sigh) for r in idx.bands.collect()}
+        by_bucket: dict = {}
+        for i, b in everything:
+            by_bucket.setdefault(b, []).append(i)
+        want = {
+            (i, b) for b, ids in by_bucket.items() for i in sorted(ids)[:cap]
+        }
+        idx.close()
+        assert got == want, (got, want)
+
+    prop()
