@@ -562,6 +562,7 @@ def build_corpus_index(
     k: int = 5,
     n_hashes: int = 32,
     bands: int = 8,
+    bucket_cap: int | None = None,
 ) -> tuple:
     """Build the persistent LSH index for dedup_against_corpus: (shingle
     arrays, band table, params). In a deployment both frames are TABLES
@@ -570,12 +571,28 @@ def build_corpus_index(
     runs, notebooks) pay the corpus scan once. The third element records
     the (k, n_hashes, bands) the index was built with —
     dedup_against_corpus verifies them, because an index built with
-    different shingling/banding parameters would silently match wrong."""
+    different shingling/banding parameters would silently match wrong.
+
+    ``bucket_cap`` bounds the band table at the cap lowest-id rows per
+    (sigh, sig) bucket — the batch-incremental form of the gates' hot
+    bucket guard (IncrementalLshIndex.bucket_cap): a corpus boilerplate
+    cluster otherwise makes every batch's candidate join pay its full
+    width. One rank window at build time; min-id priority keeps exact-dup
+    matches pointed at the same min-id member the uncapped index reports."""
     cor_sh = shingle_arrays(spread(corpus_df), text_col, id_col, k)
     cor_bands = lsh_band_table(
         minhash_signatures_wide(cor_sh, id_col, n_hashes),
         id_col, bands, n_hashes // bands,
     )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sigh", "sig").orderBy(F.col(id_col))
+        cor_bands = (
+            cor_bands.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= bucket_cap)
+            .drop("_rnk")
+        )
     return cor_sh, cor_bands, {"k": k, "n_hashes": n_hashes, "bands": bands}
 
 

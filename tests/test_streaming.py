@@ -1821,3 +1821,36 @@ def test_incremental_index_bucket_cap_history_independent_property(spark):
         assert got == want, (got, want)
 
     prop()
+
+
+def test_build_corpus_index_bucket_cap_bounds_and_keeps_min(spark):
+    """build_corpus_index(bucket_cap=N): the batch-incremental form of the
+    hot-bucket guard — an m-wide boilerplate cluster in the corpus leaves
+    cap band rows per bucket, and dedup_against_corpus still matches an
+    arriving copy to the cluster's min-id member with jaccard 1.0."""
+    from pypeln_spark.ext import dedup as D
+
+    boiler = "boilerplate footer navigation copyright terms privacy contact"
+    rows = [(i, boiler) for i in range(0, 40, 2)] + [
+        (100 + i, f"some unrelated corpus text about subject {i} and item {i*3}")
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = D.build_corpus_index(corpus, bucket_cap=2)
+    # every bucket ≤ 2 rows, and the cluster's min id (0) survives
+    from pyspark.sql import functions as F2
+
+    widths = (
+        idx[1].groupBy("sigh", "sig").count().agg(F2.max("count")).collect()[0][0]
+    )
+    assert widths <= 2
+    assert idx[1].filter(F2.col("doc_id") == 0).count() > 0
+
+    new = spark.createDataFrame([(1001, boiler)], "doc_id long, text string")
+    out = D.dedup_against_corpus(new, corpus_index=idx).collect()
+    # all pairs vs the SURVIVING members only (2 of the 20-wide cluster),
+    # and the min-id member — what a survivor pick would report — is there
+    assert {(r.new_id, r.corpus_id, r.jaccard) for r in out} == {
+        (1001, 0, 1.0),
+        (1001, 2, 1.0),
+    }
