@@ -402,6 +402,13 @@ def lsh_candidate_pairs(
         F.count(F.lit(1)).over(bw).alias("bsz"),
         F.row_number().over(bw.orderBy(F.col(id_col))).alias("rnk"),
     )
+    # ranked feeds FOUR consumers (both sides of the small-bucket self-join
+    # plus the reps/members star join), and Catalyst prunes each branch
+    # differently enough that no exchange is reused — unpersisted, the
+    # band table and its window shuffle run 4× (verified in the formatted
+    # plan). Same discipline as the pipeline's other shared stages.
+    ranked = pool_persist(ranked)
+    ranked.count()
     small = ranked.filter(F.col("bsz") <= bucket_cap)
     a = small.select(F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a"))
     b = small.select(F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b"))
