@@ -168,6 +168,9 @@ HEADLINE = [
     # its streaming twin (vs streaming_incremental_dedup: prices the
     # per-compaction rank window when no bucket is hot)
     "streaming_incremental_dedup_capped",
+    # corpus-scale simhash (vs dedup_simhash_near_pairs: 60-bit
+    # fingerprints, 4x15-bit band keys — 16x fewer candidates at sf0.1)
+    "dedup_simhash_near_pairs60",
 ]
 
 

@@ -1472,22 +1472,33 @@ def lsh_recall_table(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    """32-bit SimHash over whitespace tokens: bit i of the fingerprint is 1
-    iff sum over tokens of (2*bit_i(h31(token)) - 1) > 0.
+    """``bits``-bit SimHash over whitespace tokens: bit i of the fingerprint
+    is 1 iff sum over tokens of (2*bit_i(hash(token)) - 1) > 0.
 
     One SQL fold computes ALL bit-sums as an array accumulator — exactly one
     md5 per token (a per-bit-fold formulation recomputes the token hashes
     ``bits`` times: projection collapse defeats subexpression reuse across
     higher-order functions; measured ~10× slower). Single narrow projection,
-    no shuffle."""
-    from .hashing import spark_sql_h31
+    no shuffle.
 
+    The token hash follows ``bits``: ≤ 32 uses h31 — the FROZEN historical
+    contract for the 32-bit fingerprint family (h31 < 2^31, so fingerprint
+    bit 31 is constant-0 on both engines; every existing oracle bakes that
+    in); 33-60 uses h60, the un-reduced 60-bit md5 prefix, for the
+    wide-band keys that keep candidate volume sane at corpus scale
+    (simhash_near_pairs_wideband). More than 60 bits would need a second
+    md5 fold per token — refused rather than silently zero-padded."""
+    from .hashing import spark_sql_h31, spark_sql_h60
+
+    if bits > 60:
+        raise ValueError(f"simhash_fingerprints: bits must be ≤ 60, got {bits}")
+    spark_sql_hash = spark_sql_h31 if bits <= 32 else spark_sql_h60
     df = spread(df)
     expr = f"""
     aggregate(
       zip_with(
         aggregate(
-          transform(split({text_col}, ' '), t -> {spark_sql_h31('t')}),
+          transform(split({text_col}, ' '), t -> {spark_sql_hash('t')}),
           array_repeat(CAST(0 AS BIGINT), {bits}),
           (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
                                (a, i) -> a + (shiftright(h, i) & 1) * 2 - 1)
@@ -1525,6 +1536,69 @@ def simhash_near_pairs(
     retire_pipeline_caches()
     fp = pool_persist(fp)
     cands = _simhash_candidates(fp, id_col, tables)
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs_wideband(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 15,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-pairs over WIDE band keys — the corpus-scale form.
+
+    The 32-bit byte-banded join (simhash_near_pairs) has only 2^8 = 256
+    key values per band, so per-key collisions are n/256 and candidates
+    are Θ(n²/64) REGARDLESS of how similar the documents are — byte
+    banding is quadratic in the corpus with a small constant, fine at
+    10^5 docs, fatal at 10^8 (the "never quadratic" reading holds only
+    while n/256 stays small). Widening the key is the production fix:
+    ``bands`` × ``band_bits`` keys over a ``bands × band_bits``-bit
+    fingerprint (default 4 × 15 over the 60-bit h60 family) give 2^15
+    key values per band — per-key collisions n/32768, candidates cut
+    128× vs bytes at identical pigeonhole semantics: ≤ bands-1 flipped
+    bits leave ≥1 band intact, so hd ≤ 3 recall is EXACTLY 1.0 with 4
+    bands. Any fixed-width banding stays asymptotically ∝ n² on random
+    fingerprints; band width buys the constant (pick band_bits ≈ log2 n
+    like a production simhash deployment), and past that the multi-table
+    regrouping (simhash_near_pairs tables>1) trades explode volume for
+    recall beyond the guarantee.
+
+    Requires a fingerprint with ≥ bands × band_bits bits
+    (simhash_fingerprints(bits=60)); max_hamming > bands-1 is allowed
+    but capture past the pigeonhole guarantee is probabilistic — same
+    contract as the byte-banded form."""
+    if bands * band_bits > 60:
+        raise ValueError(
+            f"simhash_near_pairs_wideband: bands*band_bits must be ≤ 60 "
+            f"(the h60 fingerprint width), got {bands}×{band_bits}"
+        )
+    retire_pipeline_caches()
+    fp = pool_persist(fp)
+    mask = (1 << band_bits) - 1
+    keys = [
+        (
+            F.lit(b << band_bits)
+            + F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+        ).cast("long")
+        for b in range(bands)
+    ]
+    e = fp.select(F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("k"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "k")
+    bb = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "k")
+    cands = (
+        a.join(bb, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
     return (
         cands.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
@@ -1591,10 +1665,16 @@ def _simhash_candidates(
     simhash_capture_table: T×4 keyed rows per doc (key = table*1024 +
     band*256 + byte), one self-equi-join — (id_a < id_b, sh_a, sh_b),
     distinct. Candidate volume scales ∝ T on the explode side and with
-    per-key collision counts on the join side — never quadratic in the
-    corpus; adding tables widens recall past the single-table hd≤3
-    guarantee (each table's bit regrouping gives an independent chance
-    that some byte avoids all flipped bits)."""
+    per-key collision counts on the join side; adding tables widens
+    recall past the single-table hd≤3 guarantee (each table's bit
+    regrouping gives an independent chance that some byte avoids all
+    flipped bits). SCALE HONESTY (r10 — this docstring used to read
+    "never quadratic in the corpus", which holds only while n/256 stays
+    small): per-key collisions are n/256 on random fingerprints, so byte
+    banding is Θ(n²/64) in the corpus — fine at 10^5 docs, fatal at
+    10^8. The corpus-scale form is simhash_near_pairs_wideband (60-bit
+    fingerprints, 2^15-value band keys, 128× fewer per-key collisions at
+    the same hd≤3 pigeonhole guarantee)."""
     e = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*_simhash_keys(tables))).alias("k")
     )

@@ -95,6 +95,24 @@ def spark_sql_h31(expr: str) -> str:
     return f"(CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT) % 2147483647)"
 
 
+# -- 60-bit family: the UN-reduced md5 prefix h31 takes its modulus of.
+# 15 hex chars = 60 well-mixed bits, positive in a signed 64-bit long on
+# both engines (no sign-bit hazard), enough for the wide-band SimHash
+# (simhash_near_pairs_wideband needs ≥ bands × band_bits fingerprint
+# bits; h31's 31 bits cap byte-banding at the 256-value keys that go
+# corpus-quadratic — see ext/dedup.py). Same lockstep contract as h31.
+
+
+def sql_h60(expr: str) -> str:
+    """DuckDB spelling of h60 — MUST stay in lockstep with spark_sql_h60()."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def spark_sql_h60(expr: str) -> str:
+    """Spark-SQL spelling of h60 (for F.expr-built higher-order pipelines)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def shingles(c: Column, k: int = 5) -> Column:
     """Distinct k-character shingles of a string column (array<string>).
     Positions are 1-based on both engines; strings shorter than k yield

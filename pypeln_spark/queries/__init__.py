@@ -99,12 +99,14 @@ _PRIORITY = [
     "dedup_lsh_hot_bucket_star",
     # its streaming twin: the gate's probed band view width-capped forever
     "streaming_incremental_dedup_capped",
+    # corpus-scale simhash: 60-bit fingerprints, 4x15-bit band keys
+    "dedup_simhash_near_pairs60",
     # -- (c) greens whose CODE changed in r10 (gate refactor: bucketing
     # hooks + _text_ingest_gate helper + epoch-label default + auto
     # compaction cadence plumbing) --
     "streaming_incremental_dedup",
     "streaming_embedding_ingest",
-    # -- (d) r6-stale cohort, registry order (18 fit; the last 8 roll to
+    # -- (d) r6-stale cohort, registry order (17 fit; the last 9 roll to
     # the r11 window) --
     "pipeline_each_audit_count",
     "pipeline_to_iterable_roundtrip",
@@ -123,7 +125,6 @@ _PRIORITY = [
     "top_k_expensive_parts",
     "set_intersect_nations",
     "set_except_nations",
-    "distinct_order_months",
 ]
 
 

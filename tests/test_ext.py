@@ -2293,3 +2293,58 @@ def test_lsh_bucket_cap_noop_when_no_bucket_exceeds_it(spark, sf_dir):
         for r in D.lsh_candidate_pairs(wide, bands=4, bucket_cap=10**6).collect()
     }
     assert base == capped
+
+
+def test_simhash_wideband_pigeonhole_mechanics(spark):
+    """Wide-band (4×15-bit) pigeonhole on hand-constructed 60-bit
+    fingerprints: any hd ≤ 3 pair leaves ≥1 band intact and MUST surface;
+    an hd-4 pair with one flip in EVERY band has no intact band and must
+    not (the guarantee's exact boundary)."""
+    from pypeln_spark.ext import dedup as D
+
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),                      # hd 3, all flips in band 0
+        (2, base ^ (1 | (1 << 20) | (1 << 40))),  # hd 3 spread over 3 bands
+        (3, base ^ (1 | (1 << 16) | (1 << 31) | (1 << 46))),  # hd 4, one per band
+        (4, 0),                                  # unrelated
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs_wideband(fp, max_hamming=4).collect()
+    }
+    assert (0, 1, 3) in got
+    assert (0, 2, 3) in got
+    # hd-4 with every band dirty: pigeonhole cannot surface it even though
+    # the hamming filter would admit it
+    assert not any(a == 0 and b == 3 for a, b, _ in got)
+    assert not any(4 in (a, b) for a, b, _ in got)
+
+
+def test_simhash_fingerprints_bits_contract(spark):
+    """bits ≤ 32 stays on the frozen h31 family (bit 31 constant-0 — the
+    historical oracle contract); bits > 60 is refused; 60-bit prints are
+    full-width (some doc uses a bit ≥ 32 at sf-independent certainty on
+    real text)."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words and token{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    fp32 = [r.simhash for r in D.simhash_fingerprints(docs).collect()]
+    assert all(0 <= v < (1 << 31) for v in fp32)  # bit 31 never set
+    fp60 = [r.simhash for r in D.simhash_fingerprints(docs, bits=60).collect()]
+    assert all(0 <= v < (1 << 60) for v in fp60)
+    assert any(v >= (1 << 32) for v in fp60)  # the top bits are live
+    with _pytest.raises(ValueError):
+        D.simhash_fingerprints(docs, bits=61)
+    with _pytest.raises(ValueError):
+        D.simhash_near_pairs_wideband(
+            spark.createDataFrame([(0, 0)], "doc_id long, simhash long"),
+            band_bits=16, bands=4,
+        )
