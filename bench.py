@@ -171,6 +171,11 @@ HEADLINE = [
     # corpus-scale simhash (vs dedup_simhash_near_pairs: 60-bit
     # fingerprints, 4x15-bit band keys — 16x fewer candidates at sf0.1)
     "dedup_simhash_near_pairs60",
+    # round-11 addition: the combined production setting — 60-bit
+    # fingerprints x 4 affine regrouping tables at hd<=5 (vs
+    # dedup_simhash_near_pairs_wide, which saturates at 32 bits, and
+    # dedup_simhash_near_pairs60, whose single table stops at hd<=3)
+    "dedup_simhash_near_pairs_wide60",
 ]
 
 
@@ -359,6 +364,24 @@ def main() -> None:
         "queries": timings,
     }
     print(json.dumps(record))
+    # One-line STDERR adjudication trailer (VERDICT r10 #6): the driver
+    # keeps only a truncated tail of the output, and the queries-last key
+    # ordering means a short tail can lose the steal/gc/retry metadata —
+    # this line puts the host-state adjudication into ANY capture.
+    try:
+        common = [n for n in timings if n in ref and ref[n] > 0]
+        vs_ref = (
+            round(sum(timings[n] for n in common) / sum(ref[n] for n in common), 2)
+            if common
+            else None
+        )
+        print(
+            f"# ADJUDICATION steal_cpu_s={steal_total} gc_s={gc_total} "
+            f"retried={len(retried)} vs_ref={vs_ref}x_over_{len(common)}q",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass  # the stdout JSON line above remains the contract
     # Self-recorded full artifact: BENCH_r08/r09 both arrived with
     # "parsed": null and a truncated stderr tail (driver-owned buffer
     # limit). Writing the complete record — including every raw sample

@@ -346,6 +346,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     bucket_cap: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
 
@@ -407,8 +408,11 @@ def lsh_candidate_pairs(
     # differently enough that no exchange is reused — unpersisted, the
     # band table and its window shuffle run 4× (verified in the formatted
     # plan). Same discipline as the pipeline's other shared stages.
-    ranked = pool_persist(ranked)
-    ranked.count()
+    # ``persist=False`` (threaded from minhash_lsh_dedup, ADVICE r10)
+    # honors the caller's lazy contract and accepts that 4× recompute.
+    if persist:
+        ranked = pool_persist(ranked)
+        ranked.count()
     small = ranked.filter(F.col("bsz") <= bucket_cap)
     a = small.select(F.col(id_col).alias("id_a"), "sigh", F.col("sig").alias("sig_a"))
     b = small.select(F.col(id_col).alias("id_b"), "sigh", F.col("sig").alias("sig_b"))
@@ -557,7 +561,8 @@ def minhash_lsh_dedup(
             wide = pool_persist(wide)
             wide.count()
     cand = lsh_candidate_pairs(
-        wide, id_col, bands, n_hashes // bands, bucket_cap=bucket_cap
+        wide, id_col, bands, n_hashes // bands,
+        bucket_cap=bucket_cap, persist=persist,
     )
     return jaccard_pairs_from_candidates(cand, doc_sh, id_col, threshold, measure)
 
@@ -600,7 +605,14 @@ def build_corpus_index(
             .filter(F.col("_rnk") <= bucket_cap)
             .drop("_rnk")
         )
-    return cor_sh, cor_bands, {"k": k, "n_hashes": n_hashes, "bands": bands}
+    # bucket_cap travels in the params dict so a capped index is
+    # self-describing (reduced hot-bucket match sets are by DESIGN, and a
+    # consumer can tell); dedup_against_corpus checks only the semantic
+    # keys (k, n_hashes, bands) — a cap difference changes recall inside
+    # hot buckets, not match correctness, so it is surfaced, not fatal
+    return cor_sh, cor_bands, {
+        "k": k, "n_hashes": n_hashes, "bands": bands, "bucket_cap": bucket_cap
+    }
 
 
 def dedup_against_corpus(
@@ -640,6 +652,9 @@ def dedup_against_corpus(
     if corpus_index is not None and len(corpus_index) >= 3:
         got = corpus_index[2]
         want = {"k": k, "n_hashes": n_hashes, "bands": bands}
+        # compare only the semantic keys: extra self-describing entries in
+        # the index params (bucket_cap) don't affect match correctness
+        got = {kk: vv for kk, vv in got.items() if kk in want}
         if got != want:
             raise ValueError(
                 f"dedup_against_corpus: corpus_index was built with {got}, "
@@ -841,6 +856,18 @@ class IncrementalLshIndex:
 
         idc = bands.columns[0]
         key = [c for c in bands.columns if c != idc]
+        # the first-column-is-id convention is validated, not trusted: a
+        # misordered frame would otherwise silently cap by the wrong key
+        # (ADVICE r10). Every index band frame in the codebase carries a
+        # `*_id` id column ((doc_id, sigh, sig) MinHash band tables;
+        # (vec_id, bucket) embedding buckets) and no `*_id` bucket keys.
+        if not idc.endswith("_id") or any(c.endswith("_id") for c in key):
+            raise ValueError(
+                "IncrementalLshIndex: band frame must lead with the id "
+                f"column (got columns {bands.columns}; expected the first "
+                "to be the only '*_id' column) — refusing to cap by a "
+                "misinferred bucket key"
+            )
         w = Window.partitionBy(*key).orderBy(F.col(idc))
         return (
             bands.withColumn("_rnk", F.row_number().over(w))
@@ -1545,12 +1572,25 @@ def simhash_near_pairs(
     )
 
 
+# Frozen affine constants for multi-table WIDE-band SimHash regroupings:
+# table t regroups the (bands × band_bits)-bit fingerprint by
+# pi_t(i) = (A[t]*i + B[t]) mod (bands*band_bits). Every A is coprime to
+# 60 = 2^2·3·5 (the registry geometry 4×15), so each map is a bijection
+# there; gcd is re-checked at call time for other geometries. Table 0 is
+# the identity — its bands are the plain contiguous band_bits slices, so
+# tables=1 reproduces the single-table wideband key set bit-exactly.
+# Frozen like SIMHASH_TABLE_A/B: the DuckDB oracle bakes these in.
+SIMHASH60_TABLE_A = (1, 7, 11, 13, 17, 19, 23, 29)
+SIMHASH60_TABLE_B = (0, 11, 22, 33, 44, 7, 18, 29)
+
+
 def simhash_near_pairs_wideband(
     fp: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 15,
     bands: int = 4,
+    tables: int = 1,
 ) -> DataFrame:
     """SimHash near-pairs over WIDE band keys — the corpus-scale form.
 
@@ -1571,6 +1611,23 @@ def simhash_near_pairs_wideband(
     regrouping (simhash_near_pairs tables>1) trades explode volume for
     recall beyond the guarantee.
 
+    ``tables`` > 1 (r11, VERDICT r10 #7) combines the two r10 advances —
+    wide bands for the collision floor AND multi-table affine
+    regroupings for recall past the pigeonhole guarantee: table t
+    re-gathers the fingerprint's bits by the frozen bijection
+    pi_t(i) = (A[t]·i + B[t]) mod (bands·band_bits)
+    (SIMHASH60_TABLE_A/B), so a flip pattern that wrecks every
+    contiguous band of table 0 lands differently in tables 1..T-1 and
+    ≥1 intact band somewhere captures the pair. Candidate explode
+    volume ∝ T; per-key collisions stay n/2^band_bits. This supersedes
+    the 32-bit tables=4 production setting for corpora past ~10^5
+    docs, where 32-bit fingerprints saturate (311,610 false hd≤3
+    admissions at sf0.1 vs 512 at 60 bits — SCALING.md r10): run
+    60-bit fingerprints, band_bits ≈ log2(corpus), tables for the
+    hd 4-5 recall. Same structural blind spot as the 32-bit affine
+    family (coset-aligned flip patterns; see the note above
+    SIMHASH_TABLE_A) — real-text flips are unstructured.
+
     Requires a fingerprint with ≥ bands × band_bits bits
     (simhash_fingerprints(bits=60)); max_hamming > bands-1 is allowed
     but capture past the pigeonhole guarantee is probabilistic — same
@@ -1580,16 +1637,61 @@ def simhash_near_pairs_wideband(
             f"simhash_near_pairs_wideband: bands*band_bits must be ≤ 60 "
             f"(the h60 fingerprint width), got {bands}×{band_bits}"
         )
+    import math
+
+    if not 1 <= tables <= len(SIMHASH60_TABLE_A):
+        raise ValueError(f"tables must be in 1..{len(SIMHASH60_TABLE_A)}: {tables}")
+    fp_bits = bands * band_bits
+    for t in range(1, tables):
+        if math.gcd(SIMHASH60_TABLE_A[t], fp_bits) != 1:
+            raise ValueError(
+                f"affine multiplier {SIMHASH60_TABLE_A[t]} is not coprime "
+                f"with bands×band_bits = {fp_bits}; table {t} would not "
+                "be a bit bijection — use a geometry whose width is "
+                "coprime with the frozen multipliers (4×15 is)"
+            )
     retire_pipeline_caches()
     fp = pool_persist(fp)
+    # Fail fast on a too-narrow fingerprint (ADVICE r10): a 32-bit
+    # h31-family simhash fed in here would leave every high band reading
+    # key 0 — one degenerate bucket holding the whole corpus, silently
+    # reintroducing the quadratic volume this function exists to prevent.
+    # A genuine (bands×band_bits)-bit fingerprint has its top band
+    # populated with probability 1 - 2^-band_bits per doc, so max() over
+    # the corpus clears the threshold with overwhelming probability; the
+    # aggregate is one narrow scan that doubles as the persist fill.
+    hi = fp.agg(F.max("simhash").alias("m")).first()["m"]
+    if hi is not None and hi < (1 << ((bands - 1) * band_bits)):
+        raise ValueError(
+            "simhash_near_pairs_wideband: fingerprints look narrower than "
+            f"bands×band_bits = {bands * band_bits} bits (max simhash = "
+            f"{hi} < 2^{(bands - 1) * band_bits}) — the high bands would "
+            "degenerate to one all-corpus bucket; build fingerprints with "
+            "simhash_fingerprints(bits=60)"
+        )
     mask = (1 << band_bits) - 1
-    keys = [
-        (
-            F.lit(b << band_bits)
-            + F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
-        ).cast("long")
-        for b in range(bands)
-    ]
+    keys = []
+    for t in range(tables):
+        a_m, c_o = SIMHASH60_TABLE_A[t], SIMHASH60_TABLE_B[t]
+        for b in range(bands):
+            if t == 0:
+                # identity table: cheap contiguous slice — bit-exact with
+                # the affine sum at A=1, B=0, and with the tables=1 form
+                e = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
+                    F.lit(mask)
+                )
+            else:
+                # re-gather band_bits single bits by the frozen bijection;
+                # still one narrow projection, the key stays a SCALAR long
+                terms = " + ".join(
+                    "shiftleft(shiftright(simhash, "
+                    f"{(a_m * (band_bits * b + j) + c_o) % fp_bits}) & 1, {j})"
+                    for j in range(band_bits)
+                )
+                e = F.expr(terms)
+            # (t*bands + b) << band_bits keeps tables and bands from
+            # cross-matching, exactly like the 32-bit multi-table keys
+            keys.append((F.lit((t * bands + b) << band_bits) + e).cast("long"))
     e = fp.select(F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("k"))
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "k")
     bb = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "k")

@@ -51,80 +51,76 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-10 rotation — EXACTLY 50 names (driver samples 50; invariants
+# Round-11 rotation — EXACTLY 50 names (driver samples 50; invariants
 # pinned by tests/test_correctness_gate.py::test_driver_window_rotation_
 # invariants: window size, no duplicates, front-of-registry equality,
 # never-driver-checked entries inside the window, and the two-phase
-# 5-round-cycle freshness rule). Registry holds 205 ever-green entries.
-# The front 50 is (a) VERDICT r9 #2: ALL 24 remaining r5-stale entries,
-# oldest cohort first — they hit the 5-round hard-fail threshold if they
-# miss this window; (b) r10 debuts (never driver-checked, must debut
-# inside the window); (c) greens whose CODE changed in r10; then (d) the
-# r6-stale cohort in registry order filling the remaining slots (VERDICT
-# r9 #7 — chip the 46-entry r6 cohort ahead of schedule). ALL 205 entries
-# stay covered every session by the local DuckDB gate
-# (tests/test_correctness_gate.py replays every oracle).
+# 5-round-cycle freshness rule). Registry holds 213 entries (212
+# ever-green + this round's debut). The front 50 is (a) VERDICT r10 #1:
+# ALL 29 r6-stale entries, in registry order — they hit the 5-round
+# hard-fail threshold if they miss this window; (b) the r11 debut
+# (never driver-checked, must debut inside the window); then (c) the
+# r7-stale cohort in registry order filling the remaining 20 slots
+# (oldest-first per VERDICT r10 #1; the other 19 r7 entries lead the
+# r12 window). ALL 213 entries stay covered every session by the local
+# DuckDB gate (tests/test_correctness_gate.py replays every oracle).
 _PRIORITY = [
-    # -- (a) the 24 r5-stale entries (5-round cycle deadline this round) --
-    "array_function_gauntlet",
-    "unpivot_order_status_counts",
-    "manual_median_price_by_priority",
-    "cheapest_item_supplier_per_part",
-    "nation_pair_trade_volume",
-    "not_in_parts_never_shipped",
-    "window_navigation_gauntlet",
-    "listagg_region_nations",
-    "stats_moments_by_event_type",
-    "skew_salted_event_totals",
-    "sketch_quantile_global_histogram",
-    "bucketed_join_priority_revenue",
-    "events_transition_matrix",
-    "sketch_kmv_overlap_users",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "events_time_to_convert_quantiles",
-    "graph_ppr_part_cooccurrence",
-    "graph_pagerank_part_cooccurrence",
-    "graph_kcore_part_cooccurrence",
-    "graph_lpa_part_cooccurrence",
-    "quality_drift_events_cohorts",
-    "quality_ks_test_value_cohorts",
-    "streaming_drift_daily_mix",
-    # -- (b) r10 debuts, never driver-checked --
-    "streaming_incremental_dedup_durable",
-    "streaming_embedding_ingest_cells",
-    "streaming_ann_topk_serving",
-    "streaming_curated_ingest",
-    # the hot-bucket star cap: LSH candidate generation bounded per bucket
-    "dedup_lsh_hot_bucket_star",
-    # its streaming twin: the gate's probed band view width-capped forever
-    "streaming_incremental_dedup_capped",
-    # corpus-scale simhash: 60-bit fingerprints, 4x15-bit band keys
-    "dedup_simhash_near_pairs60",
-    # -- (c) greens whose CODE changed in r10 (gate refactor: bucketing
-    # hooks + _text_ingest_gate helper + epoch-label default + auto
-    # compaction cadence plumbing) --
-    "streaming_incremental_dedup",
-    "streaming_embedding_ingest",
-    # -- (d) r6-stale cohort, registry order (17 fit; the last 9 roll to
-    # the r11 window) --
-    "pipeline_each_audit_count",
-    "pipeline_to_iterable_roundtrip",
-    "q1_pricing_summary",
-    "q6_revenue_delta",
-    "agg_nation_customer_stats",
-    "groupby_having_hot_parts",
-    "count_distinct_parts_by_brand",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_join_auto_orders",
-    "anti_join_idle_customers",
-    "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_lag_order_gap_days",
-    "top_k_expensive_parts",
-    "set_intersect_nations",
-    "set_except_nations",
+    # -- (a) the 29 r6-stale entries (5-round cycle deadline this round) --
+    "distinct_order_months",
+    "rollup_order_status_priority",
+    "cube_lineitem_flags",
+    "pivot_priority_by_status",
+    "scalar_function_gauntlet",
+    "date_function_gauntlet",
+    "case_when_price_tiers",
+    "json_extract_event_props",
+    "events_hourly_by_type",
+    "events_sessionization",
+    "curation_pipeline_survivors",
+    "curation_sample_by_hash",
+    "curation_stratified_topn",
+    "curation_decontaminated",
+    "curation_chunk_tokens",
+    "text_token_stats",
+    "text_bpe_ish_token_count",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_length_histogram",
+    "dedup_exact_documents",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_exact",
+    "dedup_span_chunks",
+    "dedup_span_overlap",
+    "dedup_cdc_chunks",
+    "ann_recall_eval_pq",
+    # -- (b) r11 debut, never driver-checked: 60-bit fingerprints x
+    # 4 affine regrouping tables at hd<=5 — the corpus-scale production
+    # SimHash setting (VERDICT r10 #7) --
+    "dedup_simhash_near_pairs_wide60",
+    # -- (c) r7-stale cohort, registry order (20 fit; the other 19 lead
+    # the r12 window) --
+    "pipeline_to_async_iterable_roundtrip",
+    "curation_train_val_split",
+    "curation_weighted_sample",
+    "curation_shard_manifest",
+    "curation_pack_sequences",
+    "curation_e2e_pretrain_pack",
+    "curation_e2e_pretrain_pack_cc",
+    "search_bm25_topk",
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash_fingerprints",
+    "dedup_minhash_clusters",
+    "dedup_minhash_clusters_star",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_lsh_multiprobe_topk",
+    "embedding_near_dup_pairs",
+    "semantic_dedup_clusters",
+    "pipeline_task_async_enrich",
+    "pipeline_pickled_objects",
 ]
 
 

@@ -362,6 +362,9 @@ def curation_token_budget(spark, sf_dir):
         .groupBy("source")
         .agg(F.sum("_t").alias("n_tokens"))
     )
+    # unpartitioned by design: `per` is post-aggregation, one row per
+    # distinct source (a handful of corpus labels, not corpus-sized), so
+    # the single-task cumulative sum is over a tiny frame
     w = (
         Window.orderBy(F.col("n_tokens").desc(), F.col("source"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

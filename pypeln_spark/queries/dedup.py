@@ -512,6 +512,73 @@ def dedup_simhash_near_pairs_wide(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_near_pairs_wide60",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {_TH60} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    contrib AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    ),
+    keysm AS (
+      SELECT doc_id,
+             (t * 4 + b) * 32768 +
+             SUM(((simhash >> CAST((mult * (15 * b + j) + boff) % 60 AS INT)) & 1)
+                 * (1 << CAST(j AS INT))) AS k
+      FROM fp
+      CROSS JOIN (VALUES (0, 1, 0), (1, 7, 11), (2, 11, 22), (3, 13, 33))
+                 tabs(t, mult, boff)
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+      CROSS JOIN (SELECT unnest(range(0, 15)) AS j)
+      GROUP BY doc_id, t, b
+    ),
+    candm AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keysm a JOIN keysm b ON a.k = b.k AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+    FROM candm c
+    JOIN fp fa ON fa.doc_id = c.id_a
+    JOIN fp fb ON fb.doc_id = c.id_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 5
+    """,
+)
+def dedup_simhash_near_pairs_wide60(spark, sf_dir):
+    """The CORPUS-SCALE production SimHash setting (VERDICT r10 #7):
+    60-bit fingerprints × 4 affine regrouping tables at hamming ≤ 5 —
+    the two r10 advances combined. r10 showed each alone is
+    insufficient past ~10^5 docs: 32-bit fingerprints SATURATE
+    (hd ≤ 3 admits 311,610 pairs at sf0.1 where 60 bits admit 512 —
+    fingerprint collisions, not near-dups), and single-table wide
+    bands lose hd 4-5 recall exactly like single-table bytes (the
+    pigeonhole guarantee stops at bands-1 = 3 flips). Here the 2^15
+    keys/band keep the candidate floor 128× below byte banding while
+    tables 1-3 (frozen mod-60 bijections, ext/dedup.SIMHASH60_TABLE_A/B)
+    re-gather the bits so hd 4-5 flip patterns that straddle every
+    contiguous band still share a key somewhere. Like the 32-bit wide
+    entry, capture past the guarantee is part of the contract: the
+    oracle replays the CANDIDATE STAGE itself (the 4-table key
+    derivation, constants baked in), so any capture loss is verified,
+    not hidden."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.simhash_near_pairs_wideband(
+        D.simhash_fingerprints(docs, bits=60), max_hamming=5,
+        band_bits=15, bands=4, tables=4,
+    )
+
+
+@register(
     "dedup_simhash_recall_eval",
     oracle=f"""
     WITH th AS (

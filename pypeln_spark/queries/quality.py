@@ -824,6 +824,9 @@ def quality_ks_test_value_cohorts(spark, sf_dir):
     btot = pts.groupBy("bucket").agg(
         F.sum("a_cnt").alias("ba"), F.sum("b_cnt").alias("bb")
     )
+    # unpartitioned by design: btot is post-aggregation, one row per value
+    # bucket (|distinct floor(value)| — dozens here, bounded by value range
+    # not corpus size), so the single-task sort never sees raw events
     woff = (
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)

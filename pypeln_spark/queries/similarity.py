@@ -1138,6 +1138,8 @@ def search_hybrid_rrf(spark, sf_dir):
     from .text import _BM25_TERMS
 
     docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    # unpartitioned window by design: bm25_topk already truncated to k=20
+    # rows, so the global row_number ranks a constant-size frame
     sparse = X.bm25_topk(docs, _BM25_TERMS, k=20).select(
         "doc_id",
         F.row_number()

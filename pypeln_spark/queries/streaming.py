@@ -1993,7 +1993,8 @@ def streaming_ann_topk_serving(spark, sf_dir):
     from pypeln_spark.ext.similarity import dot_ieee
 
     def serve(batch_df, epoch_id):
-        if batch_df.isEmpty():
+        n_batch = batch_df.count()  # one tiny job; feeds the broadcast guard
+        if n_batch == 0:
             return
         q = S.with_norms(S.spread(batch_df))
         probes = S.ivf_assign(q, cents, N_CELLS, keep=nprobe).select(
@@ -2009,9 +2010,16 @@ def streaming_ann_topk_serving(spark, sf_dir):
         # between shipping megabytes of probes and shuffling the index.
         # (Contrast the INGEST gates, where broadcast is wrong: their
         # batch side carries corpus-scale shingle arrays, the r7 OOM
-        # class.) A deployment with huge micro-batches bounds this via
-        # maxFilesPerTrigger — the probe frame must fit the driver.
-        scored = lists.join(F.broadcast(probes), "cid").withColumn(
+        # class.) The broadcast is GUARDED (VERDICT r10 #4): probe_side_join
+        # estimates the probe frame (rows already counted above × vector
+        # row bytes) against autoBroadcastJoinThreshold and degrades to a
+        # shuffle_hash build on the probes — bounded, never a driver OOM —
+        # when a deployment's micro-batch outgrows the driver.
+        scored = S.probe_side_join(
+            lists, probes, "cid",
+            probe_rows=n_batch * nprobe,
+            probe_row_bytes=DIM * 8 + 64,  # qv doubles + norm/ids/overhead
+        ).withColumn(
             "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
         w = Window.partitionBy("query_id").orderBy(

@@ -1811,7 +1811,12 @@ def test_dedup_against_corpus_verifies_index_params(spark):
         "doc_id long, text string",
     )
     idx = D.build_corpus_index(docs, k=5, n_hashes=32, bands=8)
-    assert len(idx) == 3 and idx[2] == {"k": 5, "n_hashes": 32, "bands": 8}
+    # bucket_cap travels in the params for self-description (ADVICE r10)
+    # but is NOT part of the semantic compatibility check below
+    assert len(idx) == 3 and idx[2] == {
+        "k": 5, "n_hashes": 32, "bands": 8, "bucket_cap": None
+    }
+    assert D.build_corpus_index(docs, bucket_cap=2)[2]["bucket_cap"] == 2
     with pytest.raises(ValueError, match="built with"):
         D.dedup_against_corpus(
             docs, n_hashes=16, bands=4, corpus_index=idx
@@ -2295,6 +2300,44 @@ def test_lsh_bucket_cap_noop_when_no_bucket_exceeds_it(spark, sf_dir):
     assert base == capped
 
 
+def test_lsh_capped_path_honors_lazy_contract(spark):
+    """ADVICE r10: with persist=False threaded through, the capped path
+    must skip the eager pool-persist (caller opted out of caching) and
+    still emit identical candidates."""
+    from pypeln_spark.ext import dedup as D
+
+    rows = [(i, "the same boilerplate footer text repeated verbatim") for i in range(8)]
+    rows += [(100 + i, f"unique document body number {i} xx {i*3}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = D.minhash_signatures_wide(D.shingle_arrays(docs), n_hashes=16)
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in D.lsh_candidate_pairs(wide, bands=4, bucket_cap=3, **kw).collect()
+        }
+
+    assert pairs(persist=False) == pairs(persist=True)
+
+
+def test_index_cap_refuses_misordered_band_frame(spark):
+    """ADVICE r10: _cap_bands validates the first-column-is-id convention
+    — a band frame led by a bucket-key column must raise, not silently
+    cap by the wrong key."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext import dedup as D
+
+    good_sh = spark.createDataFrame([(1, [1])], "doc_id long, sh_arr array<bigint>")
+    bad = spark.createDataFrame(
+        [(7, 1, [7])], "sigh long, doc_id long, sig array<bigint>"
+    )
+    with _pytest.raises(ValueError, match="lead with the id"):
+        D.IncrementalLshIndex(good_sh, bad, bucket_cap=2)
+    # without a cap the frame is never key-inferred — no raise
+    D.IncrementalLshIndex(good_sh, bad)
+
+
 def test_simhash_wideband_pigeonhole_mechanics(spark):
     """Wide-band (4×15-bit) pigeonhole on hand-constructed 60-bit
     fingerprints: any hd ≤ 3 pair leaves ≥1 band intact and MUST surface;
@@ -2348,3 +2391,71 @@ def test_simhash_fingerprints_bits_contract(spark):
             spark.createDataFrame([(0, 0)], "doc_id long, simhash long"),
             band_bits=16, bands=4,
         )
+
+
+def test_simhash_wideband_refuses_narrow_fingerprints(spark):
+    """ADVICE r10: a 32-bit (h31-family) fingerprint fed to the wide-band
+    path leaves every high band reading key 0 — ONE degenerate bucket
+    holding the whole corpus, silently quadratic. The max-sample guard
+    must refuse it loudly; genuine 60-bit prints pass."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words and token{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="narrower"):
+        D.simhash_near_pairs_wideband(D.simhash_fingerprints(docs))  # 32-bit
+    # the genuine 60-bit frame flows (no assertion on pairs — just no raise)
+    D.simhash_near_pairs_wideband(D.simhash_fingerprints(docs, bits=60)).collect()
+
+
+def test_simhash_wideband_multitable_recall_and_identity(spark):
+    """The combined corpus-scale setting (VERDICT r10 #7): tables=1 is
+    bit-exact with the single-table wideband form (table 0 is the
+    identity affine map), and extra tables capture hd-4/5 pairs whose
+    flips straddle every CONTIGUOUS band — the exact boundary case the
+    pigeonhole mechanics test pins as invisible at tables=1."""
+    from pypeln_spark.ext import dedup as D
+
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),                       # hd 3, all flips in band 0
+        (2, base ^ (1 | (1 << 16) | (1 << 31) | (1 << 46))),  # hd 4, one per band
+        # hd 5, one per contiguous band + one extra — verified captured by
+        # the frozen tables (NOT coset-aligned: {0,15,30,45,...} patterns
+        # are the affine family's structural blind spot at 60 bits exactly
+        # as stride-8 is at 32; see the note above SIMHASH_TABLE_A)
+        (3, base ^ (1 | (1 << 16) | (1 << 31) | (1 << 46) | (1 << 59))),
+        (4, 0),                                  # unrelated
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def pairs(tables, hd):
+        return {
+            (r.id_a, r.id_b, r.hamming)
+            for r in D.simhash_near_pairs_wideband(
+                fp, max_hamming=hd, tables=tables
+            ).collect()
+        }
+
+    # tables=1 ≡ the original single-table form, any hamming budget
+    for hd in (3, 4, 5):
+        assert pairs(1, hd) == {
+            (r.id_a, r.id_b, r.hamming)
+            for r in D.simhash_near_pairs_wideband(fp, max_hamming=hd).collect()
+        }
+    # one-flip-per-contiguous-band patterns: invisible at tables=1 (every
+    # contiguous band dirty), captured once the affine regroupings
+    # re-gather the bits (some table-t band collects 15 untouched bits)
+    t1, t4 = pairs(1, 5), pairs(4, 5)
+    assert not any(a == 0 and b == 2 for a, b, _ in t1)
+    assert not any(a == 0 and b == 3 for a, b, _ in t1)
+    assert (0, 2, 4) in t4
+    assert (0, 3, 5) in t4
+    # multi-table only ADDS capture — never loses the guaranteed pairs
+    assert t1 <= t4
+    assert not any(4 in (a, b) for a, b, _ in t4)

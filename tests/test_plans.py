@@ -372,11 +372,13 @@ def test_tfidf_champion_pruning_adds_no_shuffle(spark):
 def test_serving_join_broadcasts_probe_side(spark):
     """The streaming ANN serving gate's verify join must BROADCAST the
     bounded probe side and keep the corpus lists in place (measured 2.3x
-    at sf1; at 100 TB shuffling the index is the non-plan). plan_lint
-    can't see inside foreachBatch, so the inner batch join is rebuilt
-    here verbatim and its physical plan pinned: one BroadcastHashJoin,
-    probes on the broadcast side, and NO shuffle exchange on the lists
-    input."""
+    at sf1; at 100 TB shuffling the index is the non-plan) — but ONLY
+    while the probe-side estimate fits autoBroadcastJoinThreshold
+    (VERDICT r10 #4): past the bound, probe_side_join degrades to a
+    shuffle_hash build on the probes instead of a driver OOM. plan_lint
+    can't see inside foreachBatch, so the guarded join is rebuilt here
+    verbatim and BOTH branches' physical plans are pinned, plus
+    decision-equality across the branch."""
     from pyspark.sql import functions as F
 
     from pypeln_spark.ext import similarity as S
@@ -394,10 +396,10 @@ def test_serving_join_broadcasts_probe_side(spark):
     probes = S.ivf_assign(
         S.with_norms(S.spread(batch)), cents, 16, keep=2
     ).select(F.col("vec_id").alias("query_id"), F.col("cid"))
-    plan = (
-        lists.join(F.broadcast(probes), "cid")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    # below the bound: the registry gate's actual estimate (tiny batch)
+    small = S.probe_side_join(lists, probes, "cid", probe_rows=100,
+                              probe_row_bytes=64 * 8 + 64)
+    plan = small._jdf.queryExecution().executedPlan().toString()
     # the verify join itself is broadcast, never a shuffle join — the
     # remaining Exchanges in THIS test's plan all sit inside the k-means
     # training/assignment subtrees, which the registry query replaces
@@ -405,6 +407,19 @@ def test_serving_join_broadcasts_probe_side(spark):
     assert "BroadcastHashJoin [cid" in plan, plan
     assert "SortMergeJoin [cid" not in plan
     assert "ShuffledHashJoin [cid" not in plan
+    # past the bound: an estimate bigger than the session threshold must
+    # pick the bounded shuffle_hash plan (probes as build side), with no
+    # broadcast of the oversized frame
+    big = S.probe_side_join(lists, probes, "cid",
+                            probe_rows=10**9, probe_row_bytes=512)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin [cid" in plan_big, plan_big
+    assert "BroadcastHashJoin [cid" not in plan_big
+    # the guard moves WHERE the join runs, never which rows come out
+    key = lambda df: sorted(
+        (r.query_id, r.neighbor_id) for r in df.collect()
+    )
+    assert key(small) == key(big)
 
 
 def test_plan_lint_whole_registry(spark):

@@ -1752,6 +1752,105 @@ def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
         assert (e, dup_of) == (1, 1000) and cos == 1.0
 
 
+def test_cells_gate_inherits_index_bucket_cap_through_retrain(spark, tmp_path):
+    """VERDICT r10 #5, pinned: the cells gate needs NO new wiring for hot
+    cells. The hot-CELL failure mode is the same physics as the hyperplane
+    blind spot — an identical-vector cluster lands in ONE k-means cell,
+    and retrain cannot split it (identical vectors share a nearest
+    centroid under ANY centroid set) — and the guard is INHERITED:
+    CellEmbeddingIngestGate probes self.index.bands, and
+    IncrementalLshIndex._cap_bands bounds that view at init, at every
+    compact(), and through rebuild_bands — i.e. gate.retrain() RE-CAPS
+    under the new cell geometry. Min-id priority keeps the cluster's
+    min-id member (the survivor pick's target) alive, so exact-copy
+    decisions are identical across arms."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 16
+    N_CELLS = 16
+    rng = random.Random(13)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+    boiler = vec()  # the identical-embedding cluster (not in the corpus)
+    base = spark.createDataFrame(
+        [(i, vec()) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    epochs_rows = [
+        # epoch 0 plants m=40 identical copies — no corpus match, so all
+        # read novel and absorb into the cluster's single cell
+        [(1000 + j, boiler) for j in range(40)],
+        # epoch 1: 5 more copies + regular novel traffic
+        [(2000 + j, boiler) for j in range(5)] + [(2500 + j, vec()) for j in range(15)],
+    ]
+    epochs = [
+        spark.createDataFrame(r, "vec_id long, embedding array<float>")
+        for r in epochs_rows
+    ]
+    cents0 = S.kmeans_centroids(base, N_CELLS, 2, train_mod=1)
+    cents0 = spark.createDataFrame(cents0.collect(), cents0.schema)
+
+    def run(cap, tag):
+        # cells must be FINER than the cap (60 corpus rows / 16 cells ≈ 4
+        # mean occupancy): coarse cells would let corpus rows saturate the
+        # cap and evict the cluster's min-id member (memory'd gotcha)
+        root = str(tmp_path / tag)
+        nf = S.with_norms(S.spread(base))
+        cor = S.ivf_assign(nf, cents0, N_CELLS, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"),
+            cor.select("vec_id", "bucket"),
+            compact_every=1,
+            bucket_cap=cap,
+        )
+        gate = S.CellEmbeddingIngestGate(
+            idx, root, DIM, centroids=cents0, n_cells=N_CELLS,
+            threshold=0.95, nprobe=2,
+        )
+        gate(epochs[0], 0)
+        # the at-scale maintenance move between epochs: retrain re-derives
+        # the band view from the UNCAPPED sh side (rows an earlier cap
+        # evicted reappear where the new geometry splits their bucket) —
+        # the inheritance claim is that the rebuilt view is re-capped
+        gate.retrain()
+        gate(epochs[1], 1)
+        cluster_width = idx.bands.filter(
+            F.col("vec_id").between(1000, 1999)
+        ).count()
+        min_survives = idx.bands.filter(F.col("vec_id") == 1000).count()
+        out = {
+            r.vec_id: (r.epoch, r.dup_of, r.cos)
+            for r in spark.read.parquet(root).collect()
+        }
+        D.retire_pipeline_caches()
+        idx.close()
+        return out, cluster_width, min_survives
+
+    un_out, un_width, _ = run(None, "uncapped")
+    cap_out, cap_width, cap_min = run(6, "capped")
+
+    # retrain happened in BOTH arms, yet uncapped the cluster's probed
+    # width is STILL 40 — identical vectors stay in one cell under any
+    # trained centroid set
+    assert un_width == 40
+    # the inherited cap bounds it through the retrain (≤ cap; corpus rows
+    # sharing the cell take slots) and the min-id member survives
+    assert 1 <= cap_width <= 6
+    assert cap_min == 1
+    # decisions identical: epoch-1 copies read dup of the min-id member
+    assert cap_out == un_out
+    for j in range(5):
+        e, dup_of, cos = cap_out[2000 + j]
+        # cos is IEEE dot/(n·n) of identical vectors — 1.0 up to rounding
+        assert (e, dup_of) == (1, 1000) and abs(cos - 1.0) < 1e-9
+
+
 def test_incremental_index_bucket_cap_history_independent_property(spark):
     """The docstring's history-independence claim, property-tested: with
     min-id priority, the post-compaction capped band view equals the

@@ -8,9 +8,16 @@ Epoch 0 plants m identical copies of one synthetic vector (no corpus match
 Decisions for the copies must be IDENTICAL across arms (min-id member
 survives the cap) — asserted.
 
-    python tools/embedding_cap_ab.py [m] [cap] [epochs]
+    python tools/embedding_cap_ab.py [m] [cap] [epochs] [--cells]
 
 defaults m=20000, cap=8, epochs=3.
+
+``--cells`` (r11, VERDICT r10 #5) runs the same planted protocol through
+CellEmbeddingIngestGate instead: the hot-CELL failure mode is the same
+physics — an identical-vector cluster lands in ONE k-means cell, retrain
+cannot split it any more than widening could, and every later epoch's
+probe pays its width. The cap is INHERITED through the shared
+IncrementalLshIndex (no gate-side wiring), which this A/B measures.
 """
 
 from __future__ import annotations
@@ -33,13 +40,16 @@ from pypeln_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DIM = 64
 N_PLANES = 8
+N_CELLS = 16
 BOILER_BASE = 20_000_000
 
 
 def main() -> None:
-    m = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "cells" if "--cells" in sys.argv else "planes"
+    m = int(argv[0]) if len(argv) > 0 else 20000
+    cap = int(argv[1]) if len(argv) > 1 else 8
+    n_epochs = int(argv[2]) if len(argv) > 2 else 3
     spark = get_spark()
 
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -67,10 +77,24 @@ def main() -> None:
             )
         return frames
 
+    cents = None
+    if mode == "cells":
+        # centroid artifact shared across arms (same discipline as the
+        # registry gate: collect-and-replay keeps training off every
+        # epoch's lineage)
+        c = S.kmeans_centroids(corpus, N_CELLS, 2, train_mod=4)
+        cents = spark.createDataFrame(c.collect(), c.schema)
+
     def run(bucket_cap):
         root = tempfile.mkdtemp(prefix="pypeln_emb_cap_ab_")
         D.retire_pipeline_caches()
-        cor = S.lsh_bucket(S.with_norms(S.spread(corpus)), "_v", N_PLANES, DIM)
+        nf = S.with_norms(S.spread(corpus))
+        if mode == "cells":
+            cor = S.ivf_assign(nf, cents, N_CELLS, keep=1).select(
+                "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+            )
+        else:
+            cor = S.lsh_bucket(nf, "_v", N_PLANES, DIM)
         cor = D.pool_persist(cor)
         cor.count()
         idx = D.IncrementalLshIndex(
@@ -79,10 +103,16 @@ def main() -> None:
             compact_every=1,
             bucket_cap=bucket_cap,
         )
-        gate = S.EmbeddingIngestGate(
-            idx, root, DIM, n_planes=N_PLANES, threshold=0.95,
-            probe_hamming=1,
-        )
+        if mode == "cells":
+            gate = S.CellEmbeddingIngestGate(
+                idx, root, DIM, centroids=cents, n_cells=N_CELLS,
+                threshold=0.95, nprobe=2,
+            )
+        else:
+            gate = S.EmbeddingIngestGate(
+                idx, root, DIM, n_planes=N_PLANES, threshold=0.95,
+                probe_hamming=1,
+            )
         walls = []
         for e, frame in enumerate(epoch_frames()):
             t0 = time.time()
@@ -107,7 +137,7 @@ def main() -> None:
         results[label] = decisions
         per = " ".join(f"e{i}={w:5.1f}s" for i, w in enumerate(walls))
         print(
-            f"{label:9s} total={sum(walls):6.1f}s {per} "
+            f"[{mode}] {label:9s} total={sum(walls):6.1f}s {per} "
             f"cluster-dups-flagged={n_flagged}"
         )
     same = results["capped"] == results["uncapped"]
