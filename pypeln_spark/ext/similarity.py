@@ -1455,6 +1455,7 @@ class EmbeddingIngestGate:
         target_occupancy: float = 8.0,
         epoch_col=None,
         collect_stats: bool = False,
+        absorb_dedup: bool = False,
     ):
         if occupancy_trigger and target_occupancy >= occupancy_trigger:
             raise ValueError(
@@ -1473,6 +1474,31 @@ class EmbeddingIngestGate:
         self.target_occupancy = target_occupancy
         self.epoch_col = epoch_col
         self.collect_stats = collect_stats
+        # absorb_dedup (r11): exact-dedup the ABSORB SET within each batch
+        # — keep the min-id row per identical vector before the index
+        # stores anything. Gates never compare a batch's rows against
+        # each other (dup decisions are new-vs-INDEX only, documented),
+        # so an identical-vector flood (the planted-cluster protocol, a
+        # scraped mirror burst) absorbs in FULL at its arrival epoch and
+        # every later epoch pays that width — the failure the index
+        # bucket_cap bounds. Measured (tools/embedding_cap_ab.py --cells,
+        # r11): in COARSE-cell geometry the min-id cap is the WRONG
+        # primary guard — unrelated lower-id rows absorbed into the
+        # cluster's catch-all cell evict the cluster's representative
+        # (50/150 later-copy dups missed at cap=8/256 cells), and
+        # retraining makes it worse, not better: k-means over an index
+        # that is 75% one repeated vector COLLAPSES the centroid set
+        # (256 → 62 trained on the flooded index — seeds dedup by
+        # position), coarsening every cell. Absorb-dedup stops the flood
+        # at the source instead: the cluster stores ONE representative
+        # (its min id — exactly the row the survivor pick targets, so
+        # later-epoch decisions are bit-identical to storing all copies),
+        # the index stays thin, and retrain trains on the data's real
+        # support. Decision-invariance is exact-dup-only BY CONSTRUCTION
+        # (grouping key = the full vector, no hash truncation): distinct
+        # near-dup vectors in one batch still both absorb. Default False
+        # — the registry oracles replay the store-everything shape.
+        self.absorb_dedup = absorb_dedup
         self.stats: list = []
         self._epoch = 0
 
@@ -1608,6 +1634,18 @@ class EmbeddingIngestGate:
         )
         dropped = pick.select(F.col("new_id").alias(self.id_col))
         novel = new.join(dropped, self.id_col, "left_anti")
+        if self.absorb_dedup:
+            # one narrow window keyed on the FULL vector (exact identity,
+            # no hash truncation): the min-id copy — the future survivor
+            # pick's target — is the one row the index stores
+            from pyspark.sql import Window as _W
+
+            w_dd = _W.partitionBy("_v").orderBy(F.col(self.id_col))
+            novel = (
+                novel.withColumn("_rnk", F.row_number().over(w_dd))
+                .filter(F.col("_rnk") == 1)
+                .drop("_rnk")
+            )
         self.index.absorb(
             novel.select(self.id_col, "_v", "_norm"),
             self._novel_bands(novel),
@@ -1660,7 +1698,14 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
     standard IVF rebuild), which swaps centroids + re-assigns in two
     narrow passes (index.rebuild_bands), deliberately left to the
     deployment's cadence. Three-arm recall/wall vs the hyperplane arms
-    measured on the r9 planted-pair sf1 stream: SCALING.md r10."""
+    measured on the r9 planted-pair sf1 stream: SCALING.md r10.
+
+    DEPLOYMENT RULE (r11, measured — full table in __init__ and
+    SCALING.md): threshold ≥ 0.9 → nprobe=2 (near-exact pairs share
+    the one nearest cell; more probes buy nothing); semantic
+    thresholds → nprobe=4 (~99% of the fixed-gate reference recall at
+    ~1/4 its wall; the straddle gap halves per +1 probe at ~13% wall
+    each). Pass nprobe="auto" to apply the rule from the threshold."""
 
     def __init__(
         self,
@@ -1670,7 +1715,7 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         centroids: DataFrame,
         n_cells: int,
         threshold: float,
-        nprobe: int = 2,
+        nprobe: tp.Union[int, str] = 2,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         epoch_col=None,
@@ -1679,17 +1724,36 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         target_occupancy: float = 8.0,
         retrain_iters: int = 2,
         retrain_train_mod: tp.Optional[int] = 4,
+        absorb_dedup: bool = False,
     ):
         super().__init__(
             index, sink_root, dim, n_planes=0, threshold=threshold,
             probe_hamming=0, id_col=id_col, vec_col=vec_col,
             occupancy_trigger=occupancy_trigger,
             target_occupancy=target_occupancy, epoch_col=epoch_col,
-            collect_stats=collect_stats,
+            collect_stats=collect_stats, absorb_dedup=absorb_dedup,
         )
         self.centroids = centroids
         self.n_cells = n_cells
-        self.nprobe = nprobe
+        # nprobe="auto" (r11, VERDICT r10 #3) promotes the measured
+        # recall/cost curve to gate behavior. The sf1/T=0.35 three-arm
+        # protocol extended across nprobe (10k arrivals, 100 cells,
+        # decision counts contention-immune and run-to-run identical):
+        #   nprobe 2: 9252/9936 ref dups (93.1%), ~684k cand/epoch, 40.3s
+        #   nprobe 3: 9667 (97.3%), ~1.01M cand/epoch, 46.3s
+        #   nprobe 4: 9843 (99.1%), ~1.34M cand/epoch, 51.0s
+        #   (fixed-hyperplane reference: 9936, 3.78M cand/epoch, 215s —
+        #   same contended-host session, ratios are the measurement)
+        # The boundary-straddle gap HALVES per +1 probe while wall grows
+        # ~13% per step (candidates linear in nprobe, verify partly
+        # fixed-cost), so the semantic-regime default is nprobe=4: ~99%
+        # of reference recall at ~1/4 the fixed gate's wall. At ≥ 0.9
+        # near-exact pairs share the ONE nearest cell (r10: all arms
+        # emit identical decisions) — probing more cells buys nothing,
+        # so auto keeps the measured nprobe=2 there.
+        if nprobe == "auto":
+            nprobe = 2 if threshold >= 0.9 else 4
+        self.nprobe = int(nprobe)
         self.retrain_iters = retrain_iters
         self.retrain_train_mod = retrain_train_mod
 

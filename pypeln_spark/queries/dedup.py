@@ -504,7 +504,12 @@ def dedup_simhash_near_pairs_wide(spark, sf_dir):
     key derivation, frozen constants from ext/dedup.SIMHASH_TABLE_A/B)
     rather than a brute-force scan — the capture loss, if any, is part
     of the verified contract, exactly like embedding_near_dup_lsh's
-    bucket replay."""
+    bucket replay.
+
+    SUPERSEDED past ~10^5 docs by dedup_simhash_near_pairs_wide60
+    (below): 32-bit fingerprints saturate at corpus scale — hd ≤ 5
+    "matches" become fingerprint collisions, not near-dups — and the
+    byte bands carry a Θ(n²/64) random-collision candidate floor."""
     (docs,) = tables(spark, sf_dir, "documents")
     return D.simhash_near_pairs(
         D.simhash_fingerprints(docs), max_hamming=5, tables=4

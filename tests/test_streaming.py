@@ -1851,6 +1851,150 @@ def test_cells_gate_inherits_index_bucket_cap_through_retrain(spark, tmp_path):
         assert (e, dup_of) == (1, 1000) and abs(cos - 1.0) < 1e-9
 
 
+def test_gate_absorb_dedup_thins_index_and_keeps_decisions(spark, tmp_path):
+    """absorb_dedup (r11): within-batch exact dedup of the absorb set.
+    Gates never compare a batch's rows against each other, so an
+    identical-vector flood absorbs in FULL and every later epoch pays
+    its width — and the A/B showed the index bucket_cap is the wrong
+    primary guard in coarse-cell geometry (min-id eviction by unrelated
+    lower-id cellmates; retrain collapses centroids on a flooded index).
+    With absorb_dedup the flood stores ONE representative — its min-id
+    copy, exactly the future survivor pick's target — so the index stays
+    thin and ALL decisions (including later epochs' dup verdicts) are
+    bit-identical to the store-everything gate. Distinct vectors are
+    untouched (full-vector grouping key, no hash truncation)."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 8
+    rng = random.Random(5)
+    base = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(DIM)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    boiler = [rng.uniform(-1, 1) for _ in range(DIM)]
+    epochs = [
+        # epoch 0: m=25 identical copies + 5 distinct novels
+        [(1000 + j, boiler) for j in range(25)]
+        + [(1500 + j, [rng.uniform(-1, 1) for _ in range(DIM)]) for j in range(5)],
+        # epoch 1: 4 more copies + regular novel traffic
+        [(2000 + j, boiler) for j in range(4)]
+        + [(2500 + j, [rng.uniform(-1, 1) for _ in range(DIM)]) for j in range(6)],
+    ]
+    frames = [
+        spark.createDataFrame(r, "vec_id long, embedding array<float>")
+        for r in epochs
+    ]
+    cents = S.kmeans_centroids(base, 8, 2, train_mod=1)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    def run(absorb_dedup, tag):
+        nf = S.with_norms(S.spread(base))
+        cor = S.ivf_assign(nf, cents, 8, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"), cor.select("vec_id", "bucket"),
+            compact_every=1,
+        )
+        gate = S.CellEmbeddingIngestGate(
+            idx, str(tmp_path / tag), DIM, centroids=cents, n_cells=8,
+            threshold=0.95, nprobe=2, absorb_dedup=absorb_dedup,
+        )
+        for i, f in enumerate(frames):
+            gate(f, i)
+        cluster_sh = idx.sh.filter(F.col("vec_id").between(1000, 1499)).count()
+        cluster_bands = idx.bands.filter(
+            F.col("vec_id").between(1000, 1499)
+        ).count()
+        distinct_sh = idx.sh.filter(F.col("vec_id") >= 1500).count()
+        out = {
+            r.vec_id: (r.epoch, r.dup_of)
+            for r in spark.read.parquet(str(tmp_path / tag)).collect()
+        }
+        D.retire_pipeline_caches()
+        idx.close()
+        return out, cluster_sh, cluster_bands, distinct_sh
+
+    plain, p_sh, p_b, p_d = run(False, "plain")
+    thin, t_sh, t_b, t_d = run(True, "thin")
+
+    # store-everything keeps all 25 copies; absorb_dedup keeps exactly the
+    # min-id representative — in BOTH index sides
+    assert (p_sh, p_b) == (25, 25)
+    assert (t_sh, t_b) == (1, 1)
+    # decisions stay one-per-arriving-doc: 30 epoch-0 + 10 epoch-1 rows
+    assert spark.read.parquet(str(tmp_path / "thin")).count() == 40
+    # distinct vectors are untouched (5 epoch-0 novels absorb in both)
+    assert p_d == t_d
+    # decisions bit-identical, including epoch-1 copies matching the rep
+    assert thin == plain
+    for j in range(4):
+        assert thin[2000 + j] == (1, 1000)
+
+
+def test_cells_gate_auto_nprobe_resolves_measured_rule(spark, tmp_path):
+    """nprobe="auto" (VERDICT r10 #3) applies the measured deployment
+    rule from the threshold: ≥ 0.9 → 2 (near-exact pairs share the one
+    nearest cell — r10 measured all arms decision-identical there);
+    semantic → 4 (sf1 curve: 99.1% of the fixed reference recall at
+    ~1/4 its wall). Auto is a resolution rule, not a new code path —
+    decisions must equal the explicitly-configured gate's."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 8
+    rng = random.Random(3)
+    base = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(DIM)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S.kmeans_centroids(base, 8, 2, train_mod=1)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    def gate(threshold, nprobe, tag):
+        nf = S.with_norms(S.spread(base))
+        cor = S.ivf_assign(nf, cents, 8, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"), cor.select("vec_id", "bucket"),
+            compact_every=1,
+        )
+        g = S.CellEmbeddingIngestGate(
+            idx, str(tmp_path / tag), DIM, centroids=cents, n_cells=8,
+            threshold=threshold, nprobe=nprobe,
+        )
+        return g, idx
+
+    g_hi, i1 = gate(0.95, "auto", "hi")
+    g_lo, i2 = gate(0.35, "auto", "lo")
+    g_ex, i3 = gate(0.35, 4, "ex")
+    assert g_hi.nprobe == 2
+    assert g_lo.nprobe == 4 == g_ex.nprobe
+    # one epoch through auto vs explicit: identical decision rows
+    batch = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(DIM)]) for i in range(10)]
+        + [(200, base.collect()[0].embedding)],  # one exact dup of vec 0
+        "vec_id long, embedding array<float>",
+    )
+    g_lo(batch, 0)
+    g_ex(batch, 0)
+    rows = lambda tag: {
+        (r.vec_id, r.epoch, r.dup_of)
+        for r in spark.read.parquet(str(tmp_path / tag)).collect()
+    }
+    assert rows("lo") == rows("ex")
+    assert (200, 0, 0) in rows("lo")  # the planted exact dup is caught
+    for i in (i1, i2, i3):
+        i.close()
+    D.retire_pipeline_caches()
+
+
 def test_incremental_index_bucket_cap_history_independent_property(spark):
     """The docstring's history-independence claim, property-tested: with
     min-id priority, the post-compaction capped band view equals the

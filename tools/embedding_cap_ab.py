@@ -18,6 +18,14 @@ physics — an identical-vector cluster lands in ONE k-means cell, retrain
 cannot split it any more than widening could, and every later epoch's
 probe pays its width. The cap is INHERITED through the shared
 IncrementalLshIndex (no gate-side wiring), which this A/B measures.
+
+``--retrain`` (cells mode) calls gate.retrain() after the planting epoch —
+the measured companion: with COARSE cells, min-id capping lets lower-id
+regular traffic absorbed into the cluster's catch-all cell evict the
+cluster's representative (the documented eviction trade; epoch-3 copies
+read novel). Retrain on the grown index gives the planted mass its OWN
+centroid/cell, where the min-id rep survives any cap — recall restored,
+width still bounded.
 """
 
 from __future__ import annotations
@@ -50,6 +58,10 @@ def main() -> None:
     m = int(argv[0]) if len(argv) > 0 else 20000
     cap = int(argv[1]) if len(argv) > 1 else 8
     n_epochs = int(argv[2]) if len(argv) > 2 else 3
+    # cells mode needs buckets FINER than the cap (mean corpus occupancy
+    # below it), or corpus rows saturate every cell and evict the planted
+    # cluster's min-id representative — pick n_cells ≈ corpus/(cap/2)
+    n_cells = int(argv[3]) if len(argv) > 3 else N_CELLS
     spark = get_spark()
 
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -82,15 +94,15 @@ def main() -> None:
         # centroid artifact shared across arms (same discipline as the
         # registry gate: collect-and-replay keeps training off every
         # epoch's lineage)
-        c = S.kmeans_centroids(corpus, N_CELLS, 2, train_mod=4)
+        c = S.kmeans_centroids(corpus, n_cells, 2, train_mod=4)
         cents = spark.createDataFrame(c.collect(), c.schema)
 
-    def run(bucket_cap):
+    def run(bucket_cap, absorb_dedup=False):
         root = tempfile.mkdtemp(prefix="pypeln_emb_cap_ab_")
         D.retire_pipeline_caches()
         nf = S.with_norms(S.spread(corpus))
         if mode == "cells":
-            cor = S.ivf_assign(nf, cents, N_CELLS, keep=1).select(
+            cor = S.ivf_assign(nf, cents, n_cells, keep=1).select(
                 "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
             )
         else:
@@ -105,18 +117,21 @@ def main() -> None:
         )
         if mode == "cells":
             gate = S.CellEmbeddingIngestGate(
-                idx, root, DIM, centroids=cents, n_cells=N_CELLS,
-                threshold=0.95, nprobe=2,
+                idx, root, DIM, centroids=cents, n_cells=n_cells,
+                threshold=0.95, nprobe=2, absorb_dedup=absorb_dedup,
             )
         else:
             gate = S.EmbeddingIngestGate(
                 idx, root, DIM, n_planes=N_PLANES, threshold=0.95,
-                probe_hamming=1,
+                probe_hamming=1, absorb_dedup=absorb_dedup,
             )
         walls = []
+        retrain = mode == "cells" and "--retrain" in sys.argv
         for e, frame in enumerate(epoch_frames()):
             t0 = time.time()
             gate(frame, e)
+            if retrain and e == 0:
+                gate.retrain()
             walls.append(time.time() - t0)
         idx.close()
         out = spark.read.parquet(root)
@@ -131,20 +146,31 @@ def main() -> None:
         D.retire_pipeline_caches()
         return walls, decisions, n_flagged
 
+    arms = [("capped", cap, False), ("uncapped", None, False)]
+    if "--absorb-dedup" in sys.argv:
+        # the r11 guard: within-batch exact dedup of the absorb set —
+        # alone (the flood stores ONE representative, no cap semantics)
+        # and composed with the cap (belt and suspenders)
+        arms += [("dedup", None, True), ("dedup+cap", cap, True)]
     results = {}
-    for label, bc in (("capped", cap), ("uncapped", None)):
-        walls, decisions, n_flagged = run(bc)
+    for label, bc, ad in arms:
+        walls, decisions, n_flagged = run(bc, ad)
         results[label] = decisions
         per = " ".join(f"e{i}={w:5.1f}s" for i, w in enumerate(walls))
         print(
             f"[{mode}] {label:9s} total={sum(walls):6.1f}s {per} "
             f"cluster-dups-flagged={n_flagged}"
         )
-    same = results["capped"] == results["uncapped"]
-    print(f"cluster decisions identical across arms: {same}")
-    if not same:
-        diff = results["capped"] ^ results["uncapped"]
-        print(f"  DIFFERING ROWS ({len(diff)}): {sorted(diff)[:10]}")
+    ref = results["uncapped"]
+    for label in results:
+        if label == "uncapped":
+            continue
+        same = results[label] == ref
+        print(f"{label} decisions identical to uncapped: {same}")
+        if not same:
+            diff = results[label] ^ ref
+            key = lambda r: (r[0], r[1], r[2] if r[2] is not None else -1)
+            print(f"  DIFFERING ROWS ({len(diff)}): {sorted(diff, key=key)[:6]}")
 
 
 if __name__ == "__main__":
