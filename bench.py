@@ -171,11 +171,15 @@ HEADLINE = [
     # corpus-scale simhash (vs dedup_simhash_near_pairs: 60-bit
     # fingerprints, 4x15-bit band keys — 16x fewer candidates at sf0.1)
     "dedup_simhash_near_pairs60",
-    # round-11 addition: the combined production setting — 60-bit
+    # round-11 additions: the combined production setting — 60-bit
     # fingerprints x 4 affine regrouping tables at hd<=5 (vs
     # dedup_simhash_near_pairs_wide, which saturates at 32 bits, and
-    # dedup_simhash_near_pairs60, whose single table stops at hd<=3)
+    # dedup_simhash_near_pairs60, whose single table stops at hd<=3) —
+    # and the text gate under an identical-document flood with
+    # absorb_dedup live (vs streaming_incremental_dedup: prices the
+    # per-epoch novel-set dedup window plus the flood's arrival cost)
     "dedup_simhash_near_pairs_wide60",
+    "streaming_incremental_dedup_flood",
 ]
 
 

@@ -1034,6 +1034,7 @@ class TextIngestGate:
         id_col: str = "doc_id",
         text_col: str = "text",
         epoch_col=None,
+        absorb_dedup: bool = False,
     ):
         self.index = index
         self.sink_root = sink_root
@@ -1044,6 +1045,19 @@ class TextIngestGate:
         self.id_col = id_col
         self.text_col = text_col
         self.epoch_col = epoch_col
+        # absorb_dedup (r11): within-batch exact dedup of the absorb set,
+        # keyed on the full shingle array — the text twin of the embedding
+        # gates' flag (EmbeddingIngestGate.absorb_dedup has the measured
+        # rationale: gates never compare a batch's rows against each
+        # other, so an identical-document flood — a mirror burst arriving
+        # in one micro-batch — absorbs in FULL and every later epoch's
+        # candidate join pays its width; the index bucket_cap bounds the
+        # symptom, this bounds the source). The flood stores its min-id
+        # copy — the future survivor pick's target — so later-epoch
+        # decisions are bit-identical to store-everything. Exact-only by
+        # construction (full sh_arr key): distinct near-dup docs both
+        # absorb. Default False — registry oracles replay store-everything.
+        self.absorb_dedup = absorb_dedup
         self._epoch = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -1135,19 +1149,7 @@ class TextIngestGate:
             self.epoch_col() if self.epoch_col is not None
             else F.lit(int(epoch_id)).cast("int")
         )
-        (
-            batch_df.select(self.id_col)
-            .join(pick, F.col(self.id_col) == F.col("new_id"), "left")
-            .select(
-                self.id_col,
-                epoch.alias("epoch"),
-                F.col("m.corpus_id").alias("dup_of"),
-                F.col("m.jaccard").alias("jaccard"),
-            )
-            .write.mode("append")
-            .parquet(self.sink_root)
-        )
-        # absorb: novel docs join the index before the next epoch.
+        # absorb set: novel docs join the index before the next epoch.
         # APPEND-ONLY by default: only the epoch's novel DELTA
         # materializes (inside absorb(), WITH a lineage cut — the delta
         # derives from this epoch's decisions against the current index,
@@ -1160,12 +1162,53 @@ class TextIngestGate:
         # sf0.1 wall and the dominant super-linear term at 10×). On
         # unbounded streams the index's compact_every knob periodically
         # collapses the delta chain (IncrementalLshIndex docstring);
-        # three epochs don't need it.
+        # three epochs don't need it. Computed BEFORE the decision write
+        # so absorb_dedup can surface its verdict in the output.
         dropped = pick.select(F.col("new_id").alias(self.id_col))
-        self.index.absorb(
-            new_sh.join(dropped, self.id_col, "left_anti"),
-            new_bands.join(dropped, self.id_col, "left_anti"),
+        novel_sh = new_sh.join(dropped, self.id_col, "left_anti")
+        novel_bands = new_bands.join(dropped, self.id_col, "left_anti")
+        if self.absorb_dedup:
+            # one narrow window keyed on the SORTED shingle array — the
+            # canonical set representation (engine-replayable: the oracle
+            # keys on list(sh ORDER BY sh)). Set-equality is exactly the
+            # granularity the MinHash pipeline can distinguish: equal
+            # shingle sets are jaccard-1.0 indistinguishable downstream.
+            from pyspark.sql import Window as _W
+
+            w_dd = _W.partitionBy(F.array_sort("sh_arr")).orderBy(
+                F.col(self.id_col)
+            )
+            novel_sh = (
+                novel_sh.withColumn("_rnk", F.row_number().over(w_dd))
+                .filter(F.col("_rnk") == 1)
+                .drop("_rnk")
+            )
+            novel_bands = novel_bands.join(
+                novel_sh.select(self.id_col), self.id_col, "left_semi"
+            )
+        decisions = (
+            batch_df.select(self.id_col)
+            .join(pick, F.col(self.id_col) == F.col("new_id"), "left")
+            .select(
+                self.id_col,
+                epoch.alias("epoch"),
+                F.col("m.corpus_id").alias("dup_of"),
+                F.col("m.jaccard").alias("jaccard"),
+            )
         )
+        if self.absorb_dedup:
+            # surface the absorb verdict: TRUE only for the rows the index
+            # actually stored (novel AND the min-id rep of their shingle
+            # set) — the column the flood oracle hash-checks
+            kept = novel_sh.select(F.col(self.id_col).alias("_kept_id"))
+            decisions = decisions.join(
+                kept, F.col(self.id_col) == F.col("_kept_id"), "left"
+            ).select(
+                self.id_col, "epoch", "dup_of", "jaccard",
+                F.col("_kept_id").isNotNull().alias("absorbed"),
+            )
+        decisions.write.mode("append").parquet(self.sink_root)
+        self.index.absorb(novel_sh, novel_bands)
         self._epoch += 1
 
 

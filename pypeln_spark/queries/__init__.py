@@ -58,11 +58,11 @@ except ImportError:  # pragma: no cover
 # 5-round-cycle freshness rule). Registry holds 213 entries (212
 # ever-green + this round's debut). The front 50 is (a) VERDICT r10 #1:
 # ALL 29 r6-stale entries, in registry order — they hit the 5-round
-# hard-fail threshold if they miss this window; (b) the r11 debut
+# hard-fail threshold if they miss this window; (b) the two r11 debuts
 # (never driver-checked, must debut inside the window); then (c) the
-# r7-stale cohort in registry order filling the remaining 20 slots
-# (oldest-first per VERDICT r10 #1; the other 19 r7 entries lead the
-# r12 window). ALL 213 entries stay covered every session by the local
+# r7-stale cohort in registry order filling the remaining 19 slots
+# (oldest-first per VERDICT r10 #1; the other 20 r7 entries lead the
+# r12 window). ALL 214 entries stay covered every session by the local
 # DuckDB gate (tests/test_correctness_gate.py replays every oracle).
 _PRIORITY = [
     # -- (a) the 29 r6-stale entries (5-round cycle deadline this round) --
@@ -95,11 +95,14 @@ _PRIORITY = [
     "dedup_span_overlap",
     "dedup_cdc_chunks",
     "ann_recall_eval_pq",
-    # -- (b) r11 debut, never driver-checked: 60-bit fingerprints x
-    # 4 affine regrouping tables at hd<=5 — the corpus-scale production
-    # SimHash setting (VERDICT r10 #7) --
+    # -- (b) r11 debuts, never driver-checked: 60-bit fingerprints x
+    # 4 affine regrouping tables at hd<=5 (the corpus-scale production
+    # SimHash setting, VERDICT r10 #7), and the text gate under an
+    # identical-document flood with within-batch absorb dedup live and
+    # its per-row absorbed verdict oracle-replayed --
     "dedup_simhash_near_pairs_wide60",
-    # -- (c) r7-stale cohort, registry order (20 fit; the other 19 lead
+    "streaming_incremental_dedup_flood",
+    # -- (c) r7-stale cohort, registry order (19 fit; the other 20 lead
     # the r12 window) --
     "pipeline_to_async_iterable_roundtrip",
     "curation_train_val_split",
@@ -120,7 +123,6 @@ _PRIORITY = [
     "embedding_near_dup_pairs",
     "semantic_dedup_clusters",
     "pipeline_task_async_enrich",
-    "pipeline_pickled_objects",
 ]
 
 

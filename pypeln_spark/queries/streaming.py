@@ -1307,6 +1307,199 @@ def streaming_incremental_dedup_capped(spark, sf_dir):
     return _text_ingest_gate(spark, sf_dir, bucket_cap=2)
 
 
+def _flood_stream_oracle() -> str:
+    """Oracle for streaming_incremental_dedup_flood — the text gate with
+    WITHIN-BATCH ABSORB DEDUP (absorb_dedup=True) on a stream carrying an
+    identical-document flood. The arrival stream is constructed from the
+    fixture: epoch 0 = the %6==1 docs PLUS same-text replicas of the
+    low-id sources under doc_id+100000 (the within-batch flood — gate
+    decisions never compare batch rows against each other, so without
+    the guard every replica absorbs); epoch 1 = the %6==3 docs plus a
+    SECOND replica wave (+200000) of the same sources, which must now
+    read dup_of = the stored representative at jaccard 1.0 (the
+    cross-epoch proof that the one kept copy serves later traffic);
+    epoch 2 = the %6==5 docs. The replay re-derives shingles over the
+    replicated view, ranks each epoch's novel set by the CANONICAL
+    sorted shingle array keeping the min id (exactly the gate's
+    array_sort window), and emits the per-row `absorbed` verdict the
+    gate writes — so the driver hash-checks the dedup itself, not just
+    its downstream consequences."""
+    from .dedup import JACCARD_THRESHOLD, _MH_CTE, _SH_CTE
+
+    src = "doc_id % 6 = 1 AND doc_id < 60"
+    ctes = [
+        f"""documents2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE {src}
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents WHERE {src}
+        )""",
+        # the shared shingle CTE, re-pointed at the replicated view (the
+        # replicas' shingle rows must exist for banding and verify)
+        _SH_CTE.replace("FROM documents)", "FROM documents2)").strip(),
+        _MH_CTE.strip(),
+        """banded AS (
+          SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+          FROM mh GROUP BY doc_id, j // 4
+        )""",
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)",
+        "skeys AS (SELECT doc_id, list(sh ORDER BY sh) AS skey FROM sh GROUP BY doc_id)",
+        "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)",
+        f"""n0 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 1
+               UNION ALL
+               SELECT doc_id + 100000 FROM documents WHERE {src})""",
+        f"""n1 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 3
+               UNION ALL
+               SELECT doc_id + 200000 FROM documents WHERE {src})""",
+        "n2 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 5)",
+    ]
+    finals = []
+    for e in range(3):
+        ctes.append(f"""m{e} AS (
+          SELECT new_id, corpus_id, jaccard FROM (
+            SELECT i.new_id, i.corpus_id,
+                   CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+            FROM (
+              SELECT p.new_id, p.corpus_id, COUNT(*) AS n_inter
+              FROM (
+                SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+                FROM banded nb
+                JOIN banded cb ON nb.band = cb.band AND nb.sig = cb.sig
+                JOIN n{e} ON n{e}.doc_id = nb.doc_id
+                JOIN c{e} ON c{e}.doc_id = cb.doc_id
+              ) p
+              JOIN sh a ON a.doc_id = p.new_id
+              JOIN sh b ON b.doc_id = p.corpus_id AND b.sh = a.sh
+              GROUP BY p.new_id, p.corpus_id
+            ) i
+            JOIN sizes sa ON sa.doc_id = i.new_id
+            JOIN sizes sb ON sb.doc_id = i.corpus_id)
+          WHERE jaccard >= {JACCARD_THRESHOLD}
+        )""")
+        ctes.append(f"""p{e} AS (
+          SELECT new_id, corpus_id, jaccard FROM (
+            SELECT new_id, corpus_id, jaccard,
+                   ROW_NUMBER() OVER (PARTITION BY new_id
+                                      ORDER BY corpus_id ASC) AS rn
+            FROM m{e})
+          WHERE rn = 1
+        )""")
+        # the absorb set: novel rows rank-filtered to the min id per
+        # canonical shingle set — the gate's array_sort window, replayed
+        ctes.append(f"""a{e} AS (
+          SELECT doc_id FROM (
+            SELECT nv.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY k.skey
+                                      ORDER BY nv.doc_id) AS rnk
+            FROM (SELECT n{e}.doc_id FROM n{e}
+                  ANTI JOIN p{e} ON p{e}.new_id = n{e}.doc_id) nv
+            JOIN skeys k ON k.doc_id = nv.doc_id)
+          WHERE rnk = 1
+        )""")
+        ctes.append(f"""c{e + 1} AS (
+          SELECT doc_id FROM c{e}
+          UNION ALL
+          SELECT doc_id FROM a{e}
+        )""")
+        finals.append(
+            f"""SELECT n{e}.doc_id, CAST({e} AS INTEGER) AS epoch,
+                 p{e}.corpus_id AS dup_of, p{e}.jaccard AS jaccard,
+                 (a{e}.doc_id IS NOT NULL) AS absorbed
+          FROM n{e}
+          LEFT JOIN p{e} ON p{e}.new_id = n{e}.doc_id
+          LEFT JOIN a{e} ON a{e}.doc_id = n{e}.doc_id"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("streaming_incremental_dedup_flood", oracle=_flood_stream_oracle())
+def streaming_incremental_dedup_flood(spark, sf_dir):
+    """The text ingest gate under an IDENTICAL-DOCUMENT FLOOD, with the
+    r11 absorb_dedup guard live and oracle-replayed. Epoch 0 carries
+    same-text replicas of the low-id sources alongside the regular
+    arrivals — the mirror-burst shape: gates never compare a batch's
+    rows against each other, so without the guard every replica absorbs
+    and every later epoch's candidate join pays the flood's width (the
+    measured failure absorb_dedup exists for; the embedding-side A/B in
+    SCALING.md r11 reads 63.7s vs 199.0s at m=60000). With the guard,
+    each epoch's novel set is rank-filtered to the min-id row per
+    CANONICAL sorted shingle set before absorption, the output carries
+    the per-row `absorbed` verdict, and epoch 1's second replica wave
+    must read dup_of = the stored representative at jaccard 1.0 — the
+    driver hash-checks flood eviction, the rep choice, AND the
+    cross-epoch service of the one stored copy. Scale shape identical
+    to streaming_incremental_dedup plus one narrow row_number window
+    per epoch over the novel set (the flood key deliberately skews into
+    a single task of skinny shingle rows)."""
+    from pyspark.sql import types as T
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    from .dedup import BANDS, JACCARD_THRESHOLD, N_HASHES
+
+    rpb = N_HASHES // BANDS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    src = docs.filter((F.col("doc_id") % 6 == 1) & (F.col("doc_id") < 60))
+
+    def replicas(off):
+        return src.select(
+            (F.col("doc_id") + off).alias("doc_id"), "text"
+        )
+
+    epochs = [
+        docs.filter(F.col("doc_id") % 6 == 1).unionByName(replicas(100000)),
+        docs.filter(F.col("doc_id") % 6 == 3).unionByName(replicas(200000)),
+        docs.filter(F.col("doc_id") % 6 == 5),
+    ]
+
+    cor_sh = S.cached_index(
+        ("lsh_corpus_shingles", sf_dir),
+        lambda: D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5),
+    )
+    cor_bands = S.cached_index(
+        ("lsh_corpus_bands", sf_dir, N_HASHES, BANDS),
+        lambda: D.lsh_band_table(
+            D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+            "doc_id", BANDS, rpb,
+        ),
+    )
+
+    root = ST.stream_sink_dir("pypeln_spark_flooddedup_")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("absorbed", T.BooleanType()),
+        ]
+    )
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(root)
+
+    index = D.IncrementalLshIndex(
+        cor_sh, cor_bands, compact_every=_compact_epochs(),
+    )
+    # default epoch labels (the harness epoch_id): the replica ids break
+    # the %6-derived formula the sibling entries use, and staged feeds
+    # are ordered, so the label IS the feed ordinal
+    gate = D.TextIngestGate(
+        index, root, N_HASHES, BANDS, 5, JACCARD_THRESHOLD,
+        absorb_dedup=True,
+    )
+    ST.staged_foreach_batch(spark, epochs, gate)
+    D.retire_pipeline_caches()
+    index.close()
+    out = spark.read.parquet(root).localCheckpoint(eager=True)
+    ST.remove_sink_dir(spark, root)
+    return out
+
+
 def _curated_stream_oracle() -> str:
     """Oracle for streaming_curated_ingest — the COMPOSED production
     ingest pipeline: per epoch, arriving docs are quality-screened

@@ -1667,6 +1667,72 @@ def test_text_gate_bucket_cap_exact_dup_decisions_identical(spark, tmp_path):
     }
 
 
+def test_text_gate_absorb_dedup_thins_index_and_keeps_decisions(spark, tmp_path):
+    """TextIngestGate(absorb_dedup=True) — the text twin of the embedding
+    gates' flag: an identical-document flood arriving in ONE micro-batch
+    absorbs in full without it (gates never compare a batch's rows
+    against each other); with it, the flood stores its min-id copy only,
+    and later epochs' dup verdicts are bit-identical (the min-id copy is
+    exactly the survivor pick's target). Distinct docs are untouched."""
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.queries.dedup import BANDS, N_HASHES
+
+    corpus = spark.createDataFrame(
+        [(50 + i, f"entirely unrelated corpus document {i} about topic {i*3}")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    flood = "mirror burst boilerplate page repeated verbatim across the crawl"
+    epochs = [
+        # epoch 0: the flood (12 identical copies) + 2 distinct novels
+        [(1000 + j, flood) for j in range(12)]
+        + [(1500, "a fresh novel document about gardening and soil"),
+           (1501, "another novel text concerning sailing and knots")],
+        # epoch 1: 3 more copies + one distinct novel
+        [(2000 + j, flood) for j in range(3)]
+        + [(2500, "a third unrelated text regarding astronomy and lenses")],
+    ]
+
+    def run(absorb_dedup, root):
+        cor_sh = D.pool_persist(D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5))
+        cor_sh.count()
+        cor_bands = D.lsh_band_table(
+            D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+            "doc_id", BANDS, N_HASHES // BANDS,
+        )
+        idx = D.IncrementalLshIndex(cor_sh, cor_bands, compact_every=1)
+        gate = D.TextIngestGate(
+            idx, root, N_HASHES, BANDS, 5, 0.5, absorb_dedup=absorb_dedup
+        )
+        for e, rows in enumerate(epochs):
+            gate(spark.createDataFrame(rows, "doc_id long, text string"), e)
+        flood_sh = idx.sh.filter(F.col("doc_id").between(1000, 1499)).count()
+        flood_bands = idx.bands.filter(
+            F.col("doc_id").between(1000, 1499)
+        ).count()
+        distinct_sh = idx.sh.filter(F.col("doc_id") >= 1500).count()
+        idx.close()
+        out = {
+            (r.doc_id, r.epoch, r.dup_of, r.jaccard)
+            for r in spark.read.parquet(root).collect()
+        }
+        D.retire_pipeline_caches()
+        return out, flood_sh, flood_bands, distinct_sh
+
+    plain, p_sh, p_b, p_d = run(False, str(tmp_path / "plain"))
+    thin, t_sh, t_b, t_d = run(True, str(tmp_path / "thin"))
+
+    # store-everything keeps all 12 flood copies (x BANDS band rows);
+    # absorb_dedup keeps exactly the min-id representative
+    assert (p_sh, p_b) == (12, 12 * BANDS)
+    assert (t_sh, t_b) == (1, BANDS)
+    # the distinct novels absorb identically in both arms
+    assert p_d == t_d == 3
+    # decisions bit-identical, incl. epoch-1 copies matching the rep
+    assert thin == plain
+    assert {(2000 + j, 1, 1000, 1.0) for j in range(3)} <= thin
+
+
 def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
     """The occupancy trigger's blind spot, pinned: a cluster of IDENTICAL
     vectors shares every hyperplane bucket at any width, so widening can
