@@ -9,10 +9,12 @@ docs. Uncapped, every later copy verifies against all m bucket members
 Decisions for the copies must be IDENTICAL (min-id member survives the
 cap; dup_of/jaccard bit-equal) — asserted, not assumed.
 
-    python tools/gate_bucket_cap_ab.py [m] [cap] [epochs]
+    python tools/gate_bucket_cap_ab.py [m] [cap] [epochs] [--absorb-dedup]
 
 defaults m=5000, cap=8, epochs=4. Prints per-epoch walls and candidate
-pair counts per arm.
+pair counts per arm. --absorb-dedup adds the r11 source-guard arm
+(TextIngestGate(absorb_dedup=True), no cap): the planted flood stores
+ONE representative at epoch 0, decisions must stay identical.
 """
 
 from __future__ import annotations
@@ -36,9 +38,10 @@ BOILER_BASE = 20_000_000
 
 
 def main() -> None:
-    m = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    m = int(argv[0]) if len(argv) > 0 else 5000
+    cap = int(argv[1]) if len(argv) > 1 else 8
+    n_epochs = int(argv[2]) if len(argv) > 2 else 4
     spark = get_spark()
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -73,7 +76,7 @@ def main() -> None:
             frames.append(copies.unionByName(reg))
         return frames
 
-    def run(bucket_cap):
+    def run(bucket_cap, absorb_dedup=False):
         root = tempfile.mkdtemp(prefix="pypeln_gate_cap_ab_")
         D.retire_pipeline_caches()
         cor_sh = D.pool_persist(
@@ -87,7 +90,9 @@ def main() -> None:
         idx = D.IncrementalLshIndex(
             cor_sh, cor_bands, compact_every=1, bucket_cap=bucket_cap
         )
-        gate = D.TextIngestGate(idx, root, N_HASHES, BANDS, 5, 0.5)
+        gate = D.TextIngestGate(
+            idx, root, N_HASHES, BANDS, 5, 0.5, absorb_dedup=absorb_dedup
+        )
         walls = []
         for e, frame in enumerate(epoch_frames()):
             t0 = time.time()
@@ -108,20 +113,28 @@ def main() -> None:
         D.retire_pipeline_caches()
         return walls, decisions, n_flagged
 
+    arms = [("capped", cap, False), ("uncapped", None, False)]
+    if "--absorb-dedup" in sys.argv:
+        arms.append(("dedup", None, True))
     results = {}
-    for label, bc in (("capped", cap), ("uncapped", None)):
-        walls, decisions, n_flagged = run(bc)
+    for label, bc, ad in arms:
+        walls, decisions, n_flagged = run(bc, ad)
         results[label] = decisions
         per = " ".join(f"e{i}={w:5.1f}s" for i, w in enumerate(walls))
         print(
             f"{label:9s} total={sum(walls):6.1f}s {per} "
             f"boiler-dups-flagged={n_flagged}"
         )
-    same = results["capped"] == results["uncapped"]
-    print(f"boilerplate decisions identical across arms: {same}")
-    if not same:
-        diff = results["capped"] ^ results["uncapped"]
-        print(f"  DIFFERING ROWS ({len(diff)}): {sorted(diff)[:10]}")
+    ref = results["uncapped"]
+    for label in results:
+        if label == "uncapped":
+            continue
+        same = results[label] == ref
+        print(f"{label} decisions identical to uncapped: {same}")
+        if not same:
+            diff = results[label] ^ ref
+            key = lambda r: (r[0], r[1], r[2] if r[2] is not None else -1)
+            print(f"  DIFFERING ROWS ({len(diff)}): {sorted(diff, key=key)[:6]}")
 
 
 if __name__ == "__main__":
