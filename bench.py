@@ -256,11 +256,18 @@ def main() -> None:
     # (same warm-up + min-of-N discipline). Subset runs never overwrite
     # BENCH_SELF.json (partial records must not masquerade as sweeps).
     only = os.environ.get("PYPELN_SPARK_BENCH_ONLY")
-    headline = (
-        [n for n in HEADLINE if n in {s.strip() for s in only.split(",")}]
-        if only
-        else HEADLINE
-    )
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        headline = [n for n in HEADLINE if n in wanted]
+        unknown = sorted(wanted - set(HEADLINE))
+        if unknown:  # a typo'd probe in a scarce quiet window must be loud
+            print(f"# BENCH_ONLY: not in HEADLINE, skipped: {unknown}",
+                  file=sys.stderr)
+        if not headline:
+            print("# BENCH_ONLY matched nothing — exiting", file=sys.stderr)
+            return
+    else:
+        headline = HEADLINE
 
     # warm-up: JVM, codegen compilation, parquet reader paths, python worker
     # pool — run every headline shape once at the tiny SF so the timed runs

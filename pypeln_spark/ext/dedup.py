@@ -858,15 +858,18 @@ class IncrementalLshIndex:
         key = [c for c in bands.columns if c != idc]
         # the first-column-is-id convention is validated, not trusted: a
         # misordered frame would otherwise silently cap by the wrong key
-        # (ADVICE r10). Every index band frame in the codebase carries a
-        # `*_id` id column ((doc_id, sigh, sig) MinHash band tables;
-        # (vec_id, bucket) embedding buckets) and no `*_id` bucket keys.
-        if not idc.endswith("_id") or any(c.endswith("_id") for c in key):
+        # (ADVICE r10). The one unambiguous misorder signal is a frame
+        # whose FIRST column is not id-shaped while a later column is
+        # ((sigh, doc_id, sig) — the exact frame the advice described);
+        # frames with no `*_id` column anywhere keep the documented
+        # positional trust (an exotic id name is the caller's convention,
+        # and refusing it would regress previously-valid usage).
+        if not idc.endswith("_id") and any(c.endswith("_id") for c in key):
             raise ValueError(
                 "IncrementalLshIndex: band frame must lead with the id "
-                f"column (got columns {bands.columns}; expected the first "
-                "to be the only '*_id' column) — refusing to cap by a "
-                "misinferred bucket key"
+                f"column (got columns {bands.columns}; a '*_id' column "
+                "appears after a non-id first column) — refusing to cap "
+                "by a misinferred bucket key"
             )
         w = Window.partitionBy(*key).orderBy(F.col(idc))
         return (
@@ -1168,11 +1171,17 @@ class TextIngestGate:
         novel_sh = new_sh.join(dropped, self.id_col, "left_anti")
         novel_bands = new_bands.join(dropped, self.id_col, "left_anti")
         if self.absorb_dedup:
-            # one narrow window keyed on the SORTED shingle array — the
-            # canonical set representation (engine-replayable: the oracle
-            # keys on list(sh ORDER BY sh)). Set-equality is exactly the
+            # one window keyed on the SORTED shingle array — the canonical
+            # set representation (engine-replayable: the oracle keys on
+            # list(sh ORDER BY sh)). Set-equality is exactly the
             # granularity the MinHash pipeline can distinguish: equal
             # shingle sets are jaccard-1.0 indistinguishable downstream.
+            # Cost shape: the window shuffles the NOVEL set's shingle
+            # arrays once — bounded by the micro-batch, never the corpus
+            # (measured +3.6s on a 40k-row flood epoch, bought back 3x
+            # over in every later epoch; SCALING.md r11). A hashed key
+            # would shuffle less but silently merge distinct docs on
+            # collision — exactness wins here.
             from pyspark.sql import Window as _W
 
             w_dd = _W.partitionBy(F.array_sort("sh_arr")).orderBy(
@@ -1183,6 +1192,14 @@ class TextIngestGate:
                 .filter(F.col("_rnk") == 1)
                 .drop("_rnk")
             )
+            # novel_sh now feeds THREE consumers (the decisions write's
+            # kept-join, absorb's sh materialization, the band semi-join)
+            # and its lineage carries the whole verify join — persist +
+            # eager count, same discipline as the pipeline's other shared
+            # stages (unpersisted, the window and verify re-run per
+            # consumer)
+            novel_sh = pool_persist(novel_sh)
+            novel_sh.count()
             novel_bands = novel_bands.join(
                 novel_sh.select(self.id_col), self.id_col, "left_semi"
             )

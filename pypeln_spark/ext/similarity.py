@@ -1344,8 +1344,9 @@ def _broadcast_bytes_limit(spark) -> int:
     s = raw.strip().lower()
     mult = 1
     for suf, m in (
-        ("kb", 2**10), ("mb", 2**20), ("gb", 2**30),
-        ("k", 2**10), ("m", 2**20), ("g", 2**30), ("b", 1),
+        ("kb", 2**10), ("mb", 2**20), ("gb", 2**30), ("tb", 2**40),
+        ("pb", 2**50), ("k", 2**10), ("m", 2**20), ("g", 2**30),
+        ("t", 2**40), ("p", 2**50), ("b", 1),
     ):
         if s.endswith(suf):
             s, mult = s[: -len(suf)], m
@@ -1646,6 +1647,12 @@ class EmbeddingIngestGate:
                 .filter(F.col("_rnk") == 1)
                 .drop("_rnk")
             )
+            # the deduped novel frame feeds absorb's sh side, the band
+            # derivation, and (via the anti-join lineage) re-runs the
+            # verify join per consumer — persist + eager count, the
+            # pipeline's shared-stage discipline
+            novel = pool_persist(novel)
+            novel.count()
         self.index.absorb(
             novel.select(self.id_col, "_v", "_norm"),
             self._novel_bands(novel),

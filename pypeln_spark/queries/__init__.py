@@ -55,9 +55,9 @@ except ImportError:  # pragma: no cover
 # pinned by tests/test_correctness_gate.py::test_driver_window_rotation_
 # invariants: window size, no duplicates, front-of-registry equality,
 # never-driver-checked entries inside the window, and the two-phase
-# 5-round-cycle freshness rule). Registry holds 213 entries (212
-# ever-green + this round's debut). The front 50 is (a) VERDICT r10 #1:
-# ALL 29 r6-stale entries, in registry order — they hit the 5-round
+# 5-round-cycle freshness rule). Registry holds 214 entries (212
+# ever-green + this round's TWO debuts). The front 50 is (a) VERDICT
+# r10 #1: ALL 29 r6-stale entries, in registry order — they hit the 5-round
 # hard-fail threshold if they miss this window; (b) the two r11 debuts
 # (never driver-checked, must debut inside the window); then (c) the
 # r7-stale cohort in registry order filling the remaining 19 slots

@@ -1442,6 +1442,18 @@ def streaming_incremental_dedup_flood(spark, sf_dir):
 
     rpb = N_HASHES // BANDS
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the replica offsets (+100000/+200000) are baked into the oracle SQL;
+    # a fixture whose real ids reach them would make the oracle's
+    # per-doc_id shingle CTE merge a replica with a real doc while the
+    # engine keeps two rows — fail loudly instead of hash-diverging
+    # (sf0.001-sf1 tops out at 50k ids; one tiny max() job)
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
+    if max_id >= 100000:
+        raise ValueError(
+            "streaming_incremental_dedup_flood: fixture doc_ids reach "
+            f"{max_id} >= 100000 and would collide with the oracle's "
+            "fixed replica id offsets — regenerate with larger offsets"
+        )
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     src = docs.filter((F.col("doc_id") % 6 == 1) & (F.col("doc_id") < 60))
 
