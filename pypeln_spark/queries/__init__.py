@@ -51,78 +51,90 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-11 rotation — EXACTLY 50 names (driver samples 50; invariants
+# Round-12 rotation — EXACTLY 50 names (driver samples 50; invariants
 # pinned by tests/test_correctness_gate.py::test_driver_window_rotation_
 # invariants: window size, no duplicates, front-of-registry equality,
 # never-driver-checked entries inside the window, and the two-phase
-# 5-round-cycle freshness rule). Registry holds 214 entries (212
-# ever-green + this round's TWO debuts). The front 50 is (a) VERDICT
-# r10 #1: ALL 29 r6-stale entries, in registry order — they hit the 5-round
-# hard-fail threshold if they miss this window; (b) the two r11 debuts
-# (never driver-checked, must debut inside the window); then (c) the
-# r7-stale cohort in registry order filling the remaining 19 slots
-# (oldest-first per VERDICT r10 #1; the other 20 r7 entries lead the
-# r12 window). ALL 214 entries stay covered every session by the local
-# DuckDB gate (tests/test_correctness_gate.py replays every oracle).
+# 5-round-cycle freshness rule). The front 50 is (a) VERDICT r11 #1:
+# ALL 20 r7-stale entries, in registry order — they hit the 5-round
+# hard-fail threshold if they miss this window; then (b) the r8-stale
+# cohort in registry order filling the remaining slots oldest-first
+# (the other 17 r8 entries lead the r13 window). ALL registry entries
+# stay covered every session by the local DuckDB gate
+# (tests/test_correctness_gate.py replays every oracle).
+#
+# RETIREMENT POLICY (VERDICT r11 #6 — written before the 250-entry
+# rotation-capacity wall, ~r17 at 2 debuts/round). An entry may be
+# RETIRED when BOTH hold: (1) it is documented SUPERSEDED by a strictly
+# more general entry that exercises the same code path with equal or
+# stronger oracle coverage (e.g. 32-bit `dedup_simhash_near_pairs_wide`
+# vs the 60-bit x 4-table `dedup_simhash_near_pairs_wide60`), or it is
+# a scaffolding variant whose only delta is a parameter another entry
+# now sweeps; and (2) its implementation stays covered by at least one
+# pytest (retirement removes the REGISTRY row + its _PRIORITY
+# eligibility, never the code or its unit tests). Mechanics: move the
+# register() call under `if os.environ.get("PYPELN_SPARK_RETIRED")`,
+# record the retirement (name, superseding entry, round) in
+# COVERAGE.md's Retired table; the rotation test ignores names absent
+# from REGISTRY, so retired entries simply stop consuming window slots
+# — their historical CORRECTNESS rows remain valid evidence. Retire at
+# most ~5/round so the driver diff stays reviewable. No retirements
+# executed yet: capacity math (214 entries + ~2 debuts/round vs
+# 50x5=250) first forces a retirement around r16-r17.
 _PRIORITY = [
-    # -- (a) the 29 r6-stale entries (5-round cycle deadline this round) --
-    "distinct_order_months",
-    "rollup_order_status_priority",
-    "cube_lineitem_flags",
-    "pivot_priority_by_status",
-    "scalar_function_gauntlet",
-    "date_function_gauntlet",
-    "case_when_price_tiers",
-    "json_extract_event_props",
-    "events_hourly_by_type",
-    "events_sessionization",
-    "curation_pipeline_survivors",
-    "curation_sample_by_hash",
-    "curation_stratified_topn",
-    "curation_decontaminated",
-    "curation_chunk_tokens",
-    "text_token_stats",
-    "text_bpe_ish_token_count",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_length_histogram",
-    "dedup_exact_documents",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_exact",
-    "dedup_span_chunks",
-    "dedup_span_overlap",
-    "dedup_cdc_chunks",
-    "ann_recall_eval_pq",
-    # -- (b) r11 debuts, never driver-checked: 60-bit fingerprints x
-    # 4 affine regrouping tables at hd<=5 (the corpus-scale production
-    # SimHash setting, VERDICT r10 #7), and the text gate under an
-    # identical-document flood with within-batch absorb dedup live and
-    # its per-row absorbed verdict oracle-replayed --
-    "dedup_simhash_near_pairs_wide60",
-    "streaming_incremental_dedup_flood",
-    # -- (c) r7-stale cohort, registry order (19 fit; the other 20 lead
-    # the r12 window) --
-    "pipeline_to_async_iterable_roundtrip",
-    "curation_train_val_split",
-    "curation_weighted_sample",
-    "curation_shard_manifest",
-    "curation_pack_sequences",
-    "curation_e2e_pretrain_pack",
-    "curation_e2e_pretrain_pack_cc",
-    "search_bm25_topk",
-    "dedup_lsh_recall_eval",
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash_fingerprints",
-    "dedup_minhash_clusters",
-    "dedup_minhash_clusters_star",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed_topk",
-    "ann_lsh_multiprobe_topk",
-    "embedding_near_dup_pairs",
-    "semantic_dedup_clusters",
-    "pipeline_task_async_enrich",
+    # -- (a) the 20 r7-stale entries (5-round cycle deadline this round) --
+    "pipeline_pickled_objects",
+    "sketch_kmv_distinct_users",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct_users",
+    "sketch_quantile_doc_lengths",
+    "q10_returned_item_ranking",
+    "events_funnel_conversion",
+    "streaming_tumbling_hourly",
+    "streaming_sliding_1h_30m",
+    "streaming_session_windows",
+    "streaming_watermark_late_drop",
+    "streaming_stateful_running_totals",
+    "asof_join_purchase_to_view",
+    "range_join_purchase_after_signup",
+    "streaming_interval_join_purchase_signup",
+    "streaming_static_enrich_nation",
+    "streaming_kmv_daily_distinct",
+    "streaming_dedup_events",
+    "asof_join_view_to_next_purchase",
+    "streaming_doc_quality_counts",
+    # -- (b) r8-stale cohort, registry order (the remaining 17 r8
+    # entries lead the r13 window) --
+    "pipeline_datasource_source",
+    "pipeline_flat_map_udtf",
+    "pipeline_observe_metrics",
+    "curation_source_mix",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "text_top_tokens",
+    "text_tfidf_top_terms",
+    "text_unigram_lm_quality",
+    "search_tfidf_cosine_topk",
+    "search_tfidf_pruned_recall_eval",
+    "dedup_simhash_near_pairs",
+    "dedup_simhash_recall_eval",
+    "ann_ivf_kmeans_topk",
+    "semantic_dedup_pairs",
+    "ann_pq_adc_topk",
+    "ann_knn_classify",
+    "ann_ivf_pq_topk",
+    "ann_recall_eval_ivf_kmeans",
+    "sketch_bloom_filter_probe",
+    "q4_order_priority_checking",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "events_retention_cohorts",
+    "full_outer_month_spenders",
+    "group_map_median_chars",
+    "group_agg_udaf_midrange",
+    "fuzzy_join_supplier_names",
 ]
 
 
