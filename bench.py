@@ -28,7 +28,16 @@ host-episode attribution never confirmed in a driver artifact):
   ("retried"/"diag"), which is the positional-contention bisect landed
   in the driver artifact itself;
 - "queries" is the LAST key in the output line: the driver keeps a
-  truncated TAIL of this output, so the per-query numbers survive."""
+  truncated TAIL of this output, so the per-query numbers survive.
+
+r12 additions (VERDICT r11 #2/#7, ADVICE r11):
+- end-of-sweep retries are selected by RATIO to the committed floor,
+  not absolute excess, so a >2x-of-floor row can no longer lose its
+  retry slot to bigger-but-proportionally-milder rows;
+- every sample also records its /proc/pressure/cpu stall delta
+  (psi_stall_s) — steal jiffies under-count cgroup-level contention;
+- PYPELN_SPARK_BENCH_ONLY subset runs mark their stdout record with
+  "bench_only" so partial records are self-describing."""
 
 from __future__ import annotations
 
@@ -207,27 +216,49 @@ def _steal_jiffies():
         return None
 
 
+def _psi_cpu_us():
+    """Cumulative CPU pressure-stall microseconds (/proc/pressure/cpu,
+    the "some" line's total= field): wall time during which at least one
+    runnable task was NOT running. Steal jiffies under-count cgroup-level
+    contention (VERDICT r11 'What's wrong' #2 — a 2.1x-of-floor sample
+    carried only 0.31 steal-CPU-s); PSI counts ANY source of CPU
+    starvation — hypervisor, co-tenant cgroups, throttling — so the pair
+    (steal, psi) makes the adjudication column self-sufficient. None when
+    PSI is unavailable (kernel < 4.20 or psi=0)."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            for line in f:
+                if line.startswith("some"):
+                    return int(line.rsplit("total=", 1)[1])
+    except Exception:
+        pass
+    return None
+
+
 def _timed_run(q, spark, sf_dir):
-    """One end-to-end sample plus its attribution pair: (wall_s, gc_s,
-    steal_cpu_s). GC and steal deltas are recorded so a slow sample
-    carries its own cause in the DRIVER artifact — r8/r9 both shipped
+    """One end-to-end sample plus its attribution triple: (wall_s, gc_s,
+    steal_cpu_s, psi_stall_s). GC and steal deltas are recorded so a slow
+    sample carries its own cause in the DRIVER artifact — r8/r9 both shipped
     driver bench files where the shingle-heavy dedup family read 1.3-3.5x
     above builder-side replays with no driver-side evidence either way
     (VERDICT r9 'What's wrong' #1). Shingle pipelines run interpreted
     higher-order exprs (allocation-heavy, GC- and steal-sensitive), so
-    these two deltas discriminate 'host episode' (steal) from 'JVM heap
-    episode' (gc) from 'engine regression' (neither)."""
-    g0, s0 = _jvm_gc_ms(spark), _steal_jiffies()
+    these deltas discriminate 'host episode' (steal/psi) from 'JVM heap
+    episode' (gc) from 'engine regression' (none of them). The PSI stall
+    column (r12) covers the contention steal can't see — cgroup-level
+    starvation where the vCPU runs but this cgroup's tasks wait."""
+    g0, s0, p0 = _jvm_gc_ms(spark), _steal_jiffies(), _psi_cpu_us()
     t0 = time.perf_counter()
     df = q.fn(spark, sf_dir)
     # noop sink: full compute of every output row/column, zero driver
     # transfer — count() would let Catalyst prune pure projections
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    g1, s1 = _jvm_gc_ms(spark), _steal_jiffies()
+    g1, s1, p1 = _jvm_gc_ms(spark), _steal_jiffies(), _psi_cpu_us()
     gc = round((g1 - g0) / 1000.0, 3) if None not in (g0, g1) else None
     st = round((s1 - s0) / 100.0, 3) if None not in (s0, s1) else None
-    return dt, gc, st
+    ps = round((p1 - p0) / 1e6, 3) if None not in (p0, p1) else None
+    return dt, gc, st, ps
 
 
 def _load_ref() -> dict:
@@ -325,6 +356,7 @@ def main() -> None:
         print(
             f"# {name}: {dt:.3f}s (min of {[round(s[0], 3) for s in samples]}; "
             f"gc {[s[1] for s in samples]}; steal {[s[2] for s in samples]}; "
+            f"psi {[s[3] for s in samples]}; "
             f"pool {pool_at[name] / 2**20:.0f}MB)",
             file=sys.stderr,
         )
@@ -342,7 +374,14 @@ def main() -> None:
         n for n, t in timings.items()
         if n in ref and t > max(1.5 * ref[n], ref[n] + 0.3)
     ]
-    flagged = sorted(flagged, key=lambda n: timings[n] - ref[n], reverse=True)[:12]
+    # RATIO-aware selection (VERDICT r11 #2): the r11 selector ranked by
+    # absolute excess, so twelve big streaming rows (+2.5..+10 s each) ate
+    # every retry slot while the only two rows ABOVE the 2x-of-floor bar
+    # the retry exists to defend (+0.9 s / +1.2 s) were flagged but never
+    # retried. Rank by ratio-to-floor — every >2x row now sorts ahead of
+    # any sub-2x row regardless of absolute size — keeping the same
+    # 12-slot budget (a contended sweep must not double its own length).
+    flagged = sorted(flagged, key=lambda n: timings[n] / ref[n], reverse=True)[:12]
     retried: dict[str, list] = {}
     diag: dict[str, dict] = {}
     for name in flagged:
@@ -352,12 +391,13 @@ def main() -> None:
         s_min = min(sample_log[name], key=lambda s: s[0])
         r_min = min(samples2, key=lambda s: s[0])
         diag[name] = {
-            "sweep": [round(s_min[0], 3), s_min[1], s_min[2]],
-            "retry": [round(r_min[0], 3), r_min[1], r_min[2]],
+            "sweep": [round(s_min[0], 3), s_min[1], s_min[2], s_min[3]],
+            "retry": [round(r_min[0], 3), r_min[1], r_min[2], r_min[3]],
         }
         timings[name] = min(timings[name], round(dt2, 3))
         print(f"# RETRY {name}: sweep {retried[name][0]}s -> end-of-sweep "
-              f"{retried[name][1]}s (wall, gc_s, steal_cpu_s: {diag[name]})",
+              f"{retried[name][1]}s (wall, gc_s, steal_cpu_s, psi_stall_s: "
+              f"{diag[name]})",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -368,6 +408,7 @@ def main() -> None:
     )
     gc_total = round(sum(s[1] or 0 for ss in sample_log.values() for s in ss), 1)
     steal_total = round(sum(s[2] or 0 for ss in sample_log.values() for s in ss), 1)
+    psi_total = round(sum(s[3] or 0 for ss in sample_log.values() for s in ss), 1)
     # key order is deliberate: the driver records a TAIL of this line, so
     # "queries" goes LAST — a truncated buffer loses the metadata, never
     # the per-query numbers
@@ -380,13 +421,19 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "gc_s_total": gc_total,
         "steal_cpu_s_total": steal_total,
+        "psi_stall_s_total": psi_total,
         "retried": retried,
         "diag": diag,
         "pool_mb_max": round(max(pool_at.values()) / 2**20, 1),
         "pool_capacity_mb": round(pool_cap / 2**20, 1),
         "pool_pressured": pressured,
-        "queries": timings,
     }
+    if only:
+        # a subset probe's stdout record must be self-describing (ADVICE
+        # r11): same shape as a sweep otherwise, so consumers reading only
+        # stdout could mistake a 2-row probe for a full run
+        record["bench_only"] = sorted(timings)
+    record["queries"] = timings
     print(json.dumps(record))
     # One-line STDERR adjudication trailer (VERDICT r10 #6): the driver
     # keeps only a truncated tail of the output, and the queries-last key
@@ -400,8 +447,9 @@ def main() -> None:
             else None
         )
         print(
-            f"# ADJUDICATION steal_cpu_s={steal_total} gc_s={gc_total} "
-            f"retried={len(retried)} vs_ref={vs_ref}x_over_{len(common)}q",
+            f"# ADJUDICATION steal_cpu_s={steal_total} psi_stall_s={psi_total} "
+            f"gc_s={gc_total} retried={len(retried)} "
+            f"vs_ref={vs_ref}x_over_{len(common)}q",
             file=sys.stderr,
         )
     except Exception:
@@ -414,7 +462,7 @@ def main() -> None:
     try:
         if not only:  # subset probes must not masquerade as full sweeps
             record["samples"] = {
-                n: [[round(s[0], 3), s[1], s[2]] for s in ss]
+                n: [[round(s[0], 3), s[1], s[2], s[3]] for s in ss]
                 for n, ss in sample_log.items()
             }
             here = os.path.dirname(os.path.abspath(__file__))
