@@ -118,6 +118,30 @@ def pool_persist(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+def validate_sink_schema(decisions: DataFrame, sink_root: str) -> None:
+    """Refuse to append a decisions frame whose columns differ from what
+    ``sink_root`` already holds (ADVICE r11: a gate's sink schema depends
+    on ``absorb_dedup`` — 4 vs 5 columns — so toggling the flag against an
+    existing sink_root would append mixed-schema parquet, and plain reads
+    then silently drop 'absorbed' for some rows or fail depending on which
+    footer Spark samples). Called once per gate instance before its first
+    write; a missing/empty sink is a fresh sink. Column NAMES are the
+    contract (order included — parquet readers resolve by name, but a
+    reordered append is a symptom of the same misconfiguration)."""
+    try:
+        existing = decisions.sparkSession.read.parquet(sink_root).columns
+    except Exception:
+        return  # fresh sink: path absent or no parquet footers yet
+    if existing != decisions.columns:
+        raise ValueError(
+            f"ingest-gate sink {sink_root!r} already holds decisions with "
+            f"columns {existing} but this gate writes {decisions.columns} "
+            "— absorb_dedup (and any other schema-shaping option) must be "
+            "fixed per sink_root; point the reconfigured gate at a fresh "
+            "sink directory"
+        )
+
+
 QUADRATIC_GUARD_ROWS = 1_000_000
 
 
@@ -863,8 +887,13 @@ class IncrementalLshIndex:
         # ((sigh, doc_id, sig) — the exact frame the advice described);
         # frames with no `*_id` column anywhere keep the documented
         # positional trust (an exotic id name is the caller's convention,
-        # and refusing it would regress previously-valid usage).
-        if not idc.endswith("_id") and any(c.endswith("_id") for c in key):
+        # and refusing it would regress previously-valid usage). A bare
+        # "id" first column is id-shaped too (ADVICE r11: (id, band_id,
+        # sig) is legitimately ordered — band_id is a bucket key, not the
+        # row id — and must not trip the misorder guard).
+        if idc != "id" and not idc.endswith("_id") and any(
+            c.endswith("_id") for c in key
+        ):
             raise ValueError(
                 "IncrementalLshIndex: band frame must lead with the id "
                 f"column (got columns {bands.columns}; a '*_id' column "
@@ -1060,8 +1089,12 @@ class TextIngestGate:
         # decisions are bit-identical to store-everything. Exact-only by
         # construction (full sh_arr key): distinct near-dup docs both
         # absorb. Default False — registry oracles replay store-everything.
+        # The flag SHAPES THE SINK SCHEMA (adds 'absorbed'), so it is
+        # fixed per sink_root — validate_sink_schema enforces it on the
+        # first write (ADVICE r11).
         self.absorb_dedup = absorb_dedup
         self._epoch = 0
+        self._sink_checked = False
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1224,6 +1257,9 @@ class TextIngestGate:
                 self.id_col, "epoch", "dup_of", "jaccard",
                 F.col("_kept_id").isNotNull().alias("absorbed"),
             )
+        if not self._sink_checked:
+            validate_sink_schema(decisions, self.sink_root)
+            self._sink_checked = True
         decisions.write.mode("append").parquet(self.sink_root)
         self.index.absorb(novel_sh, novel_bands)
         self._epoch += 1

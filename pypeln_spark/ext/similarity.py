@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import pool_persist, retire_pipeline_caches, spread
+from .dedup import (
+    pool_persist,
+    retire_pipeline_caches,
+    spread,
+    validate_sink_schema,
+)
 from .hashing import P31
 
 # decimal(30,12) — NOT (38,12): Spark's decimal addition widens precision by
@@ -1373,14 +1378,31 @@ def probe_side_join(
     mode at huge micro-batches is a driver OOM, not a slower plan.
 
     The caller passes the probe-row COUNT it already paid for (the
-    micro-batch count) and a per-row byte estimate; when
-    rows × bytes exceeds the session's autoBroadcastJoinThreshold (or
-    broadcast is disabled with -1) the join degrades to shuffle_hash
+    micro-batch count) and a per-row PAYLOAD byte estimate (element
+    widths only, e.g. DIM·8 for the query vectors); when the estimated
+    materialized size exceeds the session's autoBroadcastJoinThreshold
+    (or broadcast is disabled with -1) the join degrades to shuffle_hash
     with the probes as the build side — both relations shuffle on the
     cell id, which is the measured-2.3×-slower-but-bounded plan, never
     an OOM. Decisions are plan-invariant (same equi-join); test-pinned
-    with both branches in tests/test_plans.py."""
-    est = int(probe_rows) * int(probe_row_bytes)
+    with both branches in tests/test_plans.py.
+
+    The estimate is deliberately NOT rows × raw payload (ADVICE r11 —
+    the same underestimation pattern behind the r7 shingle-side
+    broadcast OOM): each UnsafeRow adds a fixed region (8-byte null
+    bitset word + 8 bytes per field) and each array/string field an
+    offset+header word pair in the variable region, all derived from the
+    probes SCHEMA here; the padded total is then doubled because the
+    broadcast materializes TWICE over — the driver's collected copy plus
+    the executor hashed-relation build (page arrays + key index). Near
+    the threshold the guard therefore errs toward the bounded plan."""
+    n_fields = len(probes.schema.fields)
+    n_var = sum(
+        1 for f in probes.schema.fields
+        if f.dataType.typeName() in ("array", "string", "binary", "map", "struct")
+    )
+    row_bytes = int(probe_row_bytes) + 8 + 8 * n_fields + 16 * n_var
+    est = 2 * int(probe_rows) * row_bytes
     limit = _broadcast_bytes_limit(lists.sparkSession)
     if 0 < est <= limit:
         return lists.join(F.broadcast(probes), on)
@@ -1502,6 +1524,7 @@ class EmbeddingIngestGate:
         self.absorb_dedup = absorb_dedup
         self.stats: list = []
         self._epoch = 0
+        self._sink_checked = False
 
     def _maybe_widen(self) -> bool:
         if not self.occupancy_trigger:
@@ -1621,7 +1644,7 @@ class EmbeddingIngestGate:
             self.epoch_col() if self.epoch_col is not None
             else F.lit(int(epoch_id)).cast("int")
         )
-        (
+        decisions = (
             batch_df.select(self.id_col)
             .join(pick, F.col(self.id_col) == F.col("new_id"), "left")
             .select(
@@ -1630,9 +1653,15 @@ class EmbeddingIngestGate:
                 F.col("m.corpus_id").alias("dup_of"),
                 F.col("m.cos").alias("cos"),
             )
-            .write.mode("append")
-            .parquet(self.sink_root)
         )
+        if not self._sink_checked:
+            # same first-write guard as the text gate (ADVICE r11): a
+            # reused sink_root with a different decisions schema (id_col
+            # rename, a differently-configured gate) must fail loudly,
+            # not append mixed-schema parquet
+            validate_sink_schema(decisions, self.sink_root)
+            self._sink_checked = True
+        decisions.write.mode("append").parquet(self.sink_root)
         dropped = pick.select(F.col("new_id").alias(self.id_col))
         novel = new.join(dropped, self.id_col, "left_anti")
         if self.absorb_dedup:

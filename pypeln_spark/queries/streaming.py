@@ -2216,14 +2216,16 @@ def streaming_ann_topk_serving(spark, sf_dir):
         # (Contrast the INGEST gates, where broadcast is wrong: their
         # batch side carries corpus-scale shingle arrays, the r7 OOM
         # class.) The broadcast is GUARDED (VERDICT r10 #4): probe_side_join
-        # estimates the probe frame (rows already counted above × vector
-        # row bytes) against autoBroadcastJoinThreshold and degrades to a
-        # shuffle_hash build on the probes — bounded, never a driver OOM —
-        # when a deployment's micro-batch outgrows the driver.
+        # estimates the probe frame (rows already counted above × payload
+        # bytes, padded with schema-derived UnsafeRow overheads and the
+        # 2× driver-copy + hashed-relation factor, ADVICE r11) against
+        # autoBroadcastJoinThreshold and degrades to a shuffle_hash build
+        # on the probes — bounded, never a driver OOM — when a
+        # deployment's micro-batch outgrows the driver.
         scored = S.probe_side_join(
             lists, probes, "cid",
             probe_rows=n_batch * nprobe,
-            probe_row_bytes=DIM * 8 + 64,  # qv doubles + norm/ids/overhead
+            probe_row_bytes=DIM * 8 + 24,  # payload: qv doubles + norm/ids
         ).withColumn(
             "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )

@@ -2336,6 +2336,18 @@ def test_index_cap_refuses_misordered_band_frame(spark):
         D.IncrementalLshIndex(good_sh, bad, bucket_cap=2)
     # without a cap the frame is never key-inferred — no raise
     D.IncrementalLshIndex(good_sh, bad)
+    # ADVICE r11: a bare "id" first column is id-shaped — (id, band_id,
+    # sig) is legitimately ordered (band_id is the bucket key) and the
+    # guard must accept it AND cap by the right key (2 lowest ids kept)
+    sh_id = spark.createDataFrame(
+        [(i, [i]) for i in range(4)], "id long, sh_arr array<bigint>"
+    )
+    bands_id = spark.createDataFrame(
+        [(i, 0, [9]) for i in range(4)],
+        "id long, band_id int, sig array<bigint>",
+    )
+    idx = D.IncrementalLshIndex(sh_id, bands_id, bucket_cap=2)
+    assert sorted(r.id for r in idx.bands.collect()) == [0, 1]
 
 
 def test_simhash_wideband_pigeonhole_mechanics(spark):

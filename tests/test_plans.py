@@ -415,6 +415,16 @@ def test_serving_join_broadcasts_probe_side(spark):
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin [cid" in plan_big, plan_big
     assert "BroadcastHashJoin [cid" not in plan_big
+    # near the threshold the guard must err toward the bounded plan
+    # (ADVICE r11): a raw rows x payload product JUST under the session
+    # limit — which the r11 guard would have broadcast — now degrades,
+    # because the schema-overhead padding and the 2x driver-copy +
+    # hashed-relation factor push the materialized estimate past it
+    limit = S._broadcast_bytes_limit(spark)
+    near = S.probe_side_join(lists, probes, "cid",
+                             probe_rows=1, probe_row_bytes=limit - 100)
+    plan_near = near._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin [cid" in plan_near, plan_near
     # the guard moves WHERE the join runs, never which rows come out
     key = lambda df: sorted(
         (r.query_id, r.neighbor_id) for r in df.collect()

@@ -1733,6 +1733,52 @@ def test_text_gate_absorb_dedup_thins_index_and_keeps_decisions(spark, tmp_path)
     assert {(2000 + j, 1, 1000, 1.0) for j in range(3)} <= thin
 
 
+def test_gate_sink_schema_guard_refuses_mixed_schema_append(spark, tmp_path):
+    """ADVICE r11: the gate sink schema depends on absorb_dedup (4 vs 5
+    columns) — a reconfigured gate pointed at an EXISTING sink_root must
+    fail loudly on its first write, not append mixed-schema parquet that
+    plain reads resolve nondeterministically (whichever footer Spark
+    samples). A fresh sink validates clean."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.queries.dedup import BANDS, N_HASHES
+
+    corpus = spark.createDataFrame(
+        [(50 + i, f"entirely unrelated corpus document {i} about topic {i*3}")
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1500, "a fresh novel document about gardening and soil")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "sink")
+
+    def gate(absorb_dedup):
+        cor_sh = D.pool_persist(
+            D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5)
+        )
+        cor_sh.count()
+        cor_bands = D.lsh_band_table(
+            D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+            "doc_id", BANDS, N_HASHES // BANDS,
+        )
+        idx = D.IncrementalLshIndex(cor_sh, cor_bands, compact_every=1)
+        return D.TextIngestGate(
+            idx, root, N_HASHES, BANDS, 5, 0.5, absorb_dedup=absorb_dedup
+        )
+
+    gate(False)(batch, 0)  # fresh sink: 4-column decisions land
+    with _pytest.raises(ValueError, match="absorb_dedup"):
+        gate(True)(batch, 1)  # 5-column gate vs the 4-column sink
+    # the sink still holds ONLY the clean 4-column epoch
+    got = spark.read.parquet(root)
+    assert got.columns == ["doc_id", "epoch", "dup_of", "jaccard"]
+    assert got.count() == 1
+    D.retire_pipeline_caches()
+
+
 def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
     """The occupancy trigger's blind spot, pinned: a cluster of IDENTICAL
     vectors shares every hyperplane bucket at any width, so widening can
