@@ -1409,6 +1409,41 @@ def probe_side_join(
     return lists.join(probes.hint("shuffle_hash"), on)
 
 
+def serving_nprobe(n_cells: int, recall_target: float = 0.5) -> int:
+    """Resolve the ANN top-k SERVING gate's nprobe from a recall target
+    (VERDICT r11 #5 — the serving twin of CellEmbeddingIngestGate's
+    nprobe="auto", which resolves from the dedup THRESHOLD; serving has
+    no threshold, so its dial is the caller's recall@k target).
+
+    The rule is the measured partition physics, not a free parameter:
+    top-k IVF recall is governed by how much of the corpus the probed
+    cells cover. On a structure-free corpus — the ADVERSARIAL case for
+    IVF, and exactly what the synthetic embeddings table is — expected
+    recall at size-independent cell probing is the scanned fraction
+    nprobe/n_cells, and the measured curve sits ON or ABOVE that floor
+    at every arm and scale (ann_recall_eval_nprobe, 16 cells: sf0.1
+    recall 0.22/0.42/0.68 at scanned 0.125/0.25/0.50; sf0.01
+    0.30/0.48/0.76 — k-means locality only ever helps). So
+
+        nprobe = clamp(ceil(recall_target * n_cells), 2, n_cells)
+
+    is worst-case-safe: it guarantees ~recall_target on the corpus with
+    NO cluster structure and over-delivers on every corpus with some
+    (real embedding corpora cluster, which is why production IVF runs
+    much lower scan fractions for the same recall — a deployment that
+    has measured ITS curve via ann_recall_eval_nprobe should set nprobe
+    directly from it; this resolver is the no-measurement-yet default).
+    The floor of 2 keeps the boundary-straddle guard: a query on a cell
+    edge always probes its second-nearest cell."""
+    import math
+
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1]: {recall_target}")
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be positive: {n_cells}")
+    return max(2, min(int(n_cells), math.ceil(recall_target * n_cells)))
+
+
 class EmbeddingIngestGate:
     """foreachBatch body of the streaming EMBEDDING ingest gate — the
     per-epoch pipeline queries/streaming.streaming_embedding_ingest runs

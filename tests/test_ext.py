@@ -224,6 +224,45 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
     assert hits / max(len(brute), 1) > 0.2  # probing 2/8 cells keeps real recall
 
 
+def test_serving_nprobe_resolution_and_recall_floor(spark, sf_dir):
+    """VERDICT r11 #5: the serving gate's nprobe resolves from a recall
+    target via the scan-fraction physics. Pins: (a) the registry serving
+    entry's setting (target 0.12 at 16 cells -> the committed nprobe=2,
+    so the oracle/floor decisions are auto-equal by construction);
+    (b) monotonicity + clamps; (c) the worst-case-safety property the
+    rule rests on, measured live: at the resolved nprobe for target 0.5,
+    IVF recall@5 on the structure-free corpus meets the target."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    # (a) the registry serving entry's committed resolution
+    assert S.serving_nprobe(16, recall_target=0.12) == 2
+    # (b) monotone in target; clamped to [2, n_cells]; loud on bad input
+    assert S.serving_nprobe(16, 0.5) == 8
+    assert S.serving_nprobe(16, 1.0) == 16
+    assert S.serving_nprobe(16, 0.01) == 2   # floor: boundary straddle
+    assert S.serving_nprobe(4, 1.0) == 4     # never beyond n_cells
+    got = [S.serving_nprobe(16, t) for t in (0.1, 0.3, 0.5, 0.7, 0.9)]
+    assert got == sorted(got)
+    with _pytest.raises(ValueError):
+        S.serving_nprobe(16, 0.0)
+    with _pytest.raises(ValueError):
+        S.serving_nprobe(0, 0.5)
+    # (c) the measured floor property at the resolved nprobe (8/16 cells
+    # scanned for target 0.5): recall >= target on THIS corpus — the
+    # structure-free adversarial case the rule is calibrated against
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    np_ = S.serving_nprobe(n_cells, 0.5)
+    ivf = S.ivf_topk(emb, q, k=5, n_cells=n_cells, nprobe=np_).collect()
+    brute = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=5).collect()}
+    hits = sum((r.query_id, r.neighbor_id) in brute for r in ivf)
+    assert hits / max(len(brute), 1) >= 0.5
+
+
 def test_connected_components_chain_and_islands(spark):
     from pypeln_spark.ext import dedup as D
 
