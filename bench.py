@@ -189,6 +189,12 @@ HEADLINE = [
     # per-epoch novel-set dedup window plus the flood's arrival cost)
     "dedup_simhash_near_pairs_wide60",
     "streaming_incremental_dedup_flood",
+    # round-12 addition: serving against the LIVE index — ingest and
+    # query epochs interleaved across a mid-stream retrain (vs
+    # streaming_ann_topk_serving, which serves a static snapshot, and
+    # streaming_embedding_ingest_cells, which ingests without serving:
+    # the delta prices the composed build+serve+retrain pipeline)
+    "streaming_ann_topk_serving_live",
 ]
 
 

@@ -1092,6 +1092,15 @@ class TextIngestGate:
         # The flag SHAPES THE SINK SCHEMA (adds 'absorbed'), so it is
         # fixed per sink_root — validate_sink_schema enforces it on the
         # first write (ADVICE r11).
+        # DEPLOYMENT RULE (r12, measured — tools/absorb_clean_ab.py,
+        # SCALING.md r12): ON for web/crawl ingest, where mirror bursts
+        # are the norm. The text-side clean-stream cost is real but
+        # modest — the dedup window shuffles the novel set's SHINGLE
+        # ARRAYS once per epoch: sf0.1 +4.2%, sf1 +5-17% under mixed
+        # host contention, decisions identical at both scales — and a
+        # flood epoch buys it back 3x over (SCALING.md r11). Leave it
+        # OFF only for streams known duplicate-free (e.g. already
+        # exact-deduped upstream).
         self.absorb_dedup = absorb_dedup
         self._epoch = 0
         self._sink_checked = False

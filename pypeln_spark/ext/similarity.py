@@ -1556,6 +1556,17 @@ class EmbeddingIngestGate:
         # (grouping key = the full vector, no hash truncation): distinct
         # near-dup vectors in one batch still both absorb. Default False
         # — the registry oracles replay the store-everything shape.
+        # DEPLOYMENT RULE (r12, measured — tools/absorb_clean_ab.py,
+        # SCALING.md r12): turn it ON. On a CLEAN (duplicate-free)
+        # stream the embedding-side cost is below the noise floor
+        # (sf0.1 0.91x, sf1 1.006x, decisions identical — the window
+        # keys on the narrow vector column and runs over the novel set
+        # only), while leaving it off risks the measured flood failure
+        # class (index bloat, centroid collapse on retrain). The
+        # registry default stays False only for oracle-replay shape;
+        # collect_stats surfaces n_batch_dup — within-batch duplicate
+        # mass — so a False deployment can SEE the flood it is exposed
+        # to and flip the flag.
         self.absorb_dedup = absorb_dedup
         self.stats: list = []
         self._epoch = 0
@@ -1634,6 +1645,18 @@ class EmbeddingIngestGate:
         # one row per (new, corpus) pair — the connecting xor mask is unique
         cand = nb.join(cb, "bucket").select("new_id", "corpus_id")
         n_cand = cand.count() if self.collect_stats else None
+        # within-batch duplicate mass (VERDICT r11 #3): rows minus
+        # distinct vectors — the flood indicator an operator reads to
+        # know absorb_dedup has work to do (gates never compare a batch
+        # against itself, so this mass is invisible in dup_of verdicts).
+        # One tiny agg over the persisted batch, paid only under
+        # collect_stats; a sustained non-zero reading on a gate running
+        # absorb_dedup=False is the signal to turn the guard on.
+        n_batch_dup = (
+            n_new - new.select("_v").distinct().count()
+            if self.collect_stats
+            else None
+        )
         # spread the verify compute across the STREAMING SCOPE's width
         # (spark.sql.shuffle.partitions, 4 by default under
         # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
@@ -1729,6 +1752,7 @@ class EmbeddingIngestGate:
                     "n_planes": self.n_planes,
                     "index_rows": self.index.size(),
                     "n_cand": n_cand,
+                    "n_batch_dup": n_batch_dup,
                     "widened": widened,
                     # the cells subclass's capacity knob is cell count,
                     # not plane count — report whichever is live so the

@@ -57,11 +57,15 @@ except ImportError:  # pragma: no cover
 # never-driver-checked entries inside the window, and the two-phase
 # 5-round-cycle freshness rule). The front 50 is (a) VERDICT r11 #1:
 # ALL 20 r7-stale entries, in registry order — they hit the 5-round
-# hard-fail threshold if they miss this window; then (b) the r8-stale
-# cohort in registry order filling the remaining slots oldest-first
-# (the other 17 r8 entries lead the r13 window). ALL registry entries
-# stay covered every session by the local DuckDB gate
-# (tests/test_correctness_gate.py replays every oracle).
+# hard-fail threshold if they miss this window; (b) the r12 debut
+# (never driver-checked, must debut inside the window):
+# streaming_ann_topk_serving_live — serving against the LIVE index,
+# query epochs interleaved with ingest epochs and a mid-stream retrain
+# (VERDICT r11 #4); then (c) the r8-stale cohort in registry order
+# filling the remaining slots oldest-first (the other 18 r8 entries
+# lead the r13 window). ALL registry entries stay covered every session
+# by the local DuckDB gate (tests/test_correctness_gate.py replays
+# every oracle).
 #
 # RETIREMENT POLICY (VERDICT r11 #6 — written before the 250-entry
 # rotation-capacity wall, ~r17 at 2 debuts/round). An entry may be
@@ -103,7 +107,9 @@ _PRIORITY = [
     "streaming_dedup_events",
     "asof_join_view_to_next_purchase",
     "streaming_doc_quality_counts",
-    # -- (b) r8-stale cohort, registry order (the remaining 17 r8
+    # -- (b) the r12 debut --
+    "streaming_ann_topk_serving_live",
+    # -- (c) r8-stale cohort, registry order (the remaining 18 r8
     # entries lead the r13 window) --
     "pipeline_datasource_source",
     "pipeline_flat_map_udtf",
@@ -134,7 +140,6 @@ _PRIORITY = [
     "full_outer_month_spenders",
     "group_map_median_chars",
     "group_agg_udaf_midrange",
-    "fuzzy_join_supplier_names",
 ]
 
 

@@ -2258,6 +2258,332 @@ def streaming_ann_topk_serving(spark, sf_dir):
     return out
 
 
+def _ann_serving_live_oracle() -> str:
+    """Oracle for streaming_ann_topk_serving_live — serve DURING ingest.
+    Two interleaved rounds, unrolled (the flood entry's staging pattern):
+    ingest epoch 0 absorbs novels under the corpus-trained centroids C0;
+    query epoch 0 reads the LIVE index (corpus + novel0) under C0;
+    RETRAIN replays k-means over the grown index (the second _kmeans_ctes
+    chain, base = the live rows — gate.retrain()'s exact constants);
+    ingest epoch 1 decides/absorbs under the retrained C1 geometry;
+    query epoch 1 reads corpus + novel0 + novel1 under C1. Every stage —
+    both quantizer trainings, both assignment rankings, dup decisions,
+    absorb membership, and both top-k serves — is hash-checked."""
+    from .similarity import (
+        DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
+        _dot, _kmeans_ctes,
+    )
+
+    ingest_np = 4  # nprobe="auto" at the semantic threshold (r11 rule)
+    serve_np = 2   # serving_nprobe(N_CELLS, 0.12) — the declared cost point
+    vv = _dot("v", "v")
+    km0_cte, km0_final = _kmeans_ctes(
+        N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD, prefix="g", base="cn"
+    )
+    km1_cte, km1_final = _kmeans_ctes(
+        N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD, prefix="r", base="s1"
+    )
+    ctes = [
+        """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)""",
+        f"n AS (SELECT vec_id, v, sqrt({vv}) AS nrm FROM e)",
+        "cn AS (SELECT * FROM n WHERE vec_id % 2 = 0)",
+        km0_cte.strip().rstrip(","),
+        # one ranking under C0 serves ingest-0 probes, storage cells, and
+        # query-0 probes (assignment is deterministic — same equivalence
+        # the cells-gate oracle uses)
+        f"""gasg AS MATERIALIZED (
+          SELECT x.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                   ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC,
+                            c.cid) AS rk
+          FROM n x JOIN {km0_final} c ON TRUE
+        )""",
+        "i0 AS (SELECT vec_id FROM n WHERE vec_id % 12 = 1)",
+        # ingest 0: probe rk<=4 cells of the CORPUS index, cosine verify,
+        # min-corpus-id survivor pick
+        f"""m0 AS (
+          SELECT new_id, corpus_id, cos FROM (
+            SELECT p.vec_id AS new_id, cc.vec_id AS corpus_id,
+                   {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+            FROM gasg p
+            JOIN i0 ON i0.vec_id = p.vec_id
+            JOIN (SELECT vec_id, cid FROM gasg
+                  WHERE rk = 1 AND vec_id % 2 = 0) cc ON cc.cid = p.cid
+            JOIN n a ON a.vec_id = p.vec_id
+            JOIN n b ON b.vec_id = cc.vec_id
+            WHERE p.rk <= {ingest_np})
+          WHERE cos >= {NEAR_DUP_T}
+        )""",
+        """p0 AS (
+          SELECT new_id FROM m0 GROUP BY new_id
+        )""",
+        # live rows after ingest 0: corpus + novel absorbs
+        """s1 AS MATERIALIZED (
+          SELECT * FROM cn
+          UNION ALL
+          SELECT n.* FROM n JOIN i0 ON i0.vec_id = n.vec_id
+          ANTI JOIN p0 ON p0.new_id = n.vec_id
+        )""",
+        # query 0: probes rk<=2 under C0 against the LIVE index's cells
+        # (s1 members at their rk=1 C0 cell — exactly where the gate
+        # stored them)
+        "q0 AS (SELECT vec_id FROM n WHERE vec_id % 12 = 3)",
+        f"""sc0 AS (
+          SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+                 {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+          FROM gasg p
+          JOIN q0 ON q0.vec_id = p.vec_id
+          JOIN (SELECT g.vec_id, g.cid FROM gasg g
+                JOIN s1 ON s1.vec_id = g.vec_id WHERE g.rk = 1) l
+            ON l.cid = p.cid
+          JOIN n a ON a.vec_id = p.vec_id
+          JOIN n b ON b.vec_id = l.vec_id
+          WHERE p.rk <= {serve_np}
+        )""",
+        # retrain on the grown index (C1), then re-rank everything
+        km1_cte.strip().rstrip(","),
+        f"""rasg AS MATERIALIZED (
+          SELECT x.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                   ORDER BY {_dot('x.v', 'c.cv')} / (x.nrm * c.cn) DESC,
+                            c.cid) AS rk
+          FROM n x JOIN {km1_final} c ON TRUE
+        )""",
+        "i1 AS (SELECT vec_id FROM n WHERE vec_id % 12 = 5)",
+        f"""m1 AS (
+          SELECT new_id, corpus_id, cos FROM (
+            SELECT p.vec_id AS new_id, cc.vec_id AS corpus_id,
+                   {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+            FROM rasg p
+            JOIN i1 ON i1.vec_id = p.vec_id
+            JOIN (SELECT g.vec_id, g.cid FROM rasg g
+                  JOIN s1 ON s1.vec_id = g.vec_id WHERE g.rk = 1) cc
+              ON cc.cid = p.cid
+            JOIN n a ON a.vec_id = p.vec_id
+            JOIN n b ON b.vec_id = cc.vec_id
+            WHERE p.rk <= {ingest_np})
+          WHERE cos >= {NEAR_DUP_T}
+        )""",
+        """p1 AS (
+          SELECT new_id FROM m1 GROUP BY new_id
+        )""",
+        """s2 AS MATERIALIZED (
+          SELECT vec_id FROM s1
+          UNION ALL
+          SELECT n.vec_id FROM n JOIN i1 ON i1.vec_id = n.vec_id
+          ANTI JOIN p1 ON p1.new_id = n.vec_id
+        )""",
+        "q1 AS (SELECT vec_id FROM n WHERE vec_id % 12 = 7)",
+        f"""sc1 AS (
+          SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+                 {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+          FROM rasg p
+          JOIN q1 ON q1.vec_id = p.vec_id
+          JOIN (SELECT g.vec_id, g.cid FROM rasg g
+                JOIN s2 ON s2.vec_id = g.vec_id WHERE g.rk = 1) l
+            ON l.cid = p.cid
+          JOIN n a ON a.vec_id = p.vec_id
+          JOIN n b ON b.vec_id = l.vec_id
+          WHERE p.rk <= {serve_np}
+        )""",
+        """united AS (
+          SELECT 0 AS epoch, * FROM sc0
+          UNION ALL
+          SELECT 1 AS epoch, * FROM sc1
+        )""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, CAST(epoch AS INTEGER) AS epoch, neighbor_id, cos,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT epoch, query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY epoch, query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM united)
+    WHERE rnk <= {K}
+    """
+    )
+
+
+@register("streaming_ann_topk_serving_live", oracle=_ann_serving_live_oracle())
+def streaming_ann_topk_serving_live(spark, sf_dir):
+    """Serving against the LIVE index (VERDICT r11 #3 gap / #4 ask) — the
+    retrieval stack's missing half composed from parts that all existed:
+    query epochs INTERLEAVE with ingest epochs on one staged stream, and
+    each query batch reads the CURRENT cells index — the corpus plus
+    every vector absorbed so far — under the CURRENT centroid geometry,
+    re-snapshotted mid-stream by the standard IVF rebuild
+    (CellEmbeddingIngestGate.retrain -> index.rebuild_bands). Epoch plan
+    (vec_id % 12): 1 -> ingest 0 (nprobe="auto" at the semantic
+    threshold -> 4), 3 -> query 0 (top-K against corpus + novel0, C0
+    centroids), then RETRAIN on the grown index, 5 -> ingest 1 (decides
+    against the live index under retrained C1), 7 -> query 1 (corpus +
+    both absorb waves, C1).
+
+    STALENESS SEMANTICS (the production contract, SCALING.md r12): reads
+    are bounded-stale at micro-batch granularity — a query epoch sees
+    every absorb from every EARLIER epoch and nothing from its own or
+    later ones (staged_foreach_batch serializes epochs; the index's
+    lineage-cut deltas make the read a plan over base + one leaf per
+    earlier epoch, never a re-derivation). Retrain swaps geometry
+    between epochs atomically from the readers' view: query 0 is served
+    entirely under C0, query 1 entirely under C1 — no query ever reads
+    half-rebuilt bands, because rebuild_bands replaces the band view
+    between micro-batches. Scale shape: the serve join is the guarded
+    probe-side broadcast against the live lists (never moves the
+    corpus); ingest is the cells gate unchanged; retrain is two narrow
+    passes over stored vectors. The oracle replays BOTH k-means
+    trainings, both assignment rankings, dup decisions, absorb
+    membership, and both serves."""
+    import os
+
+    from pyspark.sql import Window, types as T
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+    from pypeln_spark.ext.similarity import dot_ieee
+
+    from .similarity import (
+        DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
+    )
+
+    serve_np = S.serving_nprobe(N_CELLS, recall_target=0.12)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    # interleaved feeds: ingest, query, ingest, query (classes 9/11 idle)
+    epochs = [emb.filter(F.col("vec_id") % 12 == c) for c in (1, 3, 5, 7)]
+
+    cents = S.trained_artifact(
+        spark,
+        ("gate_cells_cents", sf_dir, N_CELLS, KMEANS_ITERS, KMEANS_TRAIN_MOD),
+        lambda: S.kmeans_centroids(
+            corpus, N_CELLS, KMEANS_ITERS, train_mod=KMEANS_TRAIN_MOD
+        ),
+    )
+
+    def build_index():
+        nf = S.with_norms(S.spread(corpus))
+        return S.ivf_assign(nf, cents, N_CELLS, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+
+    cor = S.cached_index(
+        ("emb_gate_cells_index", sf_dir, N_CELLS, KMEANS_ITERS), build_index
+    )
+    index = D.IncrementalLshIndex(
+        cor.select("vec_id", "_v", "_norm"),
+        cor.select("vec_id", "bucket"),
+        compact_every=_compact_epochs(),
+        checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+    )
+
+    ingest_root = ST.stream_sink_dir("pypeln_spark_liveingest_")
+    serve_root = ST.stream_sink_dir("pypeln_spark_liveserve_")
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(serve_root)
+
+    gate = S.CellEmbeddingIngestGate(
+        index, ingest_root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe="auto",
+    )
+
+    def serve(batch_df, qepoch):
+        n_batch = batch_df.count()  # one tiny job; feeds the broadcast guard
+        if n_batch == 0:
+            return
+        D.retire_pipeline_caches()
+        q = S.with_norms(S.spread(batch_df))
+        # CURRENT geometry: gate.centroids/n_cells move under retrain
+        probes = S.ivf_assign(q, gate.centroids, gate.n_cells, keep=serve_np).select(
+            F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
+            F.col("_norm").alias("qn"), F.col("cid"),
+        )
+        # LIVE lists, served in TWO guarded stages so the corpus stays in
+        # place (the static entry reads a PRE-JOINED cached lists frame;
+        # the live index stores vectors and cells as separate delta
+        # chains, and pre-joining them per epoch would shuffle the fat
+        # vector side even for cells no probe touches):
+        #   1. candidates — broadcast the bounded probes against the
+        #      SKINNY band view (vec_id, cell): zero corpus movement;
+        #   2. verify — broadcast the candidate rows (batch x cell-width,
+        #      counted, not guessed) against the vector side, so the fat
+        #      corpus vectors ALSO never move while the candidate frame
+        #      fits; past the threshold either stage degrades to the
+        #      bounded shuffle_hash build. Both index views are
+        #      base + one lineage-cut leaf per earlier absorb epoch
+        #      (bounded by compact_every) — a bounded-leaf read, never a
+        #      re-derivation.
+        cand = D.pool_persist(
+            S.probe_side_join(
+                index.bands.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("bucket").alias("cid"),
+                ),
+                probes, "cid",
+                probe_rows=n_batch * serve_np,
+                probe_row_bytes=DIM * 8 + 24,
+            ).select("query_id", "qv", "qn", "neighbor_id")
+        )
+        n_cand = cand.count()  # feeds stage 2's guard; also the persist cut
+        scored = S.probe_side_join(
+            index.sh.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+                F.col("_norm").alias("cn"),
+            ),
+            cand, "neighbor_id",
+            probe_rows=n_cand,
+            probe_row_bytes=DIM * 8 + 32,
+        ).withColumn(
+            "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select(
+                "query_id",
+                F.lit(int(qepoch)).cast("int").alias("epoch"),
+                "neighbor_id", "cos", "rank",
+            )
+            .write.mode("append")
+            .parquet(serve_root)
+        )
+
+    def body(batch_df, epoch_id):
+        if epoch_id % 2 == 0:
+            if epoch_id == 2:
+                # the mid-stream re-snapshot: retrain centroids on the
+                # grown index, rebuild the band view — between epochs,
+                # so no reader ever sees half-rebuilt geometry
+                gate.retrain()
+            gate(batch_df, epoch_id // 2)
+        else:
+            serve(batch_df, (epoch_id - 1) // 2)
+
+    ST.staged_foreach_batch(spark, epochs, body)
+    D.retire_pipeline_caches()
+    index.close()
+    out = spark.read.parquet(serve_root).localCheckpoint(eager=True)
+    ST.remove_sink_dir(spark, serve_root)
+    ST.remove_sink_dir(spark, ingest_root)
+    return out
+
+
 @register(
     "streaming_merge_upsert_orders",
     oracle=f"""

@@ -432,6 +432,52 @@ def test_serving_join_broadcasts_probe_side(spark):
     assert key(small) == key(big)
 
 
+def test_live_serving_two_stage_join_keeps_corpus_in_place(spark):
+    """streaming_ann_topk_serving_live's serve body (VERDICT r11 #4):
+    the LIVE index stores vectors and cells as separate delta chains, so
+    the serve runs TWO guarded stages — probes broadcast against the
+    skinny band view (candidates), then the counted candidate frame
+    broadcasts against the vector side (verify) — and with both
+    estimates under the threshold NEITHER corpus view moves: the whole
+    serve plan has no shuffle join at all. plan_lint can't see inside
+    foreachBatch, so the shape is rebuilt verbatim here."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 12 == 3)
+    cents = S.kmeans_centroids(corpus, 16, 2, train_mod=4)
+    nf = S.with_norms(S.spread(corpus))
+    asg = S.ivf_assign(nf, cents, 16, keep=1)
+    bands = asg.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid")
+    )
+    sh = asg.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+    )
+    probes = S.ivf_assign(
+        S.with_norms(S.spread(batch)), cents, 16, keep=2
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"), F.col("cid"),
+    )
+    cand = S.probe_side_join(
+        bands, probes, "cid", probe_rows=100, probe_row_bytes=64 * 8 + 24
+    ).select("query_id", "qv", "qn", "neighbor_id")
+    scored = S.probe_side_join(
+        sh, cand, "neighbor_id", probe_rows=400, probe_row_bytes=64 * 8 + 32
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_plan_lint_whole_registry(spark):
     """Mechanical antipattern sweep over every non-streaming registry plan
     (tools/plan_lint.py): no cartesian products outside the guarded

@@ -1779,6 +1779,48 @@ def test_gate_sink_schema_guard_refuses_mixed_schema_append(spark, tmp_path):
     D.retire_pipeline_caches()
 
 
+def test_embedding_gate_reports_within_batch_duplicate_mass(spark, tmp_path):
+    """VERDICT r11 #3: the flood indicator. Gates never compare a batch
+    against itself, so within-batch duplicate mass is invisible in dup_of
+    verdicts — collect_stats now surfaces it (n_batch_dup = rows minus
+    distinct vectors) so an operator running absorb_dedup=False can SEE
+    the flood the guard exists for. Clean batch reads 0; a batch carrying
+    m identical copies reads m-1; the stat is decision-neutral."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 8
+    rng = random.Random(3)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame([(i, vec()) for i in range(40)], schema)
+    boiler = vec()
+    clean = spark.createDataFrame([(100 + j, vec()) for j in range(10)], schema)
+    flood = spark.createDataFrame(
+        [(200 + j, boiler) for j in range(6)] + [(300, vec())], schema
+    )
+
+    root = str(tmp_path / "sink")
+    cor = S.lsh_bucket(S.with_norms(S.spread(base)), "_v", 2, DIM)
+    idx = D.IncrementalLshIndex(
+        cor.select("vec_id", "_v", "_norm"), cor.select("vec_id", "bucket")
+    )
+    gate = S.EmbeddingIngestGate(
+        idx, root, DIM, n_planes=2, threshold=0.95, probe_hamming=1,
+        collect_stats=True,
+    )
+    gate(clean, 0)
+    gate(flood, 1)
+    idx.close()
+    D.retire_pipeline_caches()
+    assert [s["n_batch_dup"] for s in gate.stats] == [0, 5]
+
+
 def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
     """The occupancy trigger's blind spot, pinned: a cluster of IDENTICAL
     vectors shares every hyperplane bucket at any width, so widening can
