@@ -387,7 +387,9 @@ def main() -> None:
     # retried. Rank by ratio-to-floor — every >2x row now sorts ahead of
     # any sub-2x row regardless of absolute size — keeping the same
     # 12-slot budget (a contended sweep must not double its own length).
-    flagged = sorted(flagged, key=lambda n: timings[n] / ref[n], reverse=True)[:12]
+    flagged = sorted(
+        flagged, key=lambda n: timings[n] / max(ref[n], 1e-9), reverse=True
+    )[:12]
     retried: dict[str, list] = {}
     diag: dict[str, dict] = {}
     for name in flagged:

@@ -1067,6 +1067,7 @@ class TextIngestGate:
         text_col: str = "text",
         epoch_col=None,
         absorb_dedup: bool = False,
+        collect_stats: bool = False,
     ):
         self.index = index
         self.sink_root = sink_root
@@ -1077,6 +1078,16 @@ class TextIngestGate:
         self.id_col = id_col
         self.text_col = text_col
         self.epoch_col = epoch_col
+        # collect_stats (r12): the text twin of the embedding gates'
+        # stats channel — per epoch, batch size and WITHIN-BATCH
+        # duplicate mass (rows minus distinct canonical shingle sets:
+        # the flood indicator, invisible in dup_of verdicts because
+        # gates never compare a batch against itself). One tiny agg per
+        # epoch, paid only when on; a sustained non-zero reading on a
+        # gate running absorb_dedup=False is the signal to turn the
+        # guard on (deployment rule below).
+        self.collect_stats = collect_stats
+        self.stats: list = []
         # absorb_dedup (r11): within-batch exact dedup of the absorb set,
         # keyed on the full shingle array — the text twin of the embedding
         # gates' flag (EmbeddingIngestGate.absorb_dedup has the measured
@@ -1100,7 +1111,8 @@ class TextIngestGate:
         # host contention, decisions identical at both scales — and a
         # flood epoch buys it back 3x over (SCALING.md r11). Leave it
         # OFF only for streams known duplicate-free (e.g. already
-        # exact-deduped upstream).
+        # exact-deduped upstream); collect_stats' n_batch_dup column is
+        # the live exposure reading for a gate running False.
         self.absorb_dedup = absorb_dedup
         self._epoch = 0
         self._sink_checked = False
@@ -1122,6 +1134,15 @@ class TextIngestGate:
             shingle_arrays(spread(batch_df), self.text_col, self.id_col, self.shingle_k)
         )
         n_new = new_sh.count()
+        if self.collect_stats:
+            # flood indicator: canonical (sorted) shingle-set identity —
+            # exactly the granularity absorb_dedup collapses
+            self.stats.append({
+                "epoch": self._epoch,
+                "n_new": n_new,
+                "n_batch_dup": n_new
+                - new_sh.select(F.array_sort("sh_arr")).distinct().count(),
+            })
         # width=auto: re-size this epoch's shuffle width from its row
         # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto);
         # shuffle_width below then reads the adjusted conf

@@ -1821,6 +1821,47 @@ def test_embedding_gate_reports_within_batch_duplicate_mass(spark, tmp_path):
     assert [s["n_batch_dup"] for s in gate.stats] == [0, 5]
 
 
+def test_text_gate_reports_within_batch_duplicate_mass(spark, tmp_path):
+    """The text twin of the embedding stat (r12): n_batch_dup counts
+    rows minus distinct CANONICAL shingle sets — the identity
+    absorb_dedup collapses — so a text deployment running the guard off
+    sees its flood exposure. Clean epoch 0, a 4-copy flood + 1 distinct
+    doc in epoch 1 reads 3."""
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.queries.dedup import BANDS, N_HASHES
+
+    corpus = spark.createDataFrame(
+        [(50 + i, f"entirely unrelated corpus document {i} about topic {i*3}")
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    flood = "mirror burst boilerplate page repeated verbatim across the crawl"
+    epochs = [
+        [(1500, "a fresh novel document about gardening and soil"),
+         (1501, "another novel text concerning sailing and knots")],
+        [(2000 + j, flood) for j in range(4)]
+        + [(2500, "a third unrelated text regarding astronomy and lenses")],
+    ]
+    cor_sh = D.pool_persist(D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5))
+    cor_sh.count()
+    cor_bands = D.lsh_band_table(
+        D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+        "doc_id", BANDS, N_HASHES // BANDS,
+    )
+    idx = D.IncrementalLshIndex(cor_sh, cor_bands, compact_every=1)
+    gate = D.TextIngestGate(
+        idx, str(tmp_path / "sink"), N_HASHES, BANDS, 5, 0.5,
+        collect_stats=True,
+    )
+    for e, rows in enumerate(epochs):
+        gate(spark.createDataFrame(rows, "doc_id long, text string"), e)
+    idx.close()
+    D.retire_pipeline_caches()
+    assert [(s["n_new"], s["n_batch_dup"]) for s in gate.stats] == [
+        (2, 0), (5, 3),
+    ]
+
+
 def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
     """The occupancy trigger's blind spot, pinned: a cluster of IDENTICAL
     vectors shares every hyperplane bucket at any width, so widening can
