@@ -1,0 +1,173 @@
+"""Measure the live-serving pipeline's at-scale dial: n_cells at retrain.
+
+The r12 scale sweep read streaming_ann_topk_serving_live at 6.97x for 10x
+data — higher than its streaming siblings (2.4-5.6x) because the entry
+retrains at a FIXED 16 cells, so ingest candidate volume grows
+~ |batch| x |index| / n_cells (both factors 10x). The production IVF
+rebuild grows the cell count with the corpus (occupancy-targeted, the
+same rule the hyperplane gate's occupancy trigger encodes); this tool
+A/Bs exactly that: the registry pipeline verbatim vs the same pipeline
+whose mid-stream retrain passes n_cells=<scaled>.
+
+    python tools/live_serving_cells_dial.py [n_cells_b] [runs]
+
+default n_cells_b=160 (~sqrt(corpus) at the synthetic sf1), runs=1.
+SPARK_GRAFT_SF_DIR picks the fixture (default /tmp/pypeln_sfscale).
+Serve decisions for arm B differ from arm A by construction (different
+cell geometry after retrain changes which neighbors are probed) — this
+is the recall/cost dial, not a decision-invariant guard — so the tool
+reports per-phase walls plus epoch-1 result overlap, not equality.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from pypeln_spark.ext import dedup as D  # noqa: E402
+from pypeln_spark.ext import similarity as S  # noqa: E402
+from pypeln_spark.ext.similarity import dot_ieee  # noqa: E402
+from pypeln_spark.queries.base import load_table  # noqa: E402
+from pypeln_spark.queries.similarity import (  # noqa: E402
+    DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
+)
+from pypeln_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/pypeln_sfscale")
+
+
+def run(spark, retrain_cells):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    frames = [emb.filter(F.col("vec_id") % 12 == c) for c in (1, 3, 5, 7)]
+    D.retire_pipeline_caches()
+    cents = S.kmeans_centroids(corpus, N_CELLS, KMEANS_ITERS,
+                               train_mod=KMEANS_TRAIN_MOD)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    nf = S.with_norms(S.spread(corpus))
+    cor = D.pool_persist(
+        S.ivf_assign(nf, cents, N_CELLS, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        )
+    )
+    cor.count()
+    index = D.IncrementalLshIndex(
+        cor.select("vec_id", "_v", "_norm"),
+        cor.select("vec_id", "bucket"),
+        compact_every=1,
+    )
+    root = tempfile.mkdtemp(prefix="pypeln_live_dial_")
+    serve_root = tempfile.mkdtemp(prefix="pypeln_live_dial_serve_")
+    gate = S.CellEmbeddingIngestGate(
+        index, root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe="auto",
+    )
+
+    def serve(batch_df, qepoch):
+        # serve nprobe FOLLOWS the live geometry via the recall-target
+        # rule: growing n_cells at fixed nprobe would silently shrink
+        # the scan fraction (and recall) 10x — the dial holds recall,
+        # so post-retrain serving scans the same corpus fraction from
+        # finer cells (serving_nprobe(160, 0.12) = 20 vs (16, 0.12) = 2)
+        serve_np = S.serving_nprobe(gate.n_cells, recall_target=0.12)
+        n_batch = batch_df.count()
+        q = S.with_norms(S.spread(batch_df))
+        probes = S.ivf_assign(
+            q, gate.centroids, gate.n_cells, keep=serve_np
+        ).select(
+            F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
+            F.col("_norm").alias("qn"), F.col("cid"),
+        )
+        cand = D.pool_persist(
+            S.probe_side_join(
+                index.bands.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("bucket").alias("cid"),
+                ),
+                probes, "cid",
+                probe_rows=n_batch * serve_np,
+                probe_row_bytes=DIM * 8 + 24,
+            ).select("query_id", "qv", "qn", "neighbor_id")
+        )
+        n_cand = cand.count()
+        scored = S.probe_side_join(
+            index.sh.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("_v").alias("cv"), F.col("_norm").alias("cn"),
+            ),
+            cand, "neighbor_id",
+            probe_rows=n_cand, probe_row_bytes=DIM * 8 + 32,
+        ).withColumn(
+            "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select(
+                "query_id", F.lit(int(qepoch)).cast("int").alias("epoch"),
+                "neighbor_id", "cos", "rank",
+            )
+            .write.mode("append").parquet(serve_root)
+        )
+
+    walls = []
+    labels = ["ingest0", "query0", "retrain+ingest1", "query1"]
+    for e, frame in enumerate(frames):
+        t0 = time.time()
+        if e % 2 == 0:
+            if e == 2:
+                gate.retrain(n_cells=retrain_cells)
+            gate(frame, e // 2)
+        else:
+            serve(frame, (e - 1) // 2)
+        walls.append(time.time() - t0)
+    index.close()
+    out = {
+        (r.query_id, r.epoch, r.neighbor_id)
+        for r in spark.read.parquet(serve_root).collect()
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(serve_root, ignore_errors=True)
+    D.retire_pipeline_caches()
+    return walls, labels, out
+
+
+def main() -> None:
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cells_b = int(argv[0]) if len(argv) > 0 else 160
+    runs = int(argv[1]) if len(argv) > 1 else 1
+    spark = get_spark()
+    results = {}
+    arms = [("fixed16", None), (f"grow{cells_b}", cells_b)]
+    if "--reverse" in sys.argv:  # bound the arm-order (warm-up) skew
+        arms.reverse()
+    for label, rc in arms:
+        best = None
+        out = None
+        for _ in range(runs):
+            walls, labels, o = run(spark, rc)
+            if best is None or sum(walls) < sum(best):
+                best, out = walls, o
+        results[label] = (best, out)
+        per = " ".join(f"{n}={w:6.1f}s" for n, w in zip(labels, best))
+        print(f"{label:9s} total={sum(best):6.1f}s {per}")
+    a, b = results["fixed16"][1], results[f"grow{cells_b}"][1]
+    e1a = {t for t in a if t[1] == 1}
+    e1b = {t for t in b if t[1] == 1}
+    jac = len(e1a & e1b) / max(len(e1a | e1b), 1)
+    print(f"epoch-0 serves identical: {({t for t in a if t[1]==0} == {t for t in b if t[1]==0})} "
+          f"(pre-retrain, must be); epoch-1 top-k overlap: {jac:.3f} "
+          f"(geometry changed — the recall/cost dial)")
+
+
+if __name__ == "__main__":
+    main()
