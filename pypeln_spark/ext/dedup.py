@@ -127,10 +127,15 @@ def validate_sink_schema(decisions: DataFrame, sink_root: str) -> None:
     footer Spark samples). Called once per gate instance before its first
     write; a missing/empty sink is a fresh sink. Column NAMES are the
     contract (order included — parquet readers resolve by name, but a
-    reordered append is a symptom of the same misconfiguration)."""
+    reordered append is a symptom of the same misconfiguration). Only
+    AnalysisException (path not found / unable to infer schema — the
+    two fresh-sink shapes) is treated as fresh: an I/O failure or
+    corrupt footer must surface, not silently disarm the guard."""
+    from pyspark.errors import AnalysisException
+
     try:
         existing = decisions.sparkSession.read.parquet(sink_root).columns
-    except Exception:
+    except AnalysisException:
         return  # fresh sink: path absent or no parquet footers yet
     if existing != decisions.columns:
         raise ValueError(

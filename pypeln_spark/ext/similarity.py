@@ -1441,7 +1441,82 @@ def serving_nprobe(n_cells: int, recall_target: float = 0.5) -> int:
         raise ValueError(f"recall_target must be in (0, 1]: {recall_target}")
     if n_cells < 1:
         raise ValueError(f"n_cells must be positive: {n_cells}")
-    return max(2, min(int(n_cells), math.ceil(recall_target * n_cells)))
+    # n_cells bound applied LAST: at n_cells=1 the straddle floor of 2
+    # would otherwise win and request more probe cells than exist
+    return min(int(n_cells), max(2, math.ceil(recall_target * n_cells)))
+
+
+def live_topk_serve(
+    index,
+    centroids: DataFrame,
+    n_cells: int,
+    batch_df: DataFrame,
+    k: int,
+    dim: int,
+    recall_target: float = 0.12,
+    id_col: str = "vec_id",
+) -> tp.Optional[DataFrame]:
+    """One query micro-batch served top-k against a LIVE cells index
+    (an IncrementalLshIndex whose sh side stores (id, _v, _norm) and
+    whose bands side stores (id, cell)) — the serve body shared by the
+    registry entry `streaming_ann_topk_serving_live` and the cells-dial
+    tool, so the A/B measures the exact pipeline the entry runs.
+
+    nprobe resolves from the CURRENT geometry via serving_nprobe (a
+    retrain that grows n_cells keeps the scan fraction — and the recall
+    target — instead of silently shrinking it). The join runs in TWO
+    guarded stages so the corpus never moves while the estimates fit:
+    (1) probes broadcast against the SKINNY band view → candidates;
+    (2) the COUNTED candidate frame broadcasts against the vector side
+    → verify. Past the threshold either stage degrades to the bounded
+    shuffle_hash build. Both index views are base + one lineage-cut
+    leaf per earlier absorb epoch (bounded by compact_every) — a
+    bounded-leaf read, never a re-derivation. Returns (query_id,
+    neighbor_id, cos, rank ≤ k) or None on an empty batch; the caller
+    labels the epoch and writes."""
+    from .dedup import pool_persist, retire_pipeline_caches
+
+    serve_np = serving_nprobe(n_cells, recall_target=recall_target)
+    n_batch = batch_df.count()  # one tiny job; feeds stage 1's guard
+    if n_batch == 0:
+        return None
+    retire_pipeline_caches()
+    q = with_norms(spread(batch_df))
+    probes = ivf_assign(q, centroids, n_cells, keep=serve_np, id_col=id_col).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"), F.col("cid"),
+    )
+    cand = pool_persist(
+        probe_side_join(
+            index.bands.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(index.bands.columns[1]).alias("cid"),
+            ),
+            probes, "cid",
+            probe_rows=n_batch * serve_np,
+            probe_row_bytes=dim * 8 + 24,
+        ).select("query_id", "qv", "qn", "neighbor_id")
+    )
+    n_cand = cand.count()  # feeds stage 2's guard; also the persist cut
+    scored = probe_side_join(
+        index.sh.select(
+            F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
+            F.col("_norm").alias("cn"),
+        ),
+        cand, "neighbor_id",
+        probe_rows=n_cand,
+        probe_row_bytes=dim * 8 + 32,
+    ).withColumn(
+        "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 class EmbeddingIngestGate:

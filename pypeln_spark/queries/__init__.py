@@ -83,7 +83,7 @@ except ImportError:  # pragma: no cover
 # from REGISTRY, so retired entries simply stop consuming window slots
 # — their historical CORRECTNESS rows remain valid evidence. Retire at
 # most ~5/round so the driver diff stays reviewable. No retirements
-# executed yet: capacity math (214 entries + ~2 debuts/round vs
+# executed yet: capacity math (215 entries + ~2 debuts/round vs
 # 50x5=250) first forces a retirement around r16-r17.
 _PRIORITY = [
     # -- (a) the 20 r7-stale entries (5-round cycle deadline this round) --

@@ -2441,17 +2441,15 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
     membership, and both serves."""
     import os
 
-    from pyspark.sql import Window, types as T
+    from pyspark.sql import types as T
 
     from pypeln_spark.ext import dedup as D
     from pypeln_spark.ext import similarity as S
-    from pypeln_spark.ext.similarity import dot_ieee
 
     from .similarity import (
         DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
     )
 
-    serve_np = S.serving_nprobe(N_CELLS, recall_target=0.12)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     # interleaved feeds: ingest, query, ingest, query (classes 9/11 idle)
@@ -2501,61 +2499,23 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
     )
 
     def serve(batch_df, qepoch):
-        n_batch = batch_df.count()  # one tiny job; feeds the broadcast guard
-        if n_batch == 0:
+        # the shared LIVE serve body (ext/similarity.live_topk_serve —
+        # also driven verbatim by tools/live_serving_cells_dial.py, so
+        # the dial A/B measures exactly this pipeline): nprobe from the
+        # CURRENT geometry via the recall-target rule, then TWO guarded
+        # broadcast stages — probes vs the SKINNY band view, counted
+        # candidates vs the vector side — so neither corpus view moves
+        # while the estimates fit; bounded shuffle_hash past the bound;
+        # bounded-leaf index reads (base + one lineage-cut leaf per
+        # earlier absorb epoch)
+        topk = S.live_topk_serve(
+            index, gate.centroids, gate.n_cells, batch_df, k=K, dim=DIM,
+            recall_target=0.12,
+        )
+        if topk is None:
             return
-        D.retire_pipeline_caches()
-        q = S.with_norms(S.spread(batch_df))
-        # CURRENT geometry: gate.centroids/n_cells move under retrain
-        probes = S.ivf_assign(q, gate.centroids, gate.n_cells, keep=serve_np).select(
-            F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
-            F.col("_norm").alias("qn"), F.col("cid"),
-        )
-        # LIVE lists, served in TWO guarded stages so the corpus stays in
-        # place (the static entry reads a PRE-JOINED cached lists frame;
-        # the live index stores vectors and cells as separate delta
-        # chains, and pre-joining them per epoch would shuffle the fat
-        # vector side even for cells no probe touches):
-        #   1. candidates — broadcast the bounded probes against the
-        #      SKINNY band view (vec_id, cell): zero corpus movement;
-        #   2. verify — broadcast the candidate rows (batch x cell-width,
-        #      counted, not guessed) against the vector side, so the fat
-        #      corpus vectors ALSO never move while the candidate frame
-        #      fits; past the threshold either stage degrades to the
-        #      bounded shuffle_hash build. Both index views are
-        #      base + one lineage-cut leaf per earlier absorb epoch
-        #      (bounded by compact_every) — a bounded-leaf read, never a
-        #      re-derivation.
-        cand = D.pool_persist(
-            S.probe_side_join(
-                index.bands.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("bucket").alias("cid"),
-                ),
-                probes, "cid",
-                probe_rows=n_batch * serve_np,
-                probe_row_bytes=DIM * 8 + 24,
-            ).select("query_id", "qv", "qn", "neighbor_id")
-        )
-        n_cand = cand.count()  # feeds stage 2's guard; also the persist cut
-        scored = S.probe_side_join(
-            index.sh.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
-                F.col("_norm").alias("cn"),
-            ),
-            cand, "neighbor_id",
-            probe_rows=n_cand,
-            probe_row_bytes=DIM * 8 + 32,
-        ).withColumn(
-            "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col("neighbor_id").asc()
-        )
         (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= K)
-            .select(
+            topk.select(
                 "query_id",
                 F.lit(int(qepoch)).cast("int").alias("epoch"),
                 "neighbor_id", "cos", "rank",

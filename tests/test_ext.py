@@ -244,6 +244,7 @@ def test_serving_nprobe_resolution_and_recall_floor(spark, sf_dir):
     assert S.serving_nprobe(16, 1.0) == 16
     assert S.serving_nprobe(16, 0.01) == 2   # floor: boundary straddle
     assert S.serving_nprobe(4, 1.0) == 4     # never beyond n_cells
+    assert S.serving_nprobe(1, 1.0) == 1     # n_cells bound beats the floor
     got = [S.serving_nprobe(16, t) for t in (0.1, 0.3, 0.5, 0.7, 0.9)]
     assert got == sorted(got)
     with _pytest.raises(ValueError):

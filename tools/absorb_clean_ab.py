@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from bench import _steal_jiffies  # noqa: E402 - bench.py sits at repo root
 from pypeln_spark.ext import dedup as D  # noqa: E402
 from pypeln_spark.ext import similarity as S  # noqa: E402
 from pypeln_spark.queries.base import load_table  # noqa: E402
@@ -38,14 +39,6 @@ from pypeln_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DIM = 64
 N_PLANES = 8
-
-
-def _steal():
-    try:
-        with open("/proc/stat") as f:
-            return int(f.readline().split()[8])
-    except Exception:
-        return 0
 
 
 def run_text(spark, n_epochs, absorb_dedup):
@@ -127,18 +120,22 @@ def main() -> None:
         results = {}
         for label, ad in (("plain", False), ("dedup", True)):
             best, dec, n_abs = None, None, None
-            s0 = _steal()
+            s0 = _steal_jiffies()
             for _ in range(runs):
                 walls, decisions, n_absorbed = runner(spark, n_epochs, ad)
                 if best is None or sum(walls) < sum(best):
                     best, dec, n_abs = walls, decisions, n_absorbed
-            steal = (_steal() - s0) / 100.0
+            s1 = _steal_jiffies()
+            steal = (
+                f"{(s1 - s0) / 100.0:.1f}cpu-s"
+                if None not in (s0, s1) else "n/a"
+            )
             results[label] = (best, dec, n_abs)
             per = " ".join(f"e{i}={w:5.1f}s" for i, w in enumerate(best))
             extra = f" absorbed_true={n_abs}" if n_abs is not None else ""
             print(
                 f"{fam:9s} {label:6s} total={sum(best):6.1f}s {per} "
-                f"steal={steal:.1f}cpu-s{extra}"
+                f"steal={steal}{extra}"
             )
         same = results["plain"][1] == results["dedup"][1]
         over = sum(results["dedup"][0]) / max(sum(results["plain"][0]), 1e-9)

@@ -29,11 +29,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from pypeln_spark.ext import dedup as D  # noqa: E402
 from pypeln_spark.ext import similarity as S  # noqa: E402
-from pypeln_spark.ext.similarity import dot_ieee  # noqa: E402
 from pypeln_spark.queries.base import load_table  # noqa: E402
 from pypeln_spark.queries.similarity import (  # noqa: E402
     DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
@@ -70,49 +69,19 @@ def run(spark, retrain_cells):
     )
 
     def serve(batch_df, qepoch):
-        # serve nprobe FOLLOWS the live geometry via the recall-target
-        # rule: growing n_cells at fixed nprobe would silently shrink
-        # the scan fraction (and recall) 10x — the dial holds recall,
-        # so post-retrain serving scans the same corpus fraction from
-        # finer cells (serving_nprobe(160, 0.12) = 20 vs (16, 0.12) = 2)
-        serve_np = S.serving_nprobe(gate.n_cells, recall_target=0.12)
-        n_batch = batch_df.count()
-        q = S.with_norms(S.spread(batch_df))
-        probes = S.ivf_assign(
-            q, gate.centroids, gate.n_cells, keep=serve_np
-        ).select(
-            F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
-            F.col("_norm").alias("qn"), F.col("cid"),
+        # the registry entry's EXACT serve body (ext/similarity.
+        # live_topk_serve): nprobe follows the live geometry via the
+        # recall-target rule — growing n_cells at fixed nprobe would
+        # silently shrink the scan fraction (and recall) 10x, the dial
+        # holds it (serving_nprobe(160, 0.12) = 20 vs (16, 0.12) = 2)
+        topk = S.live_topk_serve(
+            index, gate.centroids, gate.n_cells, batch_df, k=K, dim=DIM,
+            recall_target=0.12,
         )
-        cand = D.pool_persist(
-            S.probe_side_join(
-                index.bands.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("bucket").alias("cid"),
-                ),
-                probes, "cid",
-                probe_rows=n_batch * serve_np,
-                probe_row_bytes=DIM * 8 + 24,
-            ).select("query_id", "qv", "qn", "neighbor_id")
-        )
-        n_cand = cand.count()
-        scored = S.probe_side_join(
-            index.sh.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("_v").alias("cv"), F.col("_norm").alias("cn"),
-            ),
-            cand, "neighbor_id",
-            probe_rows=n_cand, probe_row_bytes=DIM * 8 + 32,
-        ).withColumn(
-            "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col("neighbor_id").asc()
-        )
+        if topk is None:
+            return
         (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= K)
-            .select(
+            topk.select(
                 "query_id", F.lit(int(qepoch)).cast("int").alias("epoch"),
                 "neighbor_id", "cos", "rank",
             )
