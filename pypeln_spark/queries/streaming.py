@@ -2258,30 +2258,44 @@ def streaming_ann_topk_serving(spark, sf_dir):
     return out
 
 
+# the live entry's mid-stream retrain GROWS the cell count 16 -> 32 (the
+# production IVF rebuild rule the r12 dial measured: n_cells tracks the
+# grown index, serving_nprobe re-resolves so the scan fraction holds).
+# Test-pinned against serving_nprobe(32, 0.12) = 4 = the oracle's rk bound.
+LIVE_RETRAIN_CELLS = 32
+
+
 def _ann_serving_live_oracle() -> str:
     """Oracle for streaming_ann_topk_serving_live — serve DURING ingest.
     Two interleaved rounds, unrolled (the flood entry's staging pattern):
     ingest epoch 0 absorbs novels under the corpus-trained centroids C0;
     query epoch 0 reads the LIVE index (corpus + novel0) under C0;
     RETRAIN replays k-means over the grown index (the second _kmeans_ctes
-    chain, base = the live rows — gate.retrain()'s exact constants);
-    ingest epoch 1 decides/absorbs under the retrained C1 geometry;
-    query epoch 1 reads corpus + novel0 + novel1 under C1. Every stage —
-    both quantizer trainings, both assignment rankings, dup decisions,
-    absorb membership, and both top-k serves — is hash-checked."""
+    chain, base = the live rows, n_cells GROWN to LIVE_RETRAIN_CELLS —
+    gate.retrain(n_cells=32)'s exact constants); ingest epoch 1
+    decides/absorbs under the retrained C1 geometry; query epoch 1 reads
+    corpus + novel0 + novel1 under C1 at the re-resolved serve nprobe.
+    Every stage — both quantizer trainings, both assignment rankings,
+    dup decisions, absorb membership, and both top-k serves — is
+    hash-checked."""
     from .similarity import (
         DIM, K, KMEANS_ITERS, KMEANS_TRAIN_MOD, N_CELLS, NEAR_DUP_T,
         _dot, _kmeans_ctes,
     )
 
     ingest_np = 4  # nprobe="auto" at the semantic threshold (r11 rule)
-    serve_np = 2   # serving_nprobe(N_CELLS, 0.12) — the declared cost point
+    serve_np0 = 2  # serving_nprobe(16, 0.12) — the declared cost point
+    serve_np1 = 4  # serving_nprobe(32, 0.12): scan fraction held as cells grow
     vv = _dot("v", "v")
     km0_cte, km0_final = _kmeans_ctes(
         N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD, prefix="g", base="cn"
     )
+    # the retrain GROWS the cell count (the production IVF rebuild rule —
+    # occupancy-targeted; the r12 dial measurement) and the serve nprobe
+    # follows via the recall-target resolution, holding the scan fraction
     km1_cte, km1_final = _kmeans_ctes(
-        N_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD, prefix="r", base="s1"
+        LIVE_RETRAIN_CELLS, KMEANS_ITERS, DIM, KMEANS_TRAIN_MOD,
+        prefix="r", base="s1",
     )
     ctes = [
         """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2339,7 +2353,7 @@ def _ann_serving_live_oracle() -> str:
             ON l.cid = p.cid
           JOIN n a ON a.vec_id = p.vec_id
           JOIN n b ON b.vec_id = l.vec_id
-          WHERE p.rk <= {serve_np}
+          WHERE p.rk <= {serve_np0}
         )""",
         # retrain on the grown index (C1), then re-rank everything
         km1_cte.strip().rstrip(","),
@@ -2385,7 +2399,7 @@ def _ann_serving_live_oracle() -> str:
             ON l.cid = p.cid
           JOIN n a ON a.vec_id = p.vec_id
           JOIN n b ON b.vec_id = l.vec_id
-          WHERE p.rk <= {serve_np}
+          WHERE p.rk <= {serve_np1}
         )""",
         """united AS (
           SELECT 0 AS epoch, * FROM sc0
@@ -2420,7 +2434,11 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
     (CellEmbeddingIngestGate.retrain -> index.rebuild_bands). Epoch plan
     (vec_id % 12): 1 -> ingest 0 (nprobe="auto" at the semantic
     threshold -> 4), 3 -> query 0 (top-K against corpus + novel0, C0
-    centroids), then RETRAIN on the grown index, 5 -> ingest 1 (decides
+    centroids), then RETRAIN on the grown index — GROWING the cell
+    count 16 -> 32, the occupancy-tracking rebuild rule the r12 dial
+    measured (fixed cells is the one super-linear term in the 10x
+    sweep; the serve nprobe re-resolves 2 -> 4 via serving_nprobe so
+    the scan fraction and recall target hold) — 5 -> ingest 1 (decides
     against the live index under retrained C1), 7 -> query 1 (corpus +
     both absorb waves, C1).
 
@@ -2528,9 +2546,13 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
         if epoch_id % 2 == 0:
             if epoch_id == 2:
                 # the mid-stream re-snapshot: retrain centroids on the
-                # grown index, rebuild the band view — between epochs,
-                # so no reader ever sees half-rebuilt geometry
-                gate.retrain()
+                # grown index AND grow the cell count (16 -> 32, the
+                # occupancy-tracking IVF rebuild — the r12 dial's
+                # measured at-scale rule; live_topk_serve re-resolves
+                # its nprobe from gate.n_cells so the scan fraction
+                # holds), rebuild the band view — between epochs, so no
+                # reader ever sees half-rebuilt geometry
+                gate.retrain(n_cells=LIVE_RETRAIN_CELLS)
             gate(batch_df, epoch_id // 2)
         else:
             serve(batch_df, (epoch_id - 1) // 2)

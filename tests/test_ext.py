@@ -245,6 +245,13 @@ def test_serving_nprobe_resolution_and_recall_floor(spark, sf_dir):
     assert S.serving_nprobe(16, 0.01) == 2   # floor: boundary straddle
     assert S.serving_nprobe(4, 1.0) == 4     # never beyond n_cells
     assert S.serving_nprobe(1, 1.0) == 1     # n_cells bound beats the floor
+    # the live entry's post-retrain geometry: its oracle bakes rk <= 4
+    # for query epoch 1, which must equal the resolver at the grown cell
+    # count (a change to either side must break here, not hash-mismatch
+    # in the driver)
+    from pypeln_spark.queries.streaming import LIVE_RETRAIN_CELLS
+
+    assert S.serving_nprobe(LIVE_RETRAIN_CELLS, 0.12) == 4
     got = [S.serving_nprobe(16, t) for t in (0.1, 0.3, 0.5, 0.7, 0.9)]
     assert got == sorted(got)
     with _pytest.raises(ValueError):
