@@ -6,8 +6,11 @@ retrains at a FIXED 16 cells, so ingest candidate volume grows
 ~ |batch| x |index| / n_cells (both factors 10x). The production IVF
 rebuild grows the cell count with the corpus (occupancy-targeted, the
 same rule the hyperplane gate's occupancy trigger encodes); this tool
-A/Bs exactly that: the registry pipeline verbatim vs the same pipeline
-whose mid-stream retrain passes n_cells=<scaled>.
+A/Bs exactly that: retrain keeping the initial 16 cells (the pre-fix
+r12 shape) vs retrain growing to n_cells=<scaled>. The registry entry
+adopted the growing policy from this measurement (retrain 16 -> 32,
+LIVE_RETRAIN_CELLS); both arms drive the entry's shared serve body
+(ext/similarity.live_topk_serve).
 
     python tools/live_serving_cells_dial.py [n_cells_b] [runs]
 
