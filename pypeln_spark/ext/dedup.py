@@ -1112,8 +1112,9 @@ class TextIngestGate:
         # SCALING.md r12): ON for web/crawl ingest, where mirror bursts
         # are the norm. The text-side clean-stream cost is real but
         # modest — the dedup window shuffles the novel set's SHINGLE
-        # ARRAYS once per epoch: sf0.1 +4.2%, sf1 +5-17% under mixed
-        # host contention, decisions identical at both scales — and a
+        # ARRAYS once per epoch: sf0.1 +4.2%, sf1 +5.3% (quiet re-run;
+        # a first contended pair read +17%, adjudicated episode),
+        # decisions identical at both scales — and a
         # flood epoch buys it back 3x over (SCALING.md r11). Leave it
         # OFF only for streams known duplicate-free (e.g. already
         # exact-deduped upstream); collect_stats' n_batch_dup column is
