@@ -189,12 +189,16 @@ HEADLINE = [
     # per-epoch novel-set dedup window plus the flood's arrival cost)
     "dedup_simhash_near_pairs_wide60",
     "streaming_incremental_dedup_flood",
-    # round-12 addition: serving against the LIVE index — ingest and
-    # query epochs interleaved across a mid-stream retrain (vs
-    # streaming_ann_topk_serving, which serves a static snapshot, and
-    # streaming_embedding_ingest_cells, which ingests without serving:
-    # the delta prices the composed build+serve+retrain pipeline)
+    # round-12 additions: serving against the LIVE index — ingest and
+    # query epochs interleaved across a mid-stream cell-growing retrain
+    # (vs streaming_ann_topk_serving, which serves a static snapshot,
+    # and streaming_embedding_ingest_cells, which ingests without
+    # serving: the delta prices the composed build+serve+retrain
+    # pipeline) — and the greedy MMR diversified-top-k rerank (vs
+    # ann_cosine_topk: prices the unrolled greedy stage chain over the
+    # candidate front)
     "streaming_ann_topk_serving_live",
+    "search_mmr_diversified_topk",
 ]
 
 

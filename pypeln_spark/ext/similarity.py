@@ -197,6 +197,132 @@ def cosine_topk(
     )
 
 
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k_cand: int = 10,
+    k_out: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k via greedy MAXIMAL MARGINAL RELEVANCE (Carbonell
+    & Goldstein 1998) — the standard rerank a retrieval stack runs
+    between ANN candidates and a RAG context window, where near-duplicate
+    hits crowd out coverage: step 1 takes the most relevant candidate;
+    each later step takes argmax over the remaining candidates of
+
+        mmr_score = lam * cos(q, d) - (1 - lam) * max_{s in selected} cos(d, s)
+
+    (ties broken by neighbor id). Everything is Catalyst: the candidate
+    set is the exact top-k_cand (cosine_topk — swap in an ANN front for
+    production; the rerank only reads (query_id, neighbor_id, cos)
+    rows), the candidate-pairwise similarity table is one self-join of
+    k_cand narrow rows per query (k_cand² tiny rows, pool-persisted —
+    consumed by every greedy step), and the k_out-step greedy loop
+    UNROLLS into a fixed chain of anti-join → max-aggregate → window
+    argmax stages — plan depth ∝ k_out (a constant), no driver loop over
+    data, no UDF. Scale shape: every stage after the candidate front is
+    bounded by |queries| × k_cand rows — the rerank costs nothing at
+    corpus scale, whatever the corpus. IEEE-deterministic end to end
+    (dot_ieee products, order-independent MAX), so the whole greedy
+    trajectory replays in DuckDB — the registry oracle hash-checks every
+    selection step, not just the final set.
+
+    Output: (query_id, neighbor_id, cos, mmr_score, mmr_rank ≤ k_out)."""
+    from .dedup import pool_persist
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    if k_out > k_cand:
+        raise ValueError(f"k_out {k_out} exceeds the candidate pool k_cand {k_cand}")
+    # LAZY persists throughout (no eager counts): every cached subtree
+    # here is consumed only downstream of the caller's single terminal
+    # action, so the cache fills on first use WITHIN that action and all
+    # later branches hit it — eager counts would add ~7 sequential job
+    # overheads to a |queries| x k_cand computation (measured: the
+    # count-per-step form cost ~14s at sf0.1 where this shape reads ~5s)
+    cand = pool_persist(
+        cosine_topk(emb, queries, k=k_cand, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id", "cos")
+    )
+    nf = with_norms(spread(emb), vec_col).select(
+        F.col(id_col).alias("nid"), F.col("_v").alias("v"), F.col("_norm").alias("nrm")
+    )
+    cv = cand.join(nf, F.col("neighbor_id") == F.col("nid")).select(
+        "query_id", "neighbor_id", "v", "nrm"
+    )
+    a = cv.select(
+        "query_id", F.col("neighbor_id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = cv.select(
+        "query_id", F.col("neighbor_id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pair = pool_persist(
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "sim", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .select("query_id", "id_a", "id_b", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr_score").desc(), F.col("neighbor_id").asc()
+    )
+    # step 1: pure relevance (max_sim over an empty selected set = 0).
+    # Every step's selected set is (lazily) persisted: step s consumes
+    # selected(s-1) through THREE branches (the anti-join, the penalty
+    # join, the union), so an unpersisted chain would re-execute each
+    # earlier step's shuffles ~3^depth times.
+    selected = pool_persist(
+        cand.withColumn("mmr_score", F.lit(float(lam)) * F.col("cos"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("mmr_rank", F.lit(1).cast("int"))
+    )
+    for step in range(2, k_out + 1):
+        remaining = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"], "left_anti",
+        )
+        # diversity penalty: max candidate-candidate sim to the selected
+        # set so far (every remaining candidate has a pair row to every
+        # selected one — the pair table is complete by construction)
+        div = (
+            pair.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("id_b")
+                ),
+                ["query_id", "id_b"],
+            )
+            .groupBy("query_id", "id_a")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            remaining.join(
+                div,
+                (remaining.query_id == div.query_id)
+                & (remaining.neighbor_id == div.id_a),
+            )
+            .select(
+                remaining.query_id, "neighbor_id", "cos",
+                (
+                    F.lit(float(lam)) * F.col("cos")
+                    - F.lit(float(1.0 - lam)) * F.col("max_sim")
+                ).alias("mmr_score"),
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+            .withColumn("mmr_rank", F.lit(step).cast("int"))
+        )
+        selected = pool_persist(selected.unionByName(pick))
+    return selected.select("query_id", "neighbor_id", "cos", "mmr_score", "mmr_rank")
+
+
 def hyperplane_component(plane: int, dim) -> F.Column:
     """Deterministic pseudo-random plane component in [-1, 1]:
     md5('plane_<p>_<d>') → h31 → ((h % 2001) - 1000)/1000. Reproducible in

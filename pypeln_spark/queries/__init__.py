@@ -57,15 +57,17 @@ except ImportError:  # pragma: no cover
 # never-driver-checked entries inside the window, and the two-phase
 # 5-round-cycle freshness rule). The front 50 is (a) VERDICT r11 #1:
 # ALL 20 r7-stale entries, in registry order — they hit the 5-round
-# hard-fail threshold if they miss this window; (b) the r12 debut
+# hard-fail threshold if they miss this window; (b) the TWO r12 debuts
 # (never driver-checked, must debut inside the window):
 # streaming_ann_topk_serving_live — serving against the LIVE index,
-# query epochs interleaved with ingest epochs and a mid-stream retrain
-# (VERDICT r11 #4); then (c) the r8-stale cohort in registry order
-# filling the remaining slots oldest-first (the other 18 r8 entries
-# lead the r13 window). ALL registry entries stay covered every session
-# by the local DuckDB gate (tests/test_correctness_gate.py replays
-# every oracle).
+# query epochs interleaved with ingest epochs and a mid-stream
+# cell-growing retrain (VERDICT r11 #4) — and
+# search_mmr_diversified_topk — the greedy MMR diversified-top-k
+# rerank with its full trajectory oracle-replayed; then (c) the
+# r8-stale cohort in registry order filling the remaining slots
+# oldest-first (the other 19 r8 entries lead the r13 window). ALL
+# registry entries stay covered every session by the local DuckDB gate
+# (tests/test_correctness_gate.py replays every oracle).
 #
 # RETIREMENT POLICY (VERDICT r11 #6 — written before the 250-entry
 # rotation-capacity wall, ~r17 at 2 debuts/round). An entry may be
@@ -83,7 +85,7 @@ except ImportError:  # pragma: no cover
 # from REGISTRY, so retired entries simply stop consuming window slots
 # — their historical CORRECTNESS rows remain valid evidence. Retire at
 # most ~5/round so the driver diff stays reviewable. No retirements
-# executed yet: capacity math (215 entries + ~2 debuts/round vs
+# executed yet: capacity math (216 entries + ~2 debuts/round vs
 # 50x5=250) first forces a retirement around r16-r17.
 _PRIORITY = [
     # -- (a) the 20 r7-stale entries (5-round cycle deadline this round) --
@@ -107,9 +109,10 @@ _PRIORITY = [
     "streaming_dedup_events",
     "asof_join_view_to_next_purchase",
     "streaming_doc_quality_counts",
-    # -- (b) the r12 debut --
+    # -- (b) the r12 debuts --
     "streaming_ann_topk_serving_live",
-    # -- (c) r8-stale cohort, registry order (the remaining 18 r8
+    "search_mmr_diversified_topk",
+    # -- (c) r8-stale cohort, registry order (the remaining 19 r8
     # entries lead the r13 window) --
     "pipeline_datasource_source",
     "pipeline_flat_map_udtf",
@@ -139,7 +142,6 @@ _PRIORITY = [
     "events_retention_cohorts",
     "full_outer_month_spenders",
     "group_map_median_chars",
-    "group_agg_udaf_midrange",
 ]
 
 

@@ -66,6 +66,106 @@ def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, queries, k=K)
 
 
+MMR_K_CAND = 10
+MMR_K_OUT = 5
+MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Oracle for search_mmr_diversified_topk — the greedy MMR trajectory
+    unrolled: candidate top-k_cand, the complete candidate-pairwise sim
+    table, then one (anti-join -> max-penalty -> argmax) CTE per greedy
+    step. The (1 - lam) coefficient is emitted with its exact Python
+    float repr so both engines compute the identical IEEE score."""
+    lam = repr(MMR_LAM)
+    oml = repr(1.0 - MMR_LAM)  # 0.30000000000000004 — NOT 0.3
+    ctes = [
+        _E_CTE.strip(),
+        f"""scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )""",
+        f"""cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored) WHERE rk <= {MMR_K_CAND}
+    )""",
+        f"""pr AS MATERIALIZED (
+      SELECT x.query_id, x.neighbor_id AS id_a, y.neighbor_id AS id_b,
+             {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+      FROM cand x
+      JOIN cand y ON y.query_id = x.query_id
+                 AND x.neighbor_id <> y.neighbor_id
+      JOIN n a ON a.vec_id = x.neighbor_id
+      JOIN n b ON b.vec_id = y.neighbor_id
+    )""",
+        f"""s1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cos, {lam} * cos AS mmr_score,
+             1 AS mmr_rank
+      FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {lam} * cos DESC, neighbor_id) AS rk
+        FROM cand) WHERE rk = 1
+    )""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for s in range(2, MMR_K_OUT + 1):
+        ctes.append(f"""s{s} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cos, mmr_score, {s} AS mmr_rank FROM (
+        SELECT r.query_id, r.neighbor_id, r.cos,
+               {lam} * r.cos - {oml} * d.max_sim AS mmr_score,
+               ROW_NUMBER() OVER (PARTITION BY r.query_id
+                 ORDER BY {lam} * r.cos - {oml} * d.max_sim DESC,
+                          r.neighbor_id) AS rk
+        FROM cand r
+        ANTI JOIN sel{s - 1} ON sel{s - 1}.query_id = r.query_id
+                            AND sel{s - 1}.neighbor_id = r.neighbor_id
+        JOIN (SELECT p.query_id, p.id_a, MAX(p.sim) AS max_sim
+              FROM pr p JOIN sel{s - 1} s ON s.query_id = p.query_id
+                                         AND s.neighbor_id = p.id_b
+              GROUP BY p.query_id, p.id_a) d
+          ON d.query_id = r.query_id AND d.id_a = r.neighbor_id
+      ) WHERE rk = 1
+    )""")
+        ctes.append(
+            f"sel{s} AS (SELECT * FROM sel{s - 1} UNION ALL SELECT * FROM s{s})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, cos, mmr_score,
+           CAST(mmr_rank AS INT) AS mmr_rank
+    FROM sel{MMR_K_OUT}
+    """
+    )
+
+
+@register("search_mmr_diversified_topk", oracle=_mmr_oracle())
+def search_mmr_diversified_topk(spark, sf_dir):
+    """Diversified top-k: greedy Maximal Marginal Relevance rerank over
+    the exact top-{MMR_K_CAND} candidates — the pass a RAG stack runs
+    between ANN retrieval and the context window so near-duplicate hits
+    don't crowd out coverage (ext/similarity.mmr_rerank: pure-Catalyst
+    unrolled greedy — candidate front + k_cand²-per-query pairwise sims
+    + one anti-join/max/argmax stage per step; every stage after the
+    candidate front is bounded by |queries| x k_cand rows, so the rerank
+    is corpus-size-independent). The oracle replays the full greedy
+    TRAJECTORY — both similarity tables and all five selection steps —
+    with the (1 - lam) coefficient emitted at exact float repr, so the
+    driver hash-checks every pick, score, and rank."""
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.mmr_rerank(
+        emb, queries, k_cand=MMR_K_CAND, k_out=MMR_K_OUT, lam=MMR_LAM
+    )
+
+
 _PLANE = (
     "(({h} % 2001) - 1000) / 1000.0"
 )

@@ -271,6 +271,39 @@ def test_serving_nprobe_resolution_and_recall_floor(spark, sf_dir):
     assert hits / max(len(brute), 1) >= 0.5
 
 
+def test_mmr_rerank_diversifies_near_duplicate_hits(spark):
+    """MMR on a constructed corpus: the query's two most relevant hits
+    are near-identical vectors — plain top-k takes both; MMR (lam=0.5)
+    must take one, then prefer the orthogonal moderately-relevant hit
+    over the near-duplicate. Also pins: mmr_rank contiguous 1..k_out,
+    validation errors loud."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext import similarity as S
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, q),                        # the query itself (excluded: self)
+        (1, [0.99, 0.14, 0.0, 0.0]),   # near-dup pair, both cos~0.99
+        (2, [0.99, 0.141, 0.0, 0.0]),
+        (3, [0.7, 0.0, 0.71, 0.0]),    # moderately relevant, orthogonal axis
+        (4, [0.1, 0.0, 0.0, 0.99]),    # barely relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = S.mmr_rerank(emb, queries, k_cand=4, k_out=3, lam=0.5).collect()
+    by_rank = {r.mmr_rank: r.neighbor_id for r in out}
+    assert sorted(by_rank) == [1, 2, 3]
+    assert by_rank[1] in (1, 2)        # pure relevance first
+    assert by_rank[2] == 3             # diversity beats the near-dup
+    assert by_rank[3] in (1, 2, 4)
+    assert by_rank[3] != by_rank[1]
+    with _pytest.raises(ValueError, match="lam"):
+        S.mmr_rerank(emb, queries, lam=1.5)
+    with _pytest.raises(ValueError, match="k_out"):
+        S.mmr_rerank(emb, queries, k_cand=3, k_out=5)
+
+
 def test_connected_components_chain_and_islands(spark):
     from pypeln_spark.ext import dedup as D
 

@@ -56,6 +56,7 @@ ALLOW_BNLJ = {
     "ann_cosine_topk",
     "ann_knn_classify",  # composes cosine_topk's broadcast theta-join
     "search_hybrid_rrf",  # composes cosine_topk's broadcast theta-join (dense arm)
+    "search_mmr_diversified_topk",  # candidate front = cosine_topk's theta-join
     "ann_lsh_bucketed_topk",
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
