@@ -125,23 +125,30 @@ def validate_sink_schema(decisions: DataFrame, sink_root: str) -> None:
     existing sink_root would append mixed-schema parquet, and plain reads
     then silently drop 'absorbed' for some rows or fail depending on which
     footer Spark samples). Called once per gate instance before its first
-    write; a missing/empty sink is a fresh sink. Column NAMES are the
-    contract (order included — parquet readers resolve by name, but a
-    reordered append is a symptom of the same misconfiguration). Only
+    write; a missing/empty sink is a fresh sink. Column NAMES *and TYPES*
+    are the contract (order included — parquet readers resolve by name,
+    but a reordered append is a symptom of the same misconfiguration, and
+    a same-named column with a different type — e.g. an id_col that is
+    long in one source and int in another — appends mixed-typed parquet
+    whose reads then depend on which footer Spark samples: the exact
+    nondeterministic-read class this guard exists for, ADVICE r12). Only
     AnalysisException (path not found / unable to infer schema — the
     two fresh-sink shapes) is treated as fresh: an I/O failure or
     corrupt footer must surface, not silently disarm the guard."""
     from pyspark.errors import AnalysisException
 
     try:
-        existing = decisions.sparkSession.read.parquet(sink_root).columns
+        existing = decisions.sparkSession.read.parquet(sink_root).schema
     except AnalysisException:
         return  # fresh sink: path absent or no parquet footers yet
-    if existing != decisions.columns:
+    have = [(f.name, f.dataType.simpleString()) for f in existing.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in decisions.schema.fields]
+    if have != want:
         raise ValueError(
             f"ingest-gate sink {sink_root!r} already holds decisions with "
-            f"columns {existing} but this gate writes {decisions.columns} "
-            "— absorb_dedup (and any other schema-shaping option) must be "
+            f"schema {have} but this gate writes {want} "
+            "— absorb_dedup (and any other schema- or type-shaping option, "
+            "including the source's id/text column types) must be "
             "fixed per sink_root; point the reconfigured gate at a fresh "
             "sink directory"
         )
@@ -895,9 +902,19 @@ class IncrementalLshIndex:
         # and refusing it would regress previously-valid usage). A bare
         # "id" first column is id-shaped too (ADVICE r11: (id, band_id,
         # sig) is legitimately ordered — band_id is a bucket key, not the
-        # row id — and must not trip the misorder guard).
-        if idc != "id" and not idc.endswith("_id") and any(
-            c.endswith("_id") for c in key
+        # row id — and must not trip the misorder guard) — UNLESS the
+        # index's OWN id column (the sh frame's first column) appears
+        # later in the frame (ADVICE r12: (id, doc_id, sig) against a
+        # doc_id-keyed index is the misorder, not a bucket-key naming
+        # choice — bare "id" must not launder it past the guard).
+        index_id = self.sh.columns[0] if self.sh is not None else None
+        bare_id_shadows_real_id = (
+            idc == "id" and index_id is not None
+            and index_id != "id" and index_id in key
+        )
+        if bare_id_shadows_real_id or (
+            idc != "id" and not idc.endswith("_id")
+            and any(c.endswith("_id") for c in key)
         ):
             raise ValueError(
                 "IncrementalLshIndex: band frame must lead with the id "

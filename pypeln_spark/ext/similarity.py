@@ -230,8 +230,6 @@ def mmr_rerank(
     selection step, not just the final set.
 
     Output: (query_id, neighbor_id, cos, mmr_score, mmr_rank ≤ k_out)."""
-    from .dedup import pool_persist
-
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1]: {lam}")
     if k_out > k_cand:
@@ -1600,8 +1598,6 @@ def live_topk_serve(
     bounded-leaf read, never a re-derivation. Returns (query_id,
     neighbor_id, cos, rank ≤ k) or None on an empty batch; the caller
     labels the epoch and writes."""
-    from .dedup import pool_persist, retire_pipeline_caches
-
     serve_np = serving_nprobe(n_cells, recall_target=recall_target)
     n_batch = batch_df.count()  # one tiny job; feeds stage 1's guard
     if n_batch == 0:

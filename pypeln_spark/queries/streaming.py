@@ -2514,6 +2514,12 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
 
     gate = S.CellEmbeddingIngestGate(
         index, ingest_root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe="auto",
+        # explicit, not defaulted: the oracle's km1 chain replays the
+        # retrain with KMEANS_ITERS/KMEANS_TRAIN_MOD, so the gate must be
+        # CONSTRUCTED with the same constants — relying on the class
+        # defaults happening to equal them would turn a default change
+        # into a silent driver hash mismatch (ADVICE r12)
+        retrain_iters=KMEANS_ITERS, retrain_train_mod=KMEANS_TRAIN_MOD,
     )
 
     def serve(batch_df, qepoch):

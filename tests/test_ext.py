@@ -2428,6 +2428,17 @@ def test_index_cap_refuses_misordered_band_frame(spark):
     )
     idx = D.IncrementalLshIndex(sh_id, bands_id, bucket_cap=2)
     assert sorted(r.id for r in idx.bands.collect()) == [0, 1]
+    # ADVICE r12: bare "id" must NOT launder a genuine misorder — when
+    # the index's OWN id column (sh's first column) appears LATER in the
+    # band frame ((id, doc_id, sig) against a doc_id-keyed index), the
+    # frame is misordered and must raise, not cap by the wrong key
+    bands_shadow = spark.createDataFrame(
+        [(7, 1, [7])], "id long, doc_id long, sig array<bigint>"
+    )
+    with _pytest.raises(ValueError, match="lead with the id"):
+        D.IncrementalLshIndex(good_sh, bands_shadow, bucket_cap=2)
+    # and still no raise without a cap (frame is never key-inferred)
+    D.IncrementalLshIndex(good_sh, bands_shadow)
 
 
 def test_simhash_wideband_pigeonhole_mechanics(spark):

@@ -1779,6 +1779,30 @@ def test_gate_sink_schema_guard_refuses_mixed_schema_append(spark, tmp_path):
     D.retire_pipeline_caches()
 
 
+def test_sink_schema_guard_catches_type_drift(spark, tmp_path):
+    """ADVICE r12: the guard compares names AND types — a reused
+    sink_root whose columns match by name but differ in type (id_col
+    long vs int from a differently-typed source) is the same
+    nondeterministic-read failure class and must raise, while an
+    identically-typed frame still validates clean."""
+    import pytest as _pytest
+
+    from pypeln_spark.ext.dedup import validate_sink_schema
+
+    root = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [(1, 0, None)], "doc_id int, epoch int, dup_of int"
+    ).write.parquet(root)
+    same = spark.createDataFrame([(2, 1, None)], "doc_id int, epoch int, dup_of int")
+    validate_sink_schema(same, root)  # names+types identical: clean
+    drift = spark.createDataFrame(
+        [(2, 1, None)], "doc_id long, epoch int, dup_of int"
+    )
+    with _pytest.raises(ValueError, match="schema"):
+        validate_sink_schema(drift, root)
+    validate_sink_schema(drift, str(tmp_path / "fresh"))  # fresh sink ok
+
+
 def test_embedding_gate_reports_within_batch_duplicate_mass(spark, tmp_path):
     """VERDICT r11 #3: the flood indicator. Gates never compare a batch
     against itself, so within-batch duplicate mass is invisible in dup_of

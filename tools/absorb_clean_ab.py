@@ -143,6 +143,9 @@ def main() -> None:
         if not same:
             diff = results["plain"][1] ^ results["dedup"][1]
             print(f"  DIFFERING ROWS ({len(diff)}): {sorted(diff)[:6]}")
+            # the docstring promises an ASSERT, not a report — a scripted
+            # A/B must fail loudly on a decision mismatch (ADVICE r12)
+            sys.exit(1)
 
 
 if __name__ == "__main__":
