@@ -380,9 +380,16 @@ def main() -> None:
     # end-position min IS the positional-contention bisect, landed in
     # the driver artifact itself.
     ref = _load_ref()
+    # flag = 1.5x-with-absolute-allowance OR a hard 2x-of-floor. The
+    # +0.3 s allowance exists so sub-second rows don't retry on scheduler
+    # jitter, but for any floor under 0.6 s it was the BINDING term and
+    # let a >2x row escape adjudication entirely (VERDICT r12 #1:
+    # sketch_quantile_doc_lengths sat at 2.01x of its 0.204 floor,
+    # unflagged). 2x-of-floor is the driver's own bar — a row past it
+    # must always enter the retry pool, whatever its absolute size.
     flagged = [
         n for n, t in timings.items()
-        if n in ref and t > max(1.5 * ref[n], ref[n] + 0.3)
+        if n in ref and (t > max(1.5 * ref[n], ref[n] + 0.3) or t > 2 * ref[n])
     ]
     # RATIO-aware selection (VERDICT r11 #2): the r11 selector ranked by
     # absolute excess, so twelve big streaming rows (+2.5..+10 s each) ate
