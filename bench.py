@@ -61,7 +61,8 @@ HEADLINE = [
     "events_sessionization",
     "pipeline_map_python_udf",
     "dedup_exact_documents",
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh: RETIRED r13 (superseded by dedup_minhash_lsh_fast,
+    # identical pipeline+oracle; the fast row below keeps the perf coverage)
     "dedup_minhash_lsh_fast",
     "dedup_simhash_fingerprints",
     "ann_cosine_topk",
@@ -105,14 +106,15 @@ HEADLINE = [
     # -- round-5 additions --
     "dedup_containment_pairs",
     "graph_lpa_part_cooccurrence",
-    "ann_recall_eval_ivf",
+    # ann_recall_eval_ivf: RETIRED r13 (axes swept by ann_recall_eval_ivf_kmeans
+    # and ann_recall_eval_nprobe, both below)
     "curation_token_budget",
     "multimodal_real_decode_wav",
     "multimodal_video_frame_sample",
     "graph_kcore_part_cooccurrence",
     "quality_drift_events_cohorts",
     "streaming_drift_daily_mix",
-    "curation_e2e_pretrain_pack",
+    # curation_e2e_pretrain_pack: RETIRED r13 (superseded by the _cc capstone)
     "events_transition_matrix",
     "sketch_kmv_overlap_users",
     "quality_ks_test_value_cohorts",
@@ -158,7 +160,7 @@ HEADLINE = [
     "streaming_embedding_ingest",
     # round-9 additions
     "ann_recall_eval_nprobe",
-    "dedup_simhash_near_pairs_wide",
+    # dedup_simhash_near_pairs_wide: RETIRED r13 (superseded by wide60 below)
     # round-10 additions: the durable-compaction arm (its delta vs
     # streaming_incremental_dedup prices the write-amplification of
     # executor-loss safety) and the k-means-cell gate mode (the

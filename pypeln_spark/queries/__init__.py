@@ -8,7 +8,7 @@ order-sensitive float reduction goes through the decimal-cast convention
 (pypeln_spark/functions.py) so values are bit-identical across engines.
 """
 
-from .base import REGISTRY, Query, register, tables
+from .base import REGISTRY, RETIRED, Query, register, tables
 
 # Importing the modules populates REGISTRY in module order; the explicit
 # _PRIORITY reorder below then decides the DRIVER-VISIBLE order. The driver
@@ -157,4 +157,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["REGISTRY", "Query", "register", "tables"]
+__all__ = ["REGISTRY", "RETIRED", "Query", "register", "tables"]

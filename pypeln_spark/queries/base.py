@@ -17,10 +17,24 @@ class Query:
 
 REGISTRY: tp.Dict[str, Query] = {}
 
+# Retired entries (see the RETIREMENT POLICY above _PRIORITY in
+# queries/__init__.py): superseded parameter variants removed from the
+# DRIVER-VISIBLE surface only. They keep their Query object here, so the
+# local DuckDB gate still replays their oracles every pytest run and the
+# plan-contract tests still reach their plans — retirement frees rotation
+# window capacity, never coverage. PYPELN_SPARK_RETIRED=1 re-registers
+# them (e.g. to replay a historical CORRECTNESS row).
+RETIRED: tp.Dict[str, Query] = {}
 
-def register(name: str, oracle: tp.Optional[str] = None):
+
+def register(name: str, oracle: tp.Optional[str] = None,
+             retired_by: tp.Optional[str] = None):
     def deco(fn):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        q = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        if retired_by and not os.environ.get("PYPELN_SPARK_RETIRED"):
+            RETIRED[name] = q
+        else:
+            REGISTRY[name] = q
         return fn
 
     return deco

@@ -598,7 +598,18 @@ def _e2e_chain(spark, sf_dir, drop_rule: str):
     )
 
 
-@register("curation_e2e_pretrain_pack", oracle=_e2e_oracle())
+@register(
+    "curation_e2e_pretrain_pack",
+    oracle=_e2e_oracle(),
+    # RETIRED r13: superseded by curation_e2e_pretrain_pack_cc — the
+    # identical shingles-to-shard-positions chain with the strictly more
+    # accurate cluster-level survivor election (pairwise drop can keep two
+    # docs of one duplicate cluster; CC keeps exactly the min id) and a
+    # strictly stronger oracle (the same full replay PLUS the recursive-CTE
+    # transitive closure). The pairwise-drop stage itself remains exercised
+    # by the _cc entry's verified-pair front and the curation unit tests.
+    retired_by="curation_e2e_pretrain_pack_cc",
+)
 def curation_e2e_pretrain_pack(spark, sf_dir):
     """THE capstone composition — the full pretraining curation pipeline as
     one query: quality thresholds → exact-dedup keep-list → MinHash-LSH

@@ -82,6 +82,13 @@ def dedup_minhash_signatures(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
+    # RETIRED r13: superseded by dedup_minhash_lsh_fast — the IDENTICAL
+    # pipeline and IDENTICAL oracle, differing only in the impl= parameter
+    # (numpy vs interpreted signature stage). The interpreted impl stays
+    # registry-covered (dedup_lsh_hot_bucket_star, dedup_ngram_jaccard_exact
+    # run it) and bit-equivalence is test-pinned
+    # (test_shingle_sigs_np_bitwise_matches_catalyst).
+    retired_by="dedup_minhash_lsh_fast",
     oracle=f"""
     WITH {_SH_CTE}, {_MH_CTE},
     banded AS (
@@ -449,6 +456,14 @@ def dedup_simhash_near_pairs60(spark, sf_dir):
 
 @register(
     "dedup_simhash_near_pairs_wide",
+    # RETIRED r13: documented SUPERSEDED (its own docstring, since r11) by
+    # dedup_simhash_near_pairs_wide60 — the same simhash_near_pairs code
+    # path at the production setting (60-bit fingerprints x 4 affine
+    # tables vs this 32-bit variant, which saturates past ~10^5 docs).
+    # The 32-bit tables=4 path stays pytest-covered
+    # (test_simhash_wide_entry_plan_shape + the hd-5 pair mechanics in
+    # test_ext.py) and its capture is measured by dedup_simhash_recall_eval.
+    retired_by="dedup_simhash_near_pairs_wide60",
     oracle=f"""
     WITH th AS (
       SELECT doc_id, {_TH} AS h

@@ -1255,6 +1255,14 @@ def search_hybrid_rrf(spark, sf_dir):
 
 @register(
     "ann_recall_eval_ivf",
+    # RETIRED r13: a scaffolding variant whose parameters two later
+    # entries now sweep — ann_recall_eval_ivf_kmeans covers the quantizer
+    # axis (five arms incl. this entry's 'first' quantizer, on BOTH query
+    # sets, exposing this arm's documented query⊆centroid confound) and
+    # ann_recall_eval_nprobe covers the nprobe axis on the confound-free
+    # disjoint query set. Same retrieval + recall-rollup code path, equal
+    # oracle structure, strictly stronger coverage in the survivors.
+    retired_by="ann_recall_eval_ivf_kmeans",
     oracle=f"""
     WITH {_E_CTE},
     ex_scored AS (

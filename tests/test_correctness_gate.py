@@ -10,7 +10,11 @@ import duckdb
 import pytest
 
 from pypeln_spark.io import TABLES
-from pypeln_spark.queries import REGISTRY
+from pypeln_spark.queries import REGISTRY, RETIRED
+
+# retired entries leave the driver window, never the local gate: their
+# oracles stay replayed every pytest run (retirement policy, r13)
+EVERYTHING = {**REGISTRY, **RETIRED}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -55,7 +59,7 @@ def normalize(df):
     return cols, rows
 
 
-oracle_queries = [(n, q) for n, q in sorted(REGISTRY.items()) if q.oracle is not None]
+oracle_queries = [(n, q) for n, q in sorted(EVERYTHING.items()) if q.oracle is not None]
 
 
 def assert_driver_safe_schema(df, name):
@@ -76,7 +80,7 @@ def assert_driver_safe_schema(df, name):
 
 @pytest.mark.parametrize("name", [n for n, _ in oracle_queries])
 def test_query_matches_oracle(spark, duck, name):
-    q = REGISTRY[name]
+    q = EVERYTHING[name]
     sdf = q.fn(spark, SF_DIR)
     assert_driver_safe_schema(sdf, name)
     got = sdf.toPandas()
@@ -98,7 +102,7 @@ def test_query_matches_oracle(spark, duck, name):
 def test_rows_only_queries_run(spark):
     """Queries without an oracle still must run, return a DataFrame, and
     keep their output schema canonicalizer-safe."""
-    for name, q in sorted(REGISTRY.items()):
+    for name, q in sorted(EVERYTHING.items()):
         if q.oracle is None:
             df = q.fn(spark, SF_DIR)
             assert_driver_safe_schema(df, name)

@@ -11,13 +11,16 @@ import re
 
 import pytest
 
-from pypeln_spark.queries import REGISTRY
+from pypeln_spark.queries import REGISTRY, RETIRED
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # retired entries keep their plan contracts (retirement frees driver
+    # window capacity, never coverage) — fall through to RETIRED
+    q = REGISTRY.get(name) or RETIRED[name]
+    return q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_q6_filters_push_to_scan(spark):
@@ -486,13 +489,14 @@ def test_plan_lint_whole_registry(spark):
     The hand-written contracts above pin ~20 load-bearing shapes; this
     catches regressions in the other ~130."""
     import tools.plan_lint as L
-    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries import REGISTRY, RETIRED
 
     violations = {}
-    for name in REGISTRY:
+    everything = {**REGISTRY, **RETIRED}
+    for name in everything:
         if name.startswith("streaming_"):
             continue
-        df = REGISTRY[name].fn(spark, SF)
+        df = everything[name].fn(spark, SF)
         v = L.lint(df._jdf.queryExecution().executedPlan().toString(), name)
         if v:
             violations[name] = v

@@ -137,13 +137,15 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     include_streaming = "--include-streaming" in sys.argv
 
-    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries import REGISTRY, RETIRED
     from pypeln_spark.session import get_spark
 
     spark = get_spark(app_name="plan_lint")
+    # retired entries keep their plan-contract bar: lint REGISTRY + RETIRED
+    everything = {**REGISTRY, **RETIRED}
     names = args or [
         n
-        for n in REGISTRY
+        for n in everything
         if include_streaming or not n.startswith("streaming_")
     ]
     violations: dict[str, list[str]] = {}
@@ -156,7 +158,7 @@ def main() -> int:
         # returned frames are small local results, so the sweep stays cheap
         # and their final plans are still linted (ADVICE r3: the old
         # "never execute" claim was wrong).
-        df = REGISTRY[name].fn(spark, SF)
+        df = everything[name].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         checked += 1
         v = lint(plan, name)
