@@ -1710,7 +1710,7 @@ class EmbeddingIngestGate:
         target_occupancy: float = 8.0,
         epoch_col=None,
         collect_stats: bool = False,
-        absorb_dedup: bool = False,
+        absorb_dedup: bool = True,
     ):
         if occupancy_trigger and target_occupancy >= occupancy_trigger:
             raise ValueError(
@@ -1751,19 +1751,20 @@ class EmbeddingIngestGate:
         # the index stays thin, and retrain trains on the data's real
         # support. Decision-invariance is exact-dup-only BY CONSTRUCTION
         # (grouping key = the full vector, no hash truncation): distinct
-        # near-dup vectors in one batch still both absorb. Default False
-        # — the registry oracles replay the store-everything shape.
-        # DEPLOYMENT RULE (r12, measured — tools/absorb_clean_ab.py,
-        # SCALING.md r12): turn it ON. On a CLEAN (duplicate-free)
-        # stream the embedding-side cost is below the noise floor
-        # (sf0.1 0.91x, sf1 1.006x, decisions identical — the window
-        # keys on the narrow vector column and runs over the novel set
-        # only), while leaving it off risks the measured flood failure
-        # class (index bloat, centroid collapse on retrain). The
-        # registry default stays False only for oracle-replay shape;
+        # near-dup vectors in one batch still both absorb. Default TRUE
+        # since r13 (VERDICT r12 #7) — the code default now matches the
+        # measured DEPLOYMENT RULE (r12, tools/absorb_clean_ab.py,
+        # SCALING.md r12): on a CLEAN (duplicate-free) stream the
+        # embedding-side cost is below the noise floor (sf0.1 0.91x,
+        # sf1 1.006x, decisions identical — the window keys on the
+        # narrow vector column and runs over the novel set only), while
+        # leaving it off risks the measured flood failure class (index
+        # bloat, centroid collapse on retrain). Callers that need the
+        # store-everything shape — the registry entries, whose oracles
+        # replay every stored copy — pass absorb_dedup=False explicitly;
         # collect_stats surfaces n_batch_dup — within-batch duplicate
         # mass — so a False deployment can SEE the flood it is exposed
-        # to and flip the flag.
+        # to and flip the flag back on.
         self.absorb_dedup = absorb_dedup
         self.stats: list = []
         self._epoch = 0
@@ -2016,7 +2017,7 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         target_occupancy: float = 8.0,
         retrain_iters: int = 2,
         retrain_train_mod: tp.Optional[int] = 4,
-        absorb_dedup: bool = False,
+        absorb_dedup: bool = True,
     ):
         super().__init__(
             index, sink_root, dim, n_planes=0, threshold=threshold,

@@ -1896,6 +1896,9 @@ def streaming_embedding_ingest(spark, sf_dir):
             os.environ.get("PYPELN_SPARK_EMB_GATE_OCCUPANCY", "0")
         ),
         epoch_col=lambda: F.expr("CAST(((vec_id % 6) - 1) DIV 2 AS INT)"),
+        # store-everything shape: the oracle replays every stored copy
+        # (the class default is the deployment-rule ON since r13)
+        absorb_dedup=False,
     )
     ST.staged_foreach_batch(spark, epochs, gate)
     D.retire_pipeline_caches()
@@ -2062,6 +2065,7 @@ def streaming_embedding_ingest_cells(spark, sf_dir):
     gate = S.CellEmbeddingIngestGate(
         index, root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe=2,
         epoch_col=lambda: F.expr("CAST(((vec_id % 6) - 1) DIV 2 AS INT)"),
+        absorb_dedup=False,  # oracle-replay shape (class default ON, r13)
     )
     ST.staged_foreach_batch(spark, epochs, gate)
     D.retire_pipeline_caches()
@@ -2514,6 +2518,7 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
 
     gate = S.CellEmbeddingIngestGate(
         index, ingest_root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe="auto",
+        absorb_dedup=False,  # oracle-replay shape (class default ON, r13)
         # explicit, not defaulted: the oracle's km1 chain replays the
         # retrain with KMEANS_ITERS/KMEANS_TRAIN_MOD, so the gate must be
         # CONSTRUCTED with the same constants — relying on the class

@@ -1779,6 +1779,24 @@ def test_gate_sink_schema_guard_refuses_mixed_schema_append(spark, tmp_path):
     D.retire_pipeline_caches()
 
 
+def test_absorb_dedup_defaults_match_deployment_rule():
+    """VERDICT r12 #7: the measured deployment rule is now the code
+    default — embedding gates ON (clean-stream cost ≤1.006x at sf1,
+    below noise; OFF risks the flood/centroid-collapse class), text gate
+    OFF (its 4-5% clean-stream cost is a real trade, ON only for
+    web/crawl ingest per its docstring)."""
+    import inspect
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    for cls in (S.EmbeddingIngestGate, S.CellEmbeddingIngestGate):
+        p = inspect.signature(cls.__init__).parameters["absorb_dedup"]
+        assert p.default is True, cls.__name__
+    p = inspect.signature(D.TextIngestGate.__init__).parameters["absorb_dedup"]
+    assert p.default is False
+
+
 def test_sink_schema_guard_catches_type_drift(spark, tmp_path):
     """ADVICE r12: the guard compares names AND types — a reused
     sink_root whose columns match by name but differ in type (id_col
@@ -1936,6 +1954,9 @@ def test_embedding_gate_identical_vector_cluster_cap_vs_widen(spark, tmp_path):
             idx, root, DIM, n_planes=6, threshold=0.95, probe_hamming=1,
             occupancy_trigger=(2.0 if trigger else 0.0),
             target_occupancy=1.0, collect_stats=True,
+            # deliberately OFF: this test pins the store-everything flood
+            # failure mode the r13 default-ON guard exists to prevent
+            absorb_dedup=False,
         )
         for i, ep in enumerate(epochs):
             gate(ep, i)
@@ -2031,6 +2052,9 @@ def test_cells_gate_inherits_index_bucket_cap_through_retrain(spark, tmp_path):
         gate = S.CellEmbeddingIngestGate(
             idx, root, DIM, centroids=cents0, n_cells=N_CELLS,
             threshold=0.95, nprobe=2,
+            # deliberately OFF: the flood must absorb in full for the
+            # bucket-cap inheritance claim to have anything to bound
+            absorb_dedup=False,
         )
         gate(epochs[0], 0)
         # the at-scale maintenance move between epochs: retrain re-derives

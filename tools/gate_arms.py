@@ -146,6 +146,7 @@ def main() -> int:
             gate = S.CellEmbeddingIngestGate(
                 idx, root, DIM, cents, opt["cells"], opt["threshold"],
                 nprobe=opt["nprobe"], collect_stats=True,
+                absorb_dedup=False,  # arms compare store-everything shapes
             )
         else:
             gate = S.EmbeddingIngestGate(
@@ -153,6 +154,7 @@ def main() -> int:
                 probe_hamming=1,
                 occupancy_trigger=(opt["trigger"] if arm == "trig" else 0.0),
                 target_occupancy=opt["target"], collect_stats=True,
+                absorb_dedup=False,  # arms compare store-everything shapes
             )
         t0 = time.perf_counter()
         ST.staged_foreach_batch(spark, epochs, gate)

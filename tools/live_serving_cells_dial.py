@@ -69,6 +69,7 @@ def run(spark, retrain_cells):
     serve_root = tempfile.mkdtemp(prefix="pypeln_live_dial_serve_")
     gate = S.CellEmbeddingIngestGate(
         index, root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe="auto",
+        absorb_dedup=False,  # mirror the registry entry's replay shape
     )
 
     def serve(batch_df, qepoch):
