@@ -201,6 +201,15 @@ HEADLINE = [
     # candidate front)
     "streaming_ann_topk_serving_live",
     "search_mmr_diversified_topk",
+    # round-13 additions: the production retrieval composition — MMR over
+    # the IVF-kmeans ANN front with the literal-quantizer assignment (vs
+    # search_mmr_diversified_topk: prices the trained front + BNLJ-free
+    # assignment against the exact theta-join front) — and live BM25
+    # serving during ingest (vs streaming_ann_topk_serving_live: the
+    # lexical twin — per-epoch IDF/avgdl snapshots instead of centroid
+    # geometry)
+    "search_mmr_over_ann_front",
+    "streaming_bm25_topk_serving_live",
 ]
 
 

@@ -205,6 +205,7 @@ def mmr_rerank(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Diversified top-k via greedy MAXIMAL MARGINAL RELEVANCE (Carbonell
     & Goldstein 1998) — the standard rerank a retrieval stack runs
@@ -229,6 +230,14 @@ def mmr_rerank(
     trajectory replays in DuckDB — the registry oracle hash-checks every
     selection step, not just the final set.
 
+    ``candidates`` (r13): supply the candidate front directly as a
+    (query_id, neighbor_id, cos) frame — the PRODUCTION composition, with
+    any ANN retriever (IVF, LSH, PQ) feeding the rerank; ``k_cand`` then
+    describes the supplied front's nominal width (validation only — the
+    frame defines the actual front, and a query whose cell population
+    yields fewer candidates simply ends its greedy trajectory early).
+    Default None keeps the exact cosine_topk front.
+
     Output: (query_id, neighbor_id, cos, mmr_score, mmr_rank ≤ k_out)."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1]: {lam}")
@@ -241,8 +250,11 @@ def mmr_rerank(
     # overheads to a |queries| x k_cand computation (measured: the
     # count-per-step form cost ~14s at sf0.1 where this shape reads ~5s)
     cand = pool_persist(
-        cosine_topk(emb, queries, k=k_cand, id_col=id_col, vec_col=vec_col)
-        .select("query_id", "neighbor_id", "cos")
+        (
+            candidates
+            if candidates is not None
+            else cosine_topk(emb, queries, k=k_cand, id_col=id_col, vec_col=vec_col)
+        ).select("query_id", "neighbor_id", "cos")
     )
     nf = with_norms(spread(emb), vec_col).select(
         F.col(id_col).alias("nid"), F.col("_v").alias("v"), F.col("_norm").alias("nrm")
@@ -434,6 +446,7 @@ def ivf_assign(
     keep: int = 1,
     id_col: str = "vec_id",
     with_rank: bool = False,
+    as_literals: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``keep`` nearest centroid cells by cosine
     (deterministic tiebreak: centroid id). ``vecs``/``centroids`` are
@@ -450,16 +463,52 @@ def ivf_assign(
     the small side) keeps the window. ``with_rank`` (keep>1 only) retains
     the probe rank column ``crank`` so a multi-nprobe eval can assign ONCE
     at the largest nprobe and carve each arm with a filter
-    (ann_recall_eval_nprobe) instead of re-assigning per arm."""
+    (ann_recall_eval_nprobe) instead of re-assigning per arm.
+
+    ``as_literals`` (r13): embed the centroids as an inline literal array
+    of (cid, cv, cn) structs and EXPLODE it against the vector side — a
+    pure whole-stage-codegen projection with NO join node at all, where
+    the default path is a BroadcastNestedLoopJoin against the broadcast
+    centroid frame (bounded — n_cells rows — but still a join the lint
+    must exempt). Only valid when the centroid frame is a materialized
+    driver-side artifact (trained_artifact's collect-and-replay frames):
+    the collect here is n_cells tiny rows, the same rows the artifact
+    already holds locally. Values are bit-identical to the join path —
+    F.lit over the collected doubles round-trips exactly."""
     if with_rank and keep == 1:
         # the argmax fast path below never builds crank — fail loudly
         # instead of silently returning a rank-less frame (ADVICE r9 #1)
         raise ValueError("with_rank=True requires keep > 1 (the argmax "
                          "keep=1 path carries no rank column)")
-    c = centroids.select(
-        F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
-    )
-    scored = vecs.join(F.broadcast(c), F.lit(True)).withColumn(
+    if as_literals:
+        rows = centroids.select(
+            F.col(id_col).alias("cid"), F.col("_v"), F.col("_norm")
+        ).collect()
+        lits = F.array(*[
+            F.struct(
+                F.lit(int(r.cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r._v]).alias("cv"),
+                F.lit(float(r._norm)).alias("cn"),
+            )
+            for r in rows
+        ])
+        scored = (
+            vecs.withColumn("_c", F.explode(lits))
+            .select(
+                "*",
+                F.col("_c.cid").alias("cid"),
+                F.col("_c.cv").alias("cv"),
+                F.col("_c.cn").alias("cn"),
+            )
+            .drop("_c")
+        )
+    else:
+        c = centroids.select(
+            F.col(id_col).alias("cid"), F.col("_v").alias("cv"),
+            F.col("_norm").alias("cn"),
+        )
+        scored = vecs.join(F.broadcast(c), F.lit(True))
+    scored = scored.withColumn(
         "ccos", dot_ieee(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
     )
     if keep == 1:
@@ -664,6 +713,7 @@ def ivf_topk(
     kmeans_iters: int = 2,
     train_mod: int | None = None,
     centroids: DataFrame | None = None,
+    quantizer_literals: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer (deterministic centroids = the first
     ``n_cells`` vectors by id) partitions the corpus into inverted lists;
@@ -687,7 +737,16 @@ def ivf_topk(
     kmeans_iters more times, and persisting wins (4.6s → 3.8s). The trained
     centroids persist in both cases — they feed corpus assignment AND query
     probing, and unpersisted each consumer replays training end to end
-    (n_cells rows: the cheapest persist in the engine, ~1.7× end-to-end)."""
+    (n_cells rows: the cheapest persist in the engine, ~1.7× end-to-end).
+
+    ``quantizer_literals`` (r13, requires ``centroids``): run BOTH
+    assignment passes through ivf_assign's inline-literal path — the
+    composed plan then has no BroadcastNestedLoopJoin anywhere (the probe
+    join stays a broadcast HASH join on cid)."""
+    if quantizer_literals and centroids is None:
+        raise ValueError(
+            "quantizer_literals requires a materialized centroids artifact"
+        )
     if centroids is not None:
         # pre-trained quantizer artifact (trained_artifact): corpus is
         # scanned once for assignment and the centroids are already local —
@@ -711,12 +770,16 @@ def ivf_topk(
     else:
         corpus = with_norms(spread(emb), vec_col)
         cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
-    cells = ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col).select(
+    cells = ivf_assign(
+        corpus, cents, n_cells, keep=1, id_col=id_col,
+        as_literals=quantizer_literals,
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
         F.col("_norm").alias("cn"), "cid",
     )
     probes = ivf_assign(
-        with_norms(queries, vec_col), cents, n_cells, keep=nprobe, id_col=id_col
+        with_norms(queries, vec_col), cents, n_cells, keep=nprobe, id_col=id_col,
+        as_literals=quantizer_literals,
     ).select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
         F.col("_norm").alias("qn"), "cid",

@@ -302,6 +302,48 @@ def test_mmr_rerank_diversifies_near_duplicate_hits(spark):
         S.mmr_rerank(emb, queries, lam=1.5)
     with _pytest.raises(ValueError, match="k_out"):
         S.mmr_rerank(emb, queries, k_cand=3, k_out=5)
+    # candidates= (r13): supplying the exact front explicitly must be
+    # bit-identical to the internal cosine_topk front — the contract the
+    # ANN composition (search_mmr_over_ann_front) builds on
+    internal = S.mmr_rerank(emb, queries, k_cand=4, k_out=3, lam=0.5)
+    supplied = S.mmr_rerank(
+        emb, queries, k_cand=4, k_out=3, lam=0.5,
+        candidates=S.cosine_topk(emb, queries, k=4),
+    )
+    assert sorted(map(tuple, internal.collect())) == sorted(
+        map(tuple, supplied.collect())
+    )
+
+
+def test_ivf_assign_literal_path_matches_join_path(spark):
+    """ivf_assign(as_literals=True) embeds the centroids as an inline
+    literal array (no join node — the BNLJ-free quantizer the MMR-over-ANN
+    entry composes). Values must be BIT-identical to the broadcast-join
+    path on both the keep=1 argmax and keep>1 window formulations, and
+    the literal plan must carry no join at all."""
+    import random
+
+    from pypeln_spark.ext import similarity as S
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    vecs = S.with_norms(S.spread(emb))
+    cents = S.with_norms(S.spread(emb.filter(F.col("vec_id") < 4)))
+    for keep in (1, 3):
+        a = S.ivf_assign(vecs, cents, 4, keep=keep)
+        b = S.ivf_assign(vecs, cents, 4, keep=keep, as_literals=True)
+        cols = ["vec_id", "cid"]
+        assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+            map(tuple, b.select(cols).collect())
+        )
+    plan = (
+        S.ivf_assign(vecs, cents, 4, keep=1, as_literals=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan[:2000]
 
 
 def test_connected_components_chain_and_islands(spark):

@@ -201,6 +201,24 @@ def test_simhash_wide_entry_plan_shape(spark):
     ), p[:2000]
 
 
+def test_mmr_over_ann_front_plan_is_bnlj_free(spark):
+    """search_mmr_over_ann_front (r13): the production ANN → MMR
+    composition must need NO BroadcastNestedLoopJoin exemption anywhere —
+    the quantizer assignment runs as the inline-literal explode (pure
+    codegen projection), the probe join is a hash join on cid, and every
+    post-candidate MMR stage is an equi-join. This is the structural
+    delta vs search_mmr_diversified_topk, whose exact cosine_topk front
+    is a broadcast theta-join (lint-exempted)."""
+    p = plan_of(spark, "search_mmr_over_ann_front")
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "CartesianProduct" not in p
+    # the candidate probe join on cid is a real equi-join
+    assert (
+        p.count("BroadcastHashJoin") + p.count("ShuffledHashJoin")
+        + p.count("SortMergeJoin") >= 1
+    ), p[:2000]
+
+
 def test_ivf_kmeans_centroid_update_is_partial_aggregate(spark):
     """k-means training shuffles only (cell, dim) keyed partial means —
     key cardinality n_cells x dim regardless of corpus size. A plan
