@@ -313,6 +313,108 @@ def sql_bm25_topk(
     """
 
 
+def bm25_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tp.Tuple[DataFrame, DataFrame]:
+    """Build the BM25 INDEX frames for a document set: the postings table
+    (doc_id, term, tf, dl — document length denormalized onto every
+    posting so serving never joins a doclen side) and the skinny doclen
+    table (doc_id, dl — the corpus-statistics source: N and sum dl).
+    One explode + one groupBy per build; on the live-serving gate these
+    build per-EPOCH over the absorbed novel set only (∝ |batch|), never
+    over the corpus."""
+    toks = tokenize(F.col(text_col))
+    base = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("_toks"),
+    )
+    doclen = base.select("doc_id", "dl")
+    postings = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select("doc_id", "term", "tf", "dl")
+    )
+    return postings, doclen
+
+
+def bm25_serve(
+    postings: DataFrame,
+    doclen: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 12,
+) -> DataFrame:
+    """Serve BM25 top-k for a BATCH OF QUERIES against a maintained
+    postings index — the inverted-index formulation of bm25_topk (which
+    pivots a fixed term set into columns; this one takes ``qterms`` as
+    (query_id, term) rows, so the query set is data, which is what a
+    live serving tier receives).
+
+    Corpus statistics (N, sum dl, per-term df) are computed from the
+    CURRENT index frames at call time — on the live gate this is the
+    per-epoch IDF/avgdl SNAPSHOT, the lexical staleness dial (the
+    analogue of the vector gate's centroid geometry; see
+    streaming_bm25_topk_serving_live). Determinism matches bm25_topk:
+    integer tf/dl/df/N, one-division avgdl, log-free rational idf,
+    identically-associated IEEE per-term scores; the per-doc score SUM is
+    order-nondeterministic under Spark's aggregation, so it goes through
+    the decimal-cast convention (dsum, default scale 12) — bit-stable on
+    both engines.
+
+    Scale shape: the postings side NEVER moves — both the per-term df
+    aggregate and the scoring join stream the postings against BROADCAST
+    query frames (qterms is query-batch-sized, df is |distinct terms|
+    rows, the stats frame is one row), then only the MATCHED postings
+    (∝ query terms' document frequency) shuffle into the per-(query, doc)
+    sum and the per-query top-k window. Output: (query_id, doc_id,
+    score, rank ≤ k), docs with at least one matching term."""
+    from ..functions import dsum
+
+    terms = qterms.select("term").distinct()
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("dl").cast("long").alias("_sumdl"),
+    )
+    dft = (
+        postings.join(F.broadcast(terms), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+    m = (
+        postings.join(F.broadcast(qterms.select("query_id", "term")), "term")
+        .join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+    )
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    idf = (
+        (F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5)
+    ) / (F.col("_df").cast("double") + F.lit(0.5))
+    tf = F.col("tf").cast("double")
+    contrib = idf * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+    scored = (
+        m.withColumn("_c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(dsum("_c", scale).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     chunk_size: int = 64,

@@ -2577,6 +2577,299 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
     return out
 
 
+
+
+# query batches arrive DOCUMENTS-SHAPED — (doc_id = query id, text = the
+# query string) — because the staged stream carries one file-source
+# schema for every epoch; the serve body tokenizes them into
+# (query_id, term) rows, which is also how a real query log lands
+BM25_LIVE_QUERIES = [(0, "spark window join"), (1, "stream hash vector")]
+BM25_LIVE_K = 10
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_live_oracle() -> str:
+    """Oracle for streaming_bm25_topk_serving_live — the lexical twin of
+    the live ANN serving oracle: per served epoch, the LIVE document set
+    (corpus + every novel absorb from earlier ingest epochs, replayed
+    through the full LSH-gate dedup chain — banding, Jaccard verify,
+    min-corpus-id survivor pick, absorb) and the BM25 scores computed
+    under THAT epoch's corpus-statistics snapshot (N, sum dl, per-term
+    df over the live set — the IDF staleness dial). Scores follow
+    bm25_serve's determinism contract: integer stats, one-division
+    avgdl, log-free rational idf, identically-associated IEEE per-term
+    scores, decimal-cast per-doc sum."""
+    from pypeln_spark.ext.sketch import _dlit
+
+    from .dedup import JACCARD_THRESHOLD, _MH_CTE, _SH_CTE
+
+    vals = ", ".join(
+        f"({q}, '{t}')" for q, text in BM25_LIVE_QUERIES for t in text.split()
+    )
+    ctes = [
+        f"{_SH_CTE}",
+        f"{_MH_CTE}",
+        """banded AS (
+          SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS sig
+          FROM mh GROUP BY doc_id, j // 4
+        )""",
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)",
+        "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)",
+        f"q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term"
+        f"       FROM (VALUES {vals}) AS t(query_id, term))",
+        """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents)""",
+        """post AS MATERIALIZED (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, term
+        )""",
+        """dlen AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents)""",
+    ]
+    finals = []
+    norm = (
+        f"({_dlit(BM25_K1)} * ({_dlit(1.0 - BM25_B)} + {_dlit(BM25_B)} * "
+        f"(CAST(d.dl AS DOUBLE)"
+        f" / (CAST(st{{s}}._sumdl AS DOUBLE) / CAST(st{{s}}._n AS DOUBLE)))))"
+    )
+    contrib = (
+        f"(((CAST(st{{s}}._n - f{{s}}._df AS DOUBLE) + 0.5e0)"
+        f" / (CAST(f{{s}}._df AS DOUBLE) + 0.5e0))"
+        f" * ((CAST(p.tf AS DOUBLE) * {_dlit(BM25_K1 + 1.0)})"
+        f" / (CAST(p.tf AS DOUBLE) + {norm})))"
+    )
+    for e in range(2):
+        cls = 2 * e + 1  # ingest feeds: doc_id % 6 in {1, 3}
+        ctes.append(
+            f"n{e} AS (SELECT doc_id FROM documents WHERE doc_id % 6 = {cls})"
+        )
+        ctes.append(f"""m{e} AS (
+          SELECT new_id, corpus_id, jaccard FROM (
+            SELECT i.new_id, i.corpus_id,
+                   CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+            FROM (
+              SELECT p.new_id, p.corpus_id, COUNT(*) AS n_inter
+              FROM (
+                SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+                FROM banded nb
+                JOIN banded cb ON nb.band = cb.band AND nb.sig = cb.sig
+                JOIN n{e} ON n{e}.doc_id = nb.doc_id
+                JOIN c{e} ON c{e}.doc_id = cb.doc_id
+              ) p
+              JOIN sh a ON a.doc_id = p.new_id
+              JOIN sh b ON b.doc_id = p.corpus_id AND b.sh = a.sh
+              GROUP BY p.new_id, p.corpus_id
+            ) i
+            JOIN sizes sa ON sa.doc_id = i.new_id
+            JOIN sizes sb ON sb.doc_id = i.corpus_id)
+          WHERE jaccard >= {JACCARD_THRESHOLD}
+        )""")
+        ctes.append(f"""c{e + 1} AS MATERIALIZED (
+          SELECT doc_id FROM c{e}
+          UNION ALL
+          SELECT n{e}.doc_id FROM n{e}
+          ANTI JOIN (SELECT DISTINCT new_id FROM m{e}) p{e}
+            ON p{e}.new_id = n{e}.doc_id
+        )""")
+        s = e  # serve epoch s reads live set c{e+1}
+        ctes.append(f"""st{s} AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+                 CAST(SUM(d.dl) AS BIGINT) AS _sumdl
+          FROM dlen d JOIN c{e + 1} ON c{e + 1}.doc_id = d.doc_id
+        )""")
+        ctes.append(f"""f{s} AS (
+          SELECT p.term, CAST(COUNT(*) AS BIGINT) AS _df
+          FROM post p
+          JOIN c{e + 1} ON c{e + 1}.doc_id = p.doc_id
+          JOIN (SELECT DISTINCT term FROM q) t ON t.term = p.term
+          GROUP BY p.term
+        )""")
+        ctes.append(f"""sc{s} AS (
+          SELECT q.query_id, p.doc_id,
+                 {dsum_expr(contrib.format(s=s), 12)} AS score
+          FROM post p
+          JOIN c{e + 1} ON c{e + 1}.doc_id = p.doc_id
+          JOIN q ON q.term = p.term
+          JOIN f{s} ON f{s}.term = p.term
+          JOIN dlen d ON d.doc_id = p.doc_id
+          CROSS JOIN st{s}
+          GROUP BY q.query_id, p.doc_id
+        )""")
+        finals.append(f"""SELECT query_id, CAST({s} AS INTEGER) AS epoch,
+                 doc_id, score, CAST(rank AS INTEGER) AS rank
+          FROM (
+            SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank
+            FROM sc{s})
+          WHERE rank <= {BM25_LIVE_K}""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("streaming_bm25_topk_serving_live", oracle=_bm25_live_oracle())
+def streaming_bm25_topk_serving_live(spark, sf_dir):
+    """LIVE SPARSE retrieval — BM25 top-k served DURING ingest (VERDICT
+    r12 #4), the lexical twin of streaming_ann_topk_serving_live: on one
+    staged stream, query epochs interleave with ingest epochs, each query
+    batch (query_id, term rows — the query set is DATA, as a serving
+    tier receives it) scored against the CURRENT live document set under
+    the CURRENT corpus statistics.
+
+    Epoch plan: ingest 0 (docs doc_id%6==1 through the text LSH gate —
+    band-join dedup against the corpus index, novel docs absorb) ->
+    query 0 -> ingest 1 (%6==3) -> query 1. The BM25 index is a
+    maintained postings/doclen pair (ext/text.bm25_postings): base =
+    the session-cached corpus build, plus one LINEAGE-CUT delta per
+    ingest epoch covering exactly that epoch's novel absorbs (read back
+    from the decisions table the gate writes — the parquet contract IS
+    the handoff between gate and index maintenance).
+
+    STALENESS SEMANTICS — the lexical dial is the IDF SNAPSHOT, not
+    centroid geometry: document-frequency, N and avgdl DRIFT as
+    documents absorb, and a serving tier must choose when to
+    re-snapshot them. Here bm25_serve recomputes the stats from the
+    live frames at every query epoch (freshest possible at micro-batch
+    granularity: query epoch q sees every absorb from epochs < q and
+    nothing later — staged epochs serialize, the postings union swaps
+    atomically between micro-batches). A deployment holding stats
+    longer serves SCORES computed under stale idf against fresh
+    postings — the documented trade (SCALING.md r13); the re-snapshot
+    costs one skinny doclen aggregate + one per-term df aggregate, both
+    streaming the postings against broadcast query frames.
+
+    Scale shape: the postings side never moves (broadcast hash joins
+    for qterms/df, one-row stats broadcast); only matched postings
+    shuffle into the per-(query, doc) decimal sum and per-query top-k
+    window; ingest is the text gate unchanged; the postings deltas are
+    ∝ |epoch novel set|. The oracle replays the dedup chain (banding,
+    verify, survivor pick, absorb) AND both statistics snapshots AND
+    both serves — every score and rank hash-checked."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+    from pypeln_spark.ext import text as X
+
+    from .dedup import BANDS, JACCARD_THRESHOLD, N_HASHES
+
+    rpb = N_HASHES // BANDS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    ing = [docs.filter(F.col("doc_id") % 6 == c) for c in (1, 3)]
+    qt = spark.createDataFrame(BM25_LIVE_QUERIES, "doc_id long, text string")
+
+    # the SAME session-cached corpus LSH index frames as the other text
+    # gates — one maintained index, many consumers
+    cor_sh = S.cached_index(
+        ("lsh_corpus_shingles", sf_dir),
+        lambda: D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5),
+    )
+    cor_bands = S.cached_index(
+        ("lsh_corpus_bands", sf_dir, N_HASHES, BANDS),
+        lambda: D.lsh_band_table(
+            D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+            "doc_id", BANDS, rpb,
+        ),
+    )
+    base_post = S.cached_index(
+        ("bm25_corpus_postings", sf_dir),
+        lambda: X.bm25_postings(corpus)[0],
+    )
+    base_dl = S.cached_index(
+        ("bm25_corpus_doclen", sf_dir),
+        lambda: X.bm25_postings(corpus)[1],
+    )
+
+    ingest_root = ST.stream_sink_dir("pypeln_spark_bm25ingest_")
+    serve_root = ST.stream_sink_dir("pypeln_spark_bm25serve_")
+    dec_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("epoch", T.IntegerType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+    spark.createDataFrame([], dec_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ingest_root)
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("epoch", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    spark.createDataFrame([], out_schema).repartition(1).write.mode(
+        "append"
+    ).parquet(serve_root)
+
+    index = D.IncrementalLshIndex(
+        cor_sh, cor_bands, compact_every=_compact_epochs(),
+        checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+    )
+    gate = D.TextIngestGate(
+        index, ingest_root, N_HASHES, BANDS, 5, JACCARD_THRESHOLD,
+        epoch_col=lambda: F.expr("CAST(((doc_id % 6) - 1) DIV 2 AS INT)"),
+    )
+    posts = [base_post]
+    dls = [base_dl]
+
+    def body(batch_df, epoch_id):
+        if epoch_id % 2 == 0:
+            e = epoch_id // 2
+            gate(batch_df, e)
+            # the epoch's novel set, read back from the decisions table
+            # (bounded-stale: this epoch's rows are fully written before
+            # the next epoch starts — staged epochs serialize) — the
+            # parquet contract is the gate -> index-maintenance handoff
+            dups = (
+                batch_df.sparkSession.read.parquet(ingest_root)
+                .filter((F.col("epoch") == e) & F.col("dup_of").isNotNull())
+                .select("doc_id")
+            )
+            novel = batch_df.join(dups, "doc_id", "left_anti")
+            p, d = X.bm25_postings(novel)
+            # lineage cut: the delta derives from this epoch's decisions
+            # read; uncut, every later serve would replay the gate chain
+            posts.append(p.localCheckpoint(eager=True))
+            dls.append(d.localCheckpoint(eager=True))
+        else:
+            qe = (epoch_id - 1) // 2
+            qterms = batch_df.select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(X.tokenize(F.col("text"))).alias("term"),
+            )
+            live_p = posts[0]
+            for extra in posts[1:]:
+                live_p = live_p.unionByName(extra)
+            live_d = dls[0]
+            for extra in dls[1:]:
+                live_d = live_d.unionByName(extra)
+            top = X.bm25_serve(
+                live_p, live_d, qterms, k=BM25_LIVE_K, k1=BM25_K1, b=BM25_B
+            )
+            (
+                top.select(
+                    "query_id",
+                    F.lit(int(qe)).cast("int").alias("epoch"),
+                    "doc_id", "score", "rank",
+                )
+                .write.mode("append")
+                .parquet(serve_root)
+            )
+
+    ST.staged_foreach_batch(spark, [ing[0], qt, ing[1], qt], body)
+    D.retire_pipeline_caches()
+    index.close()
+    out = spark.read.parquet(serve_root).localCheckpoint(eager=True)
+    ST.remove_sink_dir(spark, serve_root)
+    ST.remove_sink_dir(spark, ingest_root)
+    return out
+
+
 @register(
     "streaming_merge_upsert_orders",
     oracle=f"""

@@ -453,6 +453,32 @@ def test_serving_join_broadcasts_probe_side(spark):
     assert key(small) == key(big)
 
 
+def test_bm25_serve_keeps_postings_in_place(spark):
+    """streaming_bm25_topk_serving_live's serve body (VERDICT r12 #4):
+    the postings side must never move — the qterms join and the per-term
+    df join stream the postings against BROADCAST query-sized frames
+    (BroadcastHashJoin), the corpus-stats frame is the family's declared
+    one-row broadcast (the only nested-loop node, same cost point
+    search_bm25_topk documents), and no SortMergeJoin touches the
+    postings anywhere. plan_lint can't see inside foreachBatch, so the
+    shape is rebuilt verbatim here."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import text as X
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    postings, doclen = X.bm25_postings(docs)
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "window"), (1, "join")], "query_id long, term string"
+    )
+    top = X.bm25_serve(postings, doclen, qt, k=5)
+    p = top._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastNestedLoopJoin") == 1, p[:3000]  # the 1-row stats
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]  # qterms + df joins
+
+
 def test_live_serving_two_stage_join_keeps_corpus_in_place(spark):
     """streaming_ann_topk_serving_live's serve body (VERDICT r11 #4):
     the LIVE index stores vectors and cells as separate delta chains, so

@@ -1779,6 +1779,43 @@ def test_gate_sink_schema_guard_refuses_mixed_schema_append(spark, tmp_path):
     D.retire_pipeline_caches()
 
 
+def test_bm25_live_serving_stats_drift_across_epochs(spark, sf_dir):
+    """streaming_bm25_topk_serving_live: each query epoch must read the
+    CURRENT corpus under the CURRENT statistics. Pinned properties:
+    (a) both fixed queries are served in both epochs with contiguous
+    ranks; (b) results include ABSORBED arrivals (odd doc_ids — the
+    corpus is even ids only), proving serves read the live set, not the
+    base corpus; (c) for at least one (query, doc) pair present in both
+    epochs the SCORE changes — the df/avgdl snapshot drifted with the
+    epoch-1 absorbs even though the doc itself didn't change."""
+    from pypeln_spark.queries import REGISTRY
+
+    out = REGISTRY["streaming_bm25_topk_serving_live"].fn(spark, sf_dir)
+    rows = out.collect()
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault((r.epoch, r.query_id), {})[r.doc_id] = (
+            r.score, r.rank
+        )
+    # (a) both queries, both epochs, ranks contiguous from 1
+    for e in (0, 1):
+        for q in (0, 1):
+            got = by_epoch[(e, q)]
+            ranks = sorted(rk for _, rk in got.values())
+            assert ranks == list(range(1, len(ranks) + 1)), (e, q, ranks)
+    # (b) live reads: some served doc is an absorbed (odd-id) arrival
+    assert any(r.doc_id % 2 == 1 for r in rows), "no absorbed doc served"
+    # (c) statistics drift on a shared doc
+    drifted = False
+    for q in (0, 1):
+        shared = set(by_epoch[(0, q)]) & set(by_epoch[(1, q)])
+        if any(
+            by_epoch[(0, q)][d][0] != by_epoch[(1, q)][d][0] for d in shared
+        ):
+            drifted = True
+    assert drifted, "scores identical across epochs — stats never re-snapshotted"
+
+
 def test_absorb_dedup_defaults_match_deployment_rule():
     """VERDICT r12 #7: the measured deployment rule is now the code
     default — embedding gates ON (clean-stream cost ≤1.006x at sf1,
