@@ -51,23 +51,25 @@ except ImportError:  # pragma: no cover
 # everything else follows in original module order. Unknown names are
 # ignored so a renamed query can't break import.
 #
-# Round-12 rotation — EXACTLY 50 names (driver samples 50; invariants
+# Round-13 rotation — EXACTLY 50 names (driver samples 50; invariants
 # pinned by tests/test_correctness_gate.py::test_driver_window_rotation_
 # invariants: window size, no duplicates, front-of-registry equality,
 # never-driver-checked entries inside the window, and the two-phase
-# 5-round-cycle freshness rule). The front 50 is (a) VERDICT r11 #1:
-# ALL 20 r7-stale entries, in registry order — they hit the 5-round
-# hard-fail threshold if they miss this window; (b) the TWO r12 debuts
+# 5-round-cycle freshness rule). The front 50 is (a) VERDICT r12 #1:
+# ALL 18 r8-stale entries, in registry order — they hit the 5-round
+# hard-fail threshold if they miss this window; (b) the TWO r13 debuts
 # (never driver-checked, must debut inside the window):
-# streaming_ann_topk_serving_live — serving against the LIVE index,
-# query epochs interleaved with ingest epochs and a mid-stream
-# cell-growing retrain (VERDICT r11 #4) — and
-# search_mmr_diversified_topk — the greedy MMR diversified-top-k
-# rerank with its full trajectory oracle-replayed; then (c) the
-# r8-stale cohort in registry order filling the remaining slots
-# oldest-first (the other 19 r8 entries lead the r13 window). ALL
-# registry entries stay covered every session by the local DuckDB gate
-# (tests/test_correctness_gate.py replays every oracle).
+# search_mmr_over_ann_front — the MMR rerank composed over the
+# IVF-kmeans candidate front with the literal-quantizer BNLJ-free plan
+# (VERDICT r12 #5) — and streaming_bm25_topk_serving_live — live
+# lexical retrieval, BM25 top-k served during ingest under per-epoch
+# IDF/avgdl snapshots (VERDICT r12 #4); then (c) the first 30
+# non-retired r9-cohort entries in registry order (the 16 remaining r9
+# entries — variant_nested_event_doc onward in cohort order — lead the
+# r14 window head). ALL registry entries PLUS the r13-retired four
+# stay covered every session by the local DuckDB gate
+# (tests/test_correctness_gate.py replays every oracle in
+# REGISTRY ∪ RETIRED).
 #
 # RETIREMENT POLICY (VERDICT r11 #6 — written before the 250-entry
 # rotation-capacity wall, ~r17 at 2 debuts/round). An entry may be
@@ -78,70 +80,74 @@ except ImportError:  # pragma: no cover
 # a scaffolding variant whose only delta is a parameter another entry
 # now sweeps; and (2) its implementation stays covered by at least one
 # pytest (retirement removes the REGISTRY row + its _PRIORITY
-# eligibility, never the code or its unit tests). Mechanics: move the
-# register() call under `if os.environ.get("PYPELN_SPARK_RETIRED")`,
-# record the retirement (name, superseding entry, round) in
-# COVERAGE.md's Retired table; the rotation test ignores names absent
-# from REGISTRY, so retired entries simply stop consuming window slots
-# — their historical CORRECTNESS rows remain valid evidence. Retire at
-# most ~5/round so the driver diff stays reviewable. No retirements
-# executed yet: capacity math (216 entries + ~2 debuts/round vs
-# 50x5=250) first forces a retirement around r16-r17.
+# eligibility, never the code or its unit tests). Mechanics (first
+# executed r13, VERDICT r12 #6): pass `retired_by="<superseding name>"`
+# to register() — the Query object then lands in base.RETIRED instead
+# of REGISTRY (PYPELN_SPARK_RETIRED=1 re-registers), the local gate and
+# plan lint keep covering REGISTRY ∪ RETIRED, and the retirement is
+# recorded (name, superseding entry, round, rationale) in COVERAGE.md's
+# Retired table; the rotation test ignores names absent from REGISTRY,
+# so retired entries simply stop consuming window slots — their
+# historical CORRECTNESS rows remain valid evidence. Retire at most
+# ~5/round so the driver diff stays reviewable. After the r13 four
+# (dedup_simhash_near_pairs_wide, ann_recall_eval_ivf,
+# dedup_minhash_lsh, curation_e2e_pretrain_pack): 214 live entries +
+# ~2 debuts/round vs 50x5=250 — headroom through ~r19.
 _PRIORITY = [
-    # -- (a) the 20 r7-stale entries (5-round cycle deadline this round) --
-    "pipeline_pickled_objects",
-    "sketch_kmv_distinct_users",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct_users",
-    "sketch_quantile_doc_lengths",
-    "q10_returned_item_ranking",
-    "events_funnel_conversion",
-    "streaming_tumbling_hourly",
-    "streaming_sliding_1h_30m",
-    "streaming_session_windows",
-    "streaming_watermark_late_drop",
-    "streaming_stateful_running_totals",
-    "asof_join_purchase_to_view",
-    "range_join_purchase_after_signup",
-    "streaming_interval_join_purchase_signup",
-    "streaming_static_enrich_nation",
-    "streaming_kmv_daily_distinct",
-    "streaming_dedup_events",
-    "asof_join_view_to_next_purchase",
-    "streaming_doc_quality_counts",
-    # -- (b) the r12 debuts --
-    "streaming_ann_topk_serving_live",
-    "search_mmr_diversified_topk",
-    # -- (c) r8-stale cohort, registry order (the remaining 19 r8
-    # entries lead the r13 window) --
-    "pipeline_datasource_source",
-    "pipeline_flat_map_udtf",
-    "pipeline_observe_metrics",
-    "curation_source_mix",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_top_tokens",
-    "text_tfidf_top_terms",
-    "text_unigram_lm_quality",
-    "search_tfidf_cosine_topk",
-    "search_tfidf_pruned_recall_eval",
-    "dedup_simhash_near_pairs",
-    "dedup_simhash_recall_eval",
-    "ann_ivf_kmeans_topk",
-    "semantic_dedup_pairs",
-    "ann_pq_adc_topk",
-    "ann_knn_classify",
-    "ann_ivf_pq_topk",
-    "ann_recall_eval_ivf_kmeans",
-    "sketch_bloom_filter_probe",
-    "q4_order_priority_checking",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
-    "events_retention_cohorts",
-    "full_outer_month_spenders",
-    "group_map_median_chars",
+    # -- (a) the 18 r8-stale entries (5-round cycle deadline this round) --
+    "group_agg_udaf_midrange",
+    "fuzzy_join_supplier_names",
+    "events_gapfill_hourly",
+    "events_scd2_status_intervals",
+    "window_distribution_gauntlet",
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_volume_suppliers",
+    "streaming_cms_daily_heavy_hitters",
+    "streaming_hll_daily_distinct",
+    "streaming_asof_static_enrich",
+    "streaming_merge_upsert_orders",
+    # -- (b) the r13 debuts --
+    "search_mmr_over_ann_front",
+    "streaming_bm25_topk_serving_live",
+    # -- (c) first 30 non-retired r9-cohort entries, registry order (the
+    # 16 remaining r9 entries lead the r14 window head) --
+    "pipeline_map_revenue",
+    "pipeline_map_python_udf",
+    "pipeline_map_rows_python",
+    "pipeline_filter_shipdate",
+    "pipeline_flat_map_tokens",
+    "pipeline_flat_map_python",
+    "pipeline_concat_parties",
+    "pipeline_ordered_lineitem",
+    "pipeline_unbounded_pump",
+    "multimodal_real_decode_pnm",
+    "multimodal_real_decode_wav",
+    "multimodal_video_frame_sample",
+    "multimodal_asset_feature_stats",
+    "curation_token_budget",
+    "curation_temperature_weights",
+    "dedup_containment_pairs",
+    "dedup_incremental_vs_corpus",
+    "ann_ivf_topk",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_recall_eval",
+    "embedding_quantize_int8",
+    "search_hybrid_rrf",
+    "ann_recall_eval_lsh",
+    "ann_recall_eval_nprobe",
+    "subquery_orders_above_avg",
+    "correlated_max_quantity_items",
+    "grouping_sets_orders",
+    "q21_waiting_suppliers",
+    "merge_upsert_orders",
+    "recursive_cte_ancestry",
 ]
 
 
