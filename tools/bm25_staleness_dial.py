@@ -18,10 +18,15 @@ buys. Ingest here appends every arriving doc to the postings (no LSH gate:
 the dial isolates the statistics question; dedup decisions are orthogonal
 to WHICH stats snapshot scores the survivors).
 
-    python tools/bm25_staleness_dial.py [n_epochs] [runs]
+    python tools/bm25_staleness_dial.py [n_epochs] [runs] [--skew]
 
 defaults: n_epochs=4, runs=1. SPARK_GRAFT_SF_DIR picks the fixture
-(default /root/testdata/sf0.1).
+(default /root/testdata/sf0.1). ``--skew`` restricts every arriving
+epoch to documents containing query 0's first term — DIFFERENTIAL df
+drift (one query's terms inflate while the others' hold), the regime
+where stale idf flips RANKS, not just scores; uniform arrivals drift
+every term's idf near-proportionally and rank order barely moves (the
+default arm measures exactly that).
 """
 
 from __future__ import annotations
@@ -46,8 +51,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    skew = "--skew" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_epochs = int(argv[0]) if len(argv) > 0 else 4
+    runs = int(argv[1]) if len(argv) > 1 else 1
     spark = get_spark(app_name="bm25_staleness_dial")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     mod = 2 * n_epochs
@@ -112,8 +119,13 @@ def main() -> None:
                 .select("query_id", "doc_id", "score", "rank")
             )
 
+        skew_term = BM25_LIVE_QUERIES[0][1].split()[0]
         for e in range(n_epochs):
             arriving = docs.filter(F.col("doc_id") % mod == 2 * e + 1)
+            if skew:
+                arriving = arriving.filter(
+                    F.array_contains(X.tokenize(F.col("text")), skew_term)
+                )
             p, d = X.bm25_postings(arriving)
             posts.append(p.localCheckpoint(eager=True))
             dls.append(d.localCheckpoint(eager=True))
