@@ -256,6 +256,12 @@ def mmr_rerank(
             else cosine_topk(emb, queries, k=k_cand, id_col=id_col, vec_col=vec_col)
         ).select("query_id", "neighbor_id", "cos")
     )
+    # the supplied-front case keeps the SAME lazy persist as the internal
+    # front: an eager count was A/B'd against the IVF composition at sf0.1
+    # (r13) and bought nothing — the greedy chain's first materialization
+    # fills the cache inside the one terminal action either way, and the
+    # extra job only adds overhead (consistent with the r12 lazy-persist
+    # measurement on the greedy steps)
     nf = with_norms(spread(emb), vec_col).select(
         F.col(id_col).alias("nid"), F.col("_v").alias("v"), F.col("_norm").alias("nrm")
     )
