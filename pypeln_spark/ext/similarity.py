@@ -445,6 +445,25 @@ def ann_lsh_topk(
     )
 
 
+def centroid_literals(centroids: DataFrame, id_col: str = "vec_id"):
+    """Collect a (tiny, materialized) centroid frame and spell it as an
+    inline literal array of (cid, cv, cn) structs — the join-free
+    quantizer ivf_assign(as_literals=...) explodes. One driver collect of
+    n_cells rows; callers running several assignment passes over the same
+    centroids build this ONCE and pass the Column to each."""
+    rows = centroids.select(
+        F.col(id_col).alias("cid"), F.col("_v"), F.col("_norm")
+    ).collect()
+    return F.array(*[
+        F.struct(
+            F.lit(int(r.cid)).cast("long").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r._v]).alias("cv"),
+            F.lit(float(r._norm)).alias("cn"),
+        )
+        for r in rows
+    ])
+
+
 def ivf_assign(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -452,7 +471,7 @@ def ivf_assign(
     keep: int = 1,
     id_col: str = "vec_id",
     with_rank: bool = False,
-    as_literals: bool = False,
+    as_literals=False,
 ) -> DataFrame:
     """Assign each vector to its ``keep`` nearest centroid cells by cosine
     (deterministic tiebreak: centroid id). ``vecs``/``centroids`` are
@@ -480,24 +499,23 @@ def ivf_assign(
     driver-side artifact (trained_artifact's collect-and-replay frames):
     the collect here is n_cells tiny rows, the same rows the artifact
     already holds locally. Values are bit-identical to the join path —
-    F.lit over the collected doubles round-trips exactly."""
+    F.lit over the collected doubles round-trips exactly. Pass True to
+    collect-and-build here, or a prebuilt centroid_literals() Column to
+    share one collect across several assignment passes."""
     if with_rank and keep == 1:
         # the argmax fast path below never builds crank — fail loudly
         # instead of silently returning a rank-less frame (ADVICE r9 #1)
         raise ValueError("with_rank=True requires keep > 1 (the argmax "
                          "keep=1 path carries no rank column)")
-    if as_literals:
-        rows = centroids.select(
-            F.col(id_col).alias("cid"), F.col("_v"), F.col("_norm")
-        ).collect()
-        lits = F.array(*[
-            F.struct(
-                F.lit(int(r.cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r._v]).alias("cv"),
-                F.lit(float(r._norm)).alias("cn"),
-            )
-            for r in rows
-        ])
+    if as_literals is not False and as_literals is not None:
+        # True -> collect-and-build here; a Column -> a caller-hoisted
+        # centroid_literals() result (ivf_topk builds it ONCE and passes
+        # it to both assignment passes — one collect, one literal tree)
+        lits = (
+            centroid_literals(centroids, id_col)
+            if as_literals is True
+            else as_literals
+        )
         scored = (
             vecs.withColumn("_c", F.explode(lits))
             .select(
@@ -776,16 +794,20 @@ def ivf_topk(
     else:
         corpus = with_norms(spread(emb), vec_col)
         cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
+    # one collect + one literal tree, shared by both assignment passes
+    lit_cents = (
+        centroid_literals(cents, id_col) if quantizer_literals else False
+    )
     cells = ivf_assign(
         corpus, cents, n_cells, keep=1, id_col=id_col,
-        as_literals=quantizer_literals,
+        as_literals=lit_cents,
     ).select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
         F.col("_norm").alias("cn"), "cid",
     )
     probes = ivf_assign(
         with_norms(queries, vec_col), cents, n_cells, keep=nprobe, id_col=id_col,
-        as_literals=quantizer_literals,
+        as_literals=lit_cents,
     ).select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
         F.col("_norm").alias("qn"), "cid",

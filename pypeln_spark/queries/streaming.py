@@ -2779,9 +2779,12 @@ def streaming_bm25_topk_serving_live(spark, sf_dir):
         ("bm25_corpus_postings", sf_dir),
         lambda: X.bm25_postings(corpus)[0],
     )
+    # doclen derives from the CACHED postings (dl is denormalized onto
+    # every posting row; whitespace tokenize gives every doc >= 1 row),
+    # not a second corpus tokenize pass (code-review r13)
     base_dl = S.cached_index(
         ("bm25_corpus_doclen", sf_dir),
-        lambda: X.bm25_postings(corpus)[1],
+        lambda: base_post.select("doc_id", "dl").distinct(),
     )
 
     ingest_root = ST.stream_sink_dir("pypeln_spark_bm25ingest_")
@@ -2831,11 +2834,14 @@ def streaming_bm25_topk_serving_live(spark, sf_dir):
                 .select("doc_id")
             )
             novel = batch_df.join(dups, "doc_id", "left_anti")
-            p, d = X.bm25_postings(novel)
+            p, _ = X.bm25_postings(novel)
             # lineage cut: the delta derives from this epoch's decisions
-            # read; uncut, every later serve would replay the gate chain
-            posts.append(p.localCheckpoint(eager=True))
-            dls.append(d.localCheckpoint(eager=True))
+            # read; uncut, every later serve would replay the gate chain.
+            # The doclen delta derives from the CUT postings delta (dl is
+            # on every posting row) — one evaluation of the novel lineage
+            p = p.localCheckpoint(eager=True)
+            posts.append(p)
+            dls.append(p.select("doc_id", "dl").distinct())
         else:
             qe = (epoch_id - 1) // 2
             qterms = batch_df.select(

@@ -99,7 +99,11 @@ def main() -> None:
                 F.lit(1.0 - BM25_B)
                 + F.lit(BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl))
             )
-            dfc = df_lit[F.col("term")].cast("double")
+            # a term absent from the epoch-0 snapshot has df=0 under stale
+            # stats (maximum idf (n+0.5)/0.5) — a NULL lookup would instead
+            # silently DROP the term's contribution from the sum, corrupting
+            # the drift numbers in exactly the differential regime measured
+            dfc = F.coalesce(df_lit[F.col("term")].cast("double"), F.lit(0.0))
             idf = (F.lit(float(n)) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
             tf = F.col("tf").cast("double")
             contrib = idf * ((tf * F.lit(BM25_K1 + 1.0)) / (tf + norm))

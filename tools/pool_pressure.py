@@ -45,7 +45,7 @@ GATE = "streaming_incremental_dedup"
 
 def run_gate(spark, sf_dir: str, runs: int = 3) -> tuple:
     from pypeln_spark.ext.dedup import storage_pool_report
-    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries import REGISTRY, RETIRED
 
     rep = storage_pool_report(spark)
     samples = []
@@ -61,7 +61,7 @@ def run_gate(spark, sf_dir: str, runs: int = 3) -> tuple:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     import pypeln_spark as pl
-    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries import REGISTRY, RETIRED
 
     spark = pl.get_spark()
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -72,7 +72,9 @@ def main() -> None:
 
     # (b) pressured: fill the pool with the persist-heavy prefix, re-time
     for name in PREFIX:
-        q = REGISTRY.get(name)
+        # resolve retired entries too — the pressure LOAD must stay
+        # comparable across rounds (dedup_minhash_lsh retired r13)
+        q = REGISTRY.get(name) or RETIRED.get(name)
         if q is None:
             continue
         try:

@@ -24,12 +24,13 @@ def main() -> int:
     name, sf_dir = sys.argv[1], sys.argv[2]
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries import REGISTRY, RETIRED
     from pypeln_spark.session import get_spark
 
     spark = get_spark(app_name=f"query_ab_{name}")
     spark.range(1000).selectExpr("sum(id)").collect()  # session warm-up
-    q = REGISTRY[name]
+    # retired entries stay runnable (historical-row replay)
+    q = REGISTRY.get(name) or RETIRED[name]
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()

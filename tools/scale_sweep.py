@@ -251,7 +251,7 @@ def _fixture_current(outdir: str) -> bool:
 
 def main() -> None:
     from pypeln_spark.ext.similarity import clear_session_artifacts
-    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries import REGISTRY, RETIRED
     from pypeln_spark.session import get_spark
 
     argv = sys.argv[1:]
@@ -260,9 +260,12 @@ def main() -> None:
     argv = [a for a in argv if a not in ("--cold", "--isolate")]
     outdir = argv[0] if argv else "/tmp/pypeln_sfscale"
     subset = argv[1:]
+    # retired entries keep sweeping (SWEEP holds two r13-retired names;
+    # ratios must stay comparable across rounds)
+    everything = {**REGISTRY, **RETIRED}
     sweep = SWEEP
     if subset:
-        unknown = [n for n in subset if n not in REGISTRY]
+        unknown = [n for n in subset if n not in everything]
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
         sweep = subset
@@ -283,7 +286,7 @@ def main() -> None:
 
     results = {}
     for name in sweep:
-        q = REGISTRY[name]
+        q = everything[name]
         if isolate:
             clear_session_artifacts()
             spark.catalog.clearCache()
