@@ -738,6 +738,7 @@ def ivf_topk(
     train_mod: int | None = None,
     centroids: DataFrame | None = None,
     quantizer_literals: bool = False,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer (deterministic centroids = the first
     ``n_cells`` vectors by id) partitions the corpus into inverted lists;
@@ -766,7 +767,15 @@ def ivf_topk(
     ``quantizer_literals`` (r13, requires ``centroids``): run BOTH
     assignment passes through ivf_assign's inline-literal path — the
     composed plan then has no BroadcastNestedLoopJoin anywhere (the probe
-    join stays a broadcast HASH join on cid)."""
+    join stays a broadcast HASH join on cid).
+
+    ``cells`` (r13): a precomputed corpus assignment (ivf_assign keep=1
+    output: id, _v, _norm, cid — typically a cached_index frame) — the
+    production train/add split taken one step further: the inverted
+    LISTS are built once per (corpus, quantizer) and reused across
+    query batches, so a serve pays only the probe-side assignment and
+    the cid hash join. Bit-identical to recomputing (assignment is
+    deterministic)."""
     if quantizer_literals and centroids is None:
         raise ValueError(
             "quantizer_literals requires a materialized centroids artifact"
@@ -798,10 +807,12 @@ def ivf_topk(
     lit_cents = (
         centroid_literals(cents, id_col) if quantizer_literals else False
     )
-    cells = ivf_assign(
-        corpus, cents, n_cells, keep=1, id_col=id_col,
-        as_literals=lit_cents,
-    ).select(
+    if cells is None:
+        cells = ivf_assign(
+            corpus, cents, n_cells, keep=1, id_col=id_col,
+            as_literals=lit_cents,
+        )
+    cells = cells.select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
         F.col("_norm").alias("cn"), "cid",
     )

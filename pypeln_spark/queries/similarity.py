@@ -552,11 +552,25 @@ def search_mmr_over_ann_front(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = _kmeans_artifact(spark, sf_dir)
+    # the inverted LISTS are a session-cached index (the FAISS train/add
+    # split taken one step further): built once per (corpus, quantizer) —
+    # through the same literal assignment, so the BUILD plan is BNLJ-free
+    # too — and reused across invocations; a query batch then pays only
+    # its own probe assignment + the cid hash join (assignment is
+    # deterministic, so the cached frame is bit-identical to recomputing)
+    cells = S.cached_index(
+        ("ivf_kmeans_cells", sf_dir, N_CELLS, KMEANS_ITERS, KMEANS_TRAIN_MOD),
+        lambda: S.ivf_assign(
+            S.with_norms(S.spread(emb)), cents, N_CELLS, keep=1,
+            as_literals=True,
+        ),
+    )
     front = S.ivf_topk(
         emb, queries, k=MMR_K_CAND, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
         quantizer="kmeans", kmeans_iters=KMEANS_ITERS,
-        train_mod=KMEANS_TRAIN_MOD, centroids=_kmeans_artifact(spark, sf_dir),
-        quantizer_literals=True,
+        train_mod=KMEANS_TRAIN_MOD, centroids=cents,
+        quantizer_literals=True, cells=cells,
     )
     return S.mmr_rerank(
         emb, queries, k_cand=MMR_K_CAND, k_out=MMR_K_OUT, lam=MMR_LAM,
