@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pypeln_spark.queries import REGISTRY  # noqa: E402
+from pypeln_spark.queries import REGISTRY, RETIRED  # noqa: E402
 from pypeln_spark.session import _export_package_path  # noqa: E402
 
 _export_package_path()  # executors must be able to unpickle harness closures
@@ -32,9 +32,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _declared() -> dict[str, "object"]:
+    # The declared surface is REGISTRY ∪ RETIRED: retirement (r13) frees
+    # rotation-window capacity only — a query declared in an earlier round
+    # must never DISAPPEAR from queries()/oracle_sql(), so retired entries
+    # stay declared (appended after the rotated registry, outside the
+    # driver's 50-entry correctness window) with their oracles intact.
+    return {**REGISTRY, **RETIRED}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: q.fn for name, q in _declared().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in _declared().items() if q.oracle is not None
+    }

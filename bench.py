@@ -61,8 +61,10 @@ HEADLINE = [
     "events_sessionization",
     "pipeline_map_python_udf",
     "dedup_exact_documents",
-    # dedup_minhash_lsh: RETIRED r13 (superseded by dedup_minhash_lsh_fast,
-    # identical pipeline+oracle; the fast row below keeps the perf coverage)
+    # dedup_minhash_lsh was registry-RETIRED r13 (superseded by
+    # dedup_minhash_lsh_fast, identical pipeline+oracle) but KEEPS its bench
+    # row: headline entries are never removed, only added (driver contract)
+    "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_simhash_fingerprints",
     "ann_cosine_topk",
@@ -106,15 +108,18 @@ HEADLINE = [
     # -- round-5 additions --
     "dedup_containment_pairs",
     "graph_lpa_part_cooccurrence",
-    # ann_recall_eval_ivf: RETIRED r13 (axes swept by ann_recall_eval_ivf_kmeans
-    # and ann_recall_eval_nprobe, both below)
+    # ann_recall_eval_ivf registry-RETIRED r13 (axes swept by
+    # ann_recall_eval_ivf_kmeans / ann_recall_eval_nprobe) — bench row kept
+    "ann_recall_eval_ivf",
     "curation_token_budget",
     "multimodal_real_decode_wav",
     "multimodal_video_frame_sample",
     "graph_kcore_part_cooccurrence",
     "quality_drift_events_cohorts",
     "streaming_drift_daily_mix",
-    # curation_e2e_pretrain_pack: RETIRED r13 (superseded by the _cc capstone)
+    # curation_e2e_pretrain_pack registry-RETIRED r13 (superseded by the
+    # _cc capstone) — bench row kept
+    "curation_e2e_pretrain_pack",
     "events_transition_matrix",
     "sketch_kmv_overlap_users",
     "quality_ks_test_value_cohorts",
@@ -160,7 +165,9 @@ HEADLINE = [
     "streaming_embedding_ingest",
     # round-9 additions
     "ann_recall_eval_nprobe",
-    # dedup_simhash_near_pairs_wide: RETIRED r13 (superseded by wide60 below)
+    # dedup_simhash_near_pairs_wide registry-RETIRED r13 (superseded by
+    # wide60 below) — bench row kept
+    "dedup_simhash_near_pairs_wide",
     # round-10 additions: the durable-compaction arm (its delta vs
     # streaming_incremental_dedup prices the write-amplification of
     # executor-loss safety) and the k-means-cell gate mode (the
@@ -297,7 +304,11 @@ def _load_ref() -> dict:
 
 def main() -> None:
     from pypeln_spark.session import get_spark
-    from pypeln_spark.queries import REGISTRY
+    from pypeln_spark.queries import REGISTRY, RETIRED
+
+    # registry-retired entries keep their headline bench rows (rows are
+    # never removed, only added): fall through to RETIRED on lookup
+    LOOKUP = {**REGISTRY, **RETIRED}
 
     spark = get_spark(app_name="pypeln_spark_bench")
 
@@ -327,7 +338,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_sf = "/root/testdata/sf0.001"
     for name in headline:
-        q = REGISTRY.get(name)
+        q = LOOKUP.get(name)
         if q is not None:
             try:
                 q.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
@@ -368,7 +379,7 @@ def main() -> None:
         return samples[best][0], samples
 
     for name in headline:
-        q = REGISTRY.get(name)
+        q = LOOKUP.get(name)
         if q is None:
             continue
         dt, samples = sweep(name, q)
@@ -415,7 +426,7 @@ def main() -> None:
     retried: dict[str, list] = {}
     diag: dict[str, dict] = {}
     for name in flagged:
-        q = REGISTRY[name]
+        q = LOOKUP[name]
         dt2, samples2 = sweep(name, q)
         retried[name] = [timings[name], round(dt2, 3)]
         s_min = min(sample_log[name], key=lambda s: s[0])
