@@ -219,16 +219,21 @@ def mmr_rerank(
     set is the exact top-k_cand (cosine_topk — swap in an ANN front for
     production; the rerank only reads (query_id, neighbor_id, cos)
     rows), the candidate-pairwise similarity table is one self-join of
-    k_cand narrow rows per query (k_cand² tiny rows, pool-persisted —
-    consumed by every greedy step), and the k_out-step greedy loop
-    UNROLLS into a fixed chain of anti-join → max-aggregate → window
-    argmax stages — plan depth ∝ k_out (a constant), no driver loop over
-    data, no UDF. Scale shape: every stage after the candidate front is
-    bounded by |queries| × k_cand rows — the rerank costs nothing at
-    corpus scale, whatever the corpus. IEEE-deterministic end to end
-    (dot_ieee products, order-independent MAX), so the whole greedy
-    trajectory replays in DuckDB — the registry oracle hash-checks every
-    selection step, not just the final set.
+    k_cand narrow rows per query (k_cand² tiny rows), and the k_out-step
+    greedy loop runs as ONE higher-order-function projection over
+    per-query collected candidate/pair arrays (r13 — it previously
+    unrolled into a chain of anti-join → max-agg → window-argmax stages
+    whose 3-reference steps copied the candidate front's logical plan
+    ~3^k_out times; with an ANN front that was ~20 s of driver-side
+    Catalyst analysis for 100 rows of data, re-measured to 2.5 s in the
+    array form) — no driver loop over data, no UDF. Scale shape: every
+    stage after the candidate front is bounded by |queries| × k_cand
+    rows — the rerank costs nothing at corpus scale, whatever the
+    corpus. IEEE-deterministic end to end (dot_ieee products,
+    order-independent MAX, the fold-argmax replays the window's
+    score-desc/id-asc order), so the whole greedy trajectory replays in
+    DuckDB — the registry oracle hash-checks every selection step, not
+    just the final set.
 
     ``candidates`` (r13): supply the candidate front directly as a
     (query_id, neighbor_id, cos) frame — the PRODUCTION composition, with
@@ -276,7 +281,7 @@ def mmr_rerank(
         "query_id", F.col("neighbor_id").alias("id_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    pair = pool_persist(
+    pair = (
         a.join(b, "query_id")
         .filter(F.col("id_a") != F.col("id_b"))
         .withColumn(
@@ -284,59 +289,105 @@ def mmr_rerank(
         )
         .select("query_id", "id_a", "id_b", "sim")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("mmr_score").desc(), F.col("neighbor_id").asc()
+    # GREEDY CHAIN AS ONE EXPRESSION (r13 optimization round). The r12
+    # form unrolled the k_out-step greedy loop into a chain of anti-join →
+    # max-agg → window-argmax stages, each step referencing selected(s-1)
+    # through THREE branches — so the LOGICAL plan tree copied the
+    # candidate front ~3^k_out times. Runtime was cached (pool_persist),
+    # but Catalyst still analyzes the full tree: with the ANN front's
+    # literal-quantizer subtree that was ~20 s of pure driver planning at
+    # sf0.1 (measured; the exact front ~5 s), for |queries|×k_cand ≤ 100
+    # rows of actual data. Everything after the front is bounded by
+    # |queries| × k_cand BY CONSTRUCTION, so the greedy trajectory now
+    # computes per query in ONE higher-order-function projection over
+    # collected candidate/pair arrays: identical IEEE arithmetic
+    # (lam·cos − (1−lam)·max-sim, the exact float literals), identical
+    # tie-break (score desc, then id asc), identical early-exhaustion
+    # semantics — bit-identical output, linear plan, 3 narrow stages
+    # instead of ~5·k_out shuffle stages. Corpus-scale shape is unchanged:
+    # the per-query arrays are k_cand structs / k_cand² sims, constants
+    # independent of corpus size.
+    id_dt = dict(cand.dtypes)["neighbor_id"]
+    cands_arr = cand.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("neighbor_id").alias("nid"), F.col("cos").alias("cos"))
+            )
+        ).alias("cands")
     )
-    # step 1: pure relevance (max_sim over an empty selected set = 0).
-    # Every step's selected set is (lazily) persisted: step s consumes
-    # selected(s-1) through THREE branches (the anti-join, the penalty
-    # join, the union), so an unpersisted chain would re-execute each
-    # earlier step's shuffles ~3^depth times.
-    selected = pool_persist(
-        cand.withColumn("mmr_score", F.lit(float(lam)) * F.col("cos"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-        .withColumn("mmr_rank", F.lit(1).cast("int"))
+    pairs_arr = pair.groupBy("query_id").agg(
+        F.collect_list(F.struct("id_a", "id_b", "sim")).alias("pairs")
     )
-    for step in range(2, k_out + 1):
-        remaining = cand.join(
-            selected.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"], "left_anti",
+    joined = cands_arr.join(pairs_arr, "query_id", "left").withColumn(
+        "pairs",
+        F.coalesce(
+            F.col("pairs"),
+            F.expr(f"CAST(array() AS array<struct<id_a:{id_dt},id_b:{id_dt},sim:double>>)"),
+        ),
+    )
+
+    def _step(acc, _s):
+        # one greedy step: remaining = cands minus selected-so-far; score
+        # each remaining candidate (pure relevance on the first pick, the
+        # MMR penalty after — max sim to the selected set, whose pair rows
+        # are complete by construction); fold-argmax with the chain's
+        # exact tie-break; exhausted queries keep their shorter trajectory
+        rem = F.filter(
+            F.col("cands"),
+            lambda c: ~F.exists(acc, lambda x: x["nid"] == c["nid"]),
         )
-        # diversity penalty: max candidate-candidate sim to the selected
-        # set so far (every remaining candidate has a pair row to every
-        # selected one — the pair table is complete by construction)
-        div = (
-            pair.join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("id_b")
-                ),
-                ["query_id", "id_b"],
-            )
-            .groupBy("query_id", "id_a")
-            .agg(F.max("sim").alias("max_sim"))
+        scored = F.transform(
+            rem,
+            lambda c: F.struct(
+                c["nid"].alias("nid"),
+                c["cos"].alias("cos"),
+                F.when(F.size(acc) == 0, F.lit(float(lam)) * c["cos"])
+                .otherwise(
+                    F.lit(float(lam)) * c["cos"]
+                    - F.lit(float(1.0 - lam))
+                    * F.array_max(
+                        F.transform(
+                            F.filter(
+                                F.col("pairs"),
+                                lambda p: (p["id_a"] == c["nid"])
+                                & F.exists(acc, lambda x: x["nid"] == p["id_b"]),
+                            ),
+                            lambda p: p["sim"],
+                        )
+                    )
+                )
+                .alias("score"),
+            ),
         )
-        pick = (
-            remaining.join(
-                div,
-                (remaining.query_id == div.query_id)
-                & (remaining.neighbor_id == div.id_a),
-            )
-            .select(
-                remaining.query_id, "neighbor_id", "cos",
-                (
-                    F.lit(float(lam)) * F.col("cos")
-                    - F.lit(float(1.0 - lam)) * F.col("max_sim")
-                ).alias("mmr_score"),
-            )
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-            .withColumn("mmr_rank", F.lit(step).cast("int"))
+        best = F.aggregate(
+            scored,
+            F.element_at(scored, 1),
+            lambda bacc, x: F.when(
+                (x["score"] > bacc["score"])
+                | ((x["score"] == bacc["score"]) & (x["nid"] < bacc["nid"])),
+                x,
+            ).otherwise(bacc),
         )
-        selected = pool_persist(selected.unionByName(pick))
-    return selected.select("query_id", "neighbor_id", "cos", "mmr_score", "mmr_rank")
+        return F.when(F.size(rem) == 0, acc).otherwise(
+            F.concat(acc, F.array(best))
+        )
+
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(k_out))),
+        F.expr(f"CAST(array() AS array<struct<nid:{id_dt},cos:double,score:double>>)"),
+        _step,
+    )
+    return (
+        joined.withColumn("_sel", sel)
+        .select("query_id", F.posexplode("_sel").alias("_p", "_s"))
+        .select(
+            "query_id",
+            F.col("_s.nid").alias("neighbor_id"),
+            F.col("_s.cos").alias("cos"),
+            F.col("_s.score").alias("mmr_score"),
+            (F.col("_p") + 1).cast("int").alias("mmr_rank"),
+        )
+    )
 
 
 def hyperplane_component(plane: int, dim) -> F.Column:
