@@ -945,22 +945,47 @@ class IncrementalLshIndex:
         linearly, and compaction bounds it at base+K. (This supersedes
         r8's persist+two-counts A/B — the counts are gone because
         eager checkpoint/write is itself the materialization job.)"""
-        nov_sh = self._materialize(nov_sh, "sh")
-        nov_bands = self._materialize(nov_bands, "bands")
+        # Skip the per-delta cut when THIS absorb compacts (r13
+        # optimization round): with a fixed compact_every=K the K-th
+        # absorb's delta materialization is immediately superseded by the
+        # union materialization inside compact() — the delta rows were
+        # cut/written twice, and under a durable checkpoint_dir the
+        # parquet round trip was paid twice (half the K=1 gates' write
+        # amplification, streaming_incremental_dedup_durable's whole
+        # delta). The uncut delta's plan nests only THIS epoch's decision
+        # lineage (depth 1 — compact() cuts it in the same call), so the
+        # 2^epochs plan blowup the cut prevents cannot start. The auto
+        # mode keeps the cut: its ratio count must not re-run the novel
+        # lineage.
+        will_compact = (
+            not self._auto
+            and bool(self.compact_every)
+            and self.n_deltas + 1 >= self.compact_every
+        )
+        if not will_compact:
+            nov_sh = self._materialize(nov_sh, "sh")
+            nov_bands = self._materialize(nov_bands, "bands")
         if self._auto:
             pre_rows = self.size()  # pre-absorb index rows (lazy count once)
-        batch_rows = (
-            nov_sh.count()  # tiny: counts the cut frame
-            if (self._auto or self._n_rows is not None)
-            else None
-        )
-        if self._n_rows is not None:
-            self._n_rows += batch_rows
+        if will_compact:
+            # the compacted base is about to re-count lazily; an eager
+            # count here would re-execute the uncut novel lineage
+            self._n_rows = None
+            batch_rows = None
+        else:
+            batch_rows = (
+                nov_sh.count()  # tiny: counts the cut frame
+                if (self._auto or self._n_rows is not None)
+                else None
+            )
+            if self._n_rows is not None:
+                self._n_rows += batch_rows
         if self._auto:
             ratio = pre_rows / max(batch_rows, 1)
             self.compact_every = 1 if ratio < 50 else (4 if ratio < 100 else 8)
-        self._own_sh.append(nov_sh)
-        self._own_bands.append(nov_bands)
+        if not will_compact:
+            self._own_sh.append(nov_sh)
+            self._own_bands.append(nov_bands)
         self.sh = self.sh.unionByName(nov_sh)
         self.bands = self.bands.unionByName(nov_bands)
         self.n_deltas += 1
@@ -1226,10 +1251,17 @@ class TextIngestGate:
             .filter(F.col("jaccard") >= self.threshold)
         )
         # survivor pick: min corpus id (struct-min — corpus_id leads, so
-        # the attached jaccard is that pair's, deterministically)
-        pick = matches.groupBy("new_id").agg(
+        # the attached jaccard is that pair's, deterministically).
+        # pool-persisted (r13 optimization round): pick is consumed by the
+        # decisions write AND by the absorb set's anti-joins (novel_sh /
+        # novel_bands), so unpersisted the band-probe + verify join — the
+        # epoch's dominant compute — re-executed once per absorb-side
+        # materialization (measured 3x per epoch at sf0.1). The frame is
+        # dup-rows-sized (≤ |batch|), the cheapest persist in the gate;
+        # the decisions write fills it.
+        pick = pool_persist(matches.groupBy("new_id").agg(
             F.min(F.struct("corpus_id", "jaccard")).alias("m")
-        )
+        ))
         # default label = the harness-provided epoch_id, NOT the internal
         # processed-batch counter: the counter skips empty micro-batches,
         # so its labels silently diverge from Spark epoch ids whenever one

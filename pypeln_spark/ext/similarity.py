@@ -2041,10 +2041,15 @@ class EmbeddingIngestGate:
             .filter(F.col("cos") >= self.threshold)
         )
         # survivor pick: min corpus id (struct-min — corpus_id leads, so
-        # the attached cos is that pair's, deterministically)
-        pick = matches.groupBy("new_id").agg(
+        # the attached cos is that pair's, deterministically).
+        # pool-persisted (r13 optimization round, same as the text gate):
+        # consumed by the decisions write and the absorb set's anti-join,
+        # so unpersisted the bucket-probe + verify join re-executed per
+        # absorb-side materialization. Dup-rows-sized; the decisions
+        # write fills it.
+        pick = pool_persist(matches.groupBy("new_id").agg(
             F.min(F.struct("corpus_id", "cos")).alias("m")
-        )
+        ))
         # default label = the harness-provided epoch_id, NOT the internal
         # processed-batch counter: the counter skips empty micro-batches,
         # so its labels silently diverge from Spark epoch ids whenever one
