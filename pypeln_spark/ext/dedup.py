@@ -871,6 +871,17 @@ class IncrementalLshIndex:
         self._seq = 0  # durable-checkpoint file sequence
         self._ckpt_sh: list = []  # live durable dirs, sh side
         self._ckpt_bands: list = []  # live durable dirs, bands side
+        # LEVELED compaction state (r13 optimization round, uncapped
+        # indexes only — see compact()): the immutable BASE frames, one
+        # merged LEVEL leaf per side holding every absorbed row so far,
+        # and the PENDING delta frames (cut or not) since the last merge.
+        # self.sh / self.bands stay the consumer-facing lazy unions.
+        self._base_sh = self.sh
+        self._base_bands = self.bands
+        self._lvl_sh: tp.Optional[DataFrame] = None
+        self._lvl_bands: tp.Optional[DataFrame] = None
+        self._pend_sh: list = []
+        self._pend_bands: list = []
 
     def size(self) -> int:
         """Row count of the index. First call counts ``sh`` (base +
@@ -986,6 +997,8 @@ class IncrementalLshIndex:
         if not will_compact:
             self._own_sh.append(nov_sh)
             self._own_bands.append(nov_bands)
+        self._pend_sh.append(nov_sh)
+        self._pend_bands.append(nov_bands)
         self.sh = self.sh.unionByName(nov_sh)
         self.bands = self.bands.unionByName(nov_bands)
         self.n_deltas += 1
@@ -1018,22 +1031,65 @@ class IncrementalLshIndex:
         setattr(self, f"_ckpt_{side}", paths[cut:])
 
     def compact(self) -> None:
-        """Materialize the current lazy union into ONE checkpointed frame
-        pair (eager — the deltas are still live while it runs), release
-        every delta this index owns, and drop superseded durable files.
-        The shared initial base frames are read, never unpersisted — they
-        belong to the session cache. With bucket_cap set the band union is
-        rank-filtered BEFORE materializing — iterated capping: rows evicted
-        by an earlier compaction never come back, and the materialized
-        bucket width returns to ≤ cap every cycle."""
-        new_sh = self._materialize(self.sh, "sh")
-        new_bands = self._materialize(self._cap_bands(self.bands), "bands")
+        """Collapse the delta chain, release every delta this index owns,
+        and drop superseded durable files. Two strategies (r13
+        optimization round):
+
+        **Leveled merge (bucket_cap=None and no checkpoint_dir — the
+        default in-session gates).** The BASE frames are immutable;
+        compaction materializes the accumulated LEVEL leaf (absorbed
+        rows so far) merged with the pending deltas into ONE new leaf
+        per side, and the consumer-facing union becomes base ∪ level.
+        Cost per compaction is ∝ rows ABSORBED, never ∝ index — the r12
+        form re-materialized the full corpus-sized union every cycle
+        (at K=1: a whole-index rewrite per epoch, the dominant gate cost
+        once the verify join was cached) — while the plan-leaf bound the
+        compaction exists for still holds (≤ base_leaves + 1 + K
+        forever). Decisions are untouched: the union holds exactly the
+        same rows, only their leaf layout changes (the same invariant
+        the side-by-side replay pins).
+
+        **Full-union rewrite (bucket_cap set, or a durable
+        checkpoint_dir).** Capping is ITERATED — the rank filter must
+        run over base and deltas together so rows evicted by an earlier
+        compaction never come back and bucket width returns to ≤ cap
+        every cycle; that is a whole-index semantic. And the durable
+        contract is test-pinned self-containment: the NEWEST durable
+        file alone must recover the full index after executor loss, so
+        a durable compaction keeps the full table rewrite (that
+        write-amplification is exactly what the _durable registry entry
+        prices). The shared initial base frames are read, never
+        unpersisted — they belong to the session cache."""
+        spark = (self._pend_sh[-1] if self._pend_sh else self.sh).sparkSession
+        if self.bucket_cap is None and not self.checkpoint_dir:
+            lvl = ([self._lvl_sh] if self._lvl_sh is not None else []) + self._pend_sh
+            if lvl:
+                merged = lvl[0]
+                for d in lvl[1:]:
+                    merged = merged.unionByName(d)
+                self._lvl_sh = self._materialize(merged, "sh")
+                self.sh = self._base_sh.unionByName(self._lvl_sh)
+            lvl = (
+                [self._lvl_bands] if self._lvl_bands is not None else []
+            ) + self._pend_bands
+            if lvl:
+                merged = lvl[0]
+                for d in lvl[1:]:
+                    merged = merged.unionByName(d)
+                self._lvl_bands = self._materialize(merged, "bands")
+                self.bands = self._base_bands.unionByName(self._lvl_bands)
+        else:
+            new_sh = self._materialize(self.sh, "sh")
+            new_bands = self._materialize(self._cap_bands(self.bands), "bands")
+            # dropping self.sh/self.bands below also drops the last
+            # reference to any PREVIOUS compacted base's checkpoint
+            # blocks (ContextCleaner)
+            self.sh, self.bands = new_sh, new_bands
+            self._base_sh, self._base_bands = new_sh, new_bands
+            self._lvl_sh = self._lvl_bands = None
         retired = self._own_sh + self._own_bands
         self._own_sh, self._own_bands = [], []
-        spark = new_sh.sparkSession
-        # dropping self.sh/self.bands below also drops the last reference
-        # to any PREVIOUS compacted base's checkpoint blocks (ContextCleaner)
-        self.sh, self.bands = new_sh, new_bands
+        self._pend_sh, self._pend_bands = [], []
         for df in retired:
             df.unpersist(blocking=False)
         self._drop_ckpt(spark, "sh", keep_last=1)
@@ -1066,6 +1122,13 @@ class IncrementalLshIndex:
         new_bands = self._materialize(self._cap_bands(bands), "bands")
         retired, self._own_bands = self._own_bands, []
         self.bands = new_bands
+        # the rebuilt table IS the whole band side now: it becomes the
+        # band-side BASE and the leveled state resets (the sh side's
+        # level/pending chain is untouched — its compaction schedule is
+        # what n_deltas keeps gating)
+        self._base_bands = new_bands
+        self._lvl_bands = None
+        self._pend_bands = []
         for df in retired:
             df.unpersist(blocking=False)
         self._drop_ckpt(new_bands.sparkSession, "bands", keep_last=1)

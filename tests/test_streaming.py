@@ -949,13 +949,17 @@ def test_stream_sink_root_override_honored(spark, tmp_path, monkeypatch):
 def test_incremental_lsh_index_compaction_bounds_plan(spark):
     """Delta-chain compaction (VERDICT r7 #4): absorbing E epochs into an
     IncrementalLshIndex deepens the lazy union by one leaf per epoch;
-    with compact_every=K the analyzed plan's union width stays ≤ K leaves
+    with compact_every=K the analyzed plan's union width stays BOUNDED
     forever while the CONTENTS stay identical to the append-only twin —
-    compaction moves rows, never changes them. 5 epochs, K=2 → two
-    compactions exercised (≥ 2K epochs per the done-criterion). Spark
-    flattens chained unionByName into ONE multi-child Union at analysis,
-    so the measurable 'depth' is the LEAF count (each base/delta/
-    checkpointed frame is a LogicalRDD leaf in these plans)."""
+    compaction moves rows, never changes them. Since the r13 leveled
+    merge (uncapped indexes keep the base immutable and fold only the
+    delta chain into one LEVEL leaf — compaction cost ∝ absorbed rows,
+    not ∝ index) the bound is base(1) + level(1) + pending(≤ K−1) = 3
+    leaves for K=2, where the full-rewrite form held 2. 5 epochs, K=2 →
+    two compactions exercised (≥ 2K epochs per the done-criterion).
+    Spark flattens chained unionByName into ONE multi-child Union at
+    analysis, so the measurable 'depth' is the LEAF count (each base/
+    delta/checkpointed frame is a LogicalRDD leaf in these plans)."""
     from pypeln_spark.ext import dedup as D
 
     def mk_docs(ids, tag):
@@ -976,7 +980,8 @@ def test_incremental_lsh_index_compaction_bounds_plan(spark):
             d_sh, d_bands, _ = D.build_corpus_index(delta)
             idx.absorb(d_sh, d_bands)
         assert leaves(plain.sh) == 1 + e  # append-only: one leaf per epoch
-        assert leaves(comp.sh) <= 2 and leaves(comp.bands) <= 2
+        # leveled bound: base + level + (K-1) pending deltas
+        assert leaves(comp.sh) <= 3 and leaves(comp.bands) <= 3
     key = lambda r: (r["doc_id"], str(sorted(r.asDict().items())))  # noqa: E731
     for attr in ("sh", "bands"):
         got = sorted(getattr(comp, attr).collect(), key=key)
