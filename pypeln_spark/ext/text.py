@@ -427,13 +427,19 @@ def chunk_tokens(
     per-doc slice array: narrow, no shuffle, rows ∝ total tokens /
     chunk_size. The chunk index extends the hierarchical-order convention
     (posexplode pos = the appended index component, SURVEY §2.1 flat_map)."""
+    # materialize the token array before the chunk transform references it
+    # (r13 optimization round, same fix as dedup.cdc_chunk_dedup: the
+    # inlined form re-tokenized the document once per chunk — Catalyst
+    # does not CSE into lambda bodies)
     toks = tokenize(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
+    base = spread(df).select(id_col, toks.alias("_toks"))
+    tcol = F.col("_toks")
+    n_chunks = F.ceil(F.size(tcol) / F.lit(chunk_size)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda c: F.array_join(F.slice(toks, c * chunk_size + 1, chunk_size), " "),
+        lambda c: F.array_join(F.slice(tcol, c * chunk_size + 1, chunk_size), " "),
     )
-    return spread(df).select(
+    return base.select(
         id_col, F.posexplode(chunks).alias("chunk_id", "chunk_text")
     ).withColumn(
         "n_chunk_tokens", F.size(tokenize(F.col("chunk_text"))).cast("long")
