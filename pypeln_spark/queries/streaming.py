@@ -1001,9 +1001,7 @@ def streaming_asof_static_enrich(spark, sf_dir):
             T.StructField("view_id", T.LongType()),
         ]
     )
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(root)
+    ST.seed_sink_schema(spark, out_schema, root)
 
     def enrich(batch_df, epoch_id):
         j = A.asof_join(batch_df, views, on="user_id", right_cols=["view_id"])
@@ -1205,9 +1203,7 @@ def _text_ingest_gate(spark, sf_dir, checkpoint_dir=None, bucket_cap=None):
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(root)
+    ST.seed_sink_schema(spark, out_schema, root)
 
     index = D.IncrementalLshIndex(
         cor_sh,
@@ -1490,9 +1486,7 @@ def streaming_incremental_dedup_flood(spark, sf_dir):
             T.StructField("absorbed", T.BooleanType()),
         ]
     )
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(root)
+    ST.seed_sink_schema(spark, out_schema, root)
 
     index = D.IncrementalLshIndex(
         cor_sh, cor_bands, compact_every=_compact_epochs(),
@@ -1698,12 +1692,8 @@ def streaming_curated_ingest(spark, sf_dir):
             T.StructField("epoch", T.IntegerType()),
         ]
     )
-    spark.createDataFrame([], gate_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(root)
-    spark.createDataFrame([], rej_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(rej_root)
+    ST.seed_sink_schema(spark, gate_schema, root)
+    ST.seed_sink_schema(spark, rej_schema, rej_root)
 
     index = D.IncrementalLshIndex(
         cor_sh, cor_bands, compact_every=_compact_epochs()
@@ -1886,9 +1876,7 @@ def streaming_embedding_ingest(spark, sf_dir):
             T.StructField("cos", T.DoubleType()),
         ]
     )
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(root)
+    ST.seed_sink_schema(spark, out_schema, root)
 
     gate = S.EmbeddingIngestGate(
         index, root, DIM, N_PLANES, NEAR_DUP_T, probe_hamming=1,
@@ -2058,9 +2046,7 @@ def streaming_embedding_ingest_cells(spark, sf_dir):
             T.StructField("cos", T.DoubleType()),
         ]
     )
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(root)
+    ST.seed_sink_schema(spark, out_schema, root)
 
     gate = S.CellEmbeddingIngestGate(
         index, root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe=2,
@@ -2200,9 +2186,7 @@ def streaming_ann_topk_serving(spark, sf_dir):
             T.StructField("rank", T.IntegerType()),
         ]
     )
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(root)
+    ST.seed_sink_schema(spark, out_schema, root)
 
     from pyspark.sql import Window
 
@@ -2512,9 +2496,7 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
             T.StructField("rank", T.IntegerType()),
         ]
     )
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(serve_root)
+    ST.seed_sink_schema(spark, out_schema, serve_root)
 
     gate = S.CellEmbeddingIngestGate(
         index, ingest_root, DIM, cents, N_CELLS, NEAR_DUP_T, nprobe="auto",
@@ -2795,9 +2777,7 @@ def streaming_bm25_topk_serving_live(spark, sf_dir):
         T.StructField("dup_of", T.LongType()),
         T.StructField("jaccard", T.DoubleType()),
     ])
-    spark.createDataFrame([], dec_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(ingest_root)
+    ST.seed_sink_schema(spark, dec_schema, ingest_root)
     out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
         T.StructField("epoch", T.IntegerType()),
@@ -2805,9 +2785,7 @@ def streaming_bm25_topk_serving_live(spark, sf_dir):
         T.StructField("score", T.DoubleType()),
         T.StructField("rank", T.IntegerType()),
     ])
-    spark.createDataFrame([], out_schema).repartition(1).write.mode(
-        "append"
-    ).parquet(serve_root)
+    ST.seed_sink_schema(spark, out_schema, serve_root)
 
     index = D.IncrementalLshIndex(
         cor_sh, cor_bands, compact_every=_compact_epochs(),

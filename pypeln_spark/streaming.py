@@ -68,6 +68,50 @@ def remove_sink_dir(spark: SparkSession, path: str) -> None:
         pass
 
 
+def seed_sink_schema(spark: SparkSession, schema, path: str) -> None:
+    """Seed an executor-append sink dir with its schema as ONE empty
+    parquet file — so the first read of a not-yet-appended sink infers
+    the right schema — WITHOUT launching a Spark job (r13 optimization
+    round: the previous `createDataFrame([], schema).repartition(1)
+    .write` seed cost one ~0.3-0.5 s job per sink, ~11 sites across the
+    streaming entries). Scalar types write driver-side through pyarrow
+    (parquet physical types match what Spark's own writer emits — INT64/
+    INT32/DOUBLE/BOOLEAN/BYTE_ARRAY(UTF8) — so footer-based inference
+    and validate_sink_schema read identical types); anything fancier, or
+    a URI-rooted shared-FS sink, falls back to the Spark write."""
+    from pyspark.sql import types as T
+
+    _MAP = {
+        T.LongType: "int64", T.IntegerType: "int32", T.DoubleType: "float64",
+        T.FloatType: "float32", T.BooleanType: "bool_", T.StringType: "string",
+    }
+    if "://" not in path:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            fields = [
+                pa.field(f.name, getattr(pa, _MAP[type(f.dataType)])())
+                for f in schema.fields
+            ]
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_arrays(
+                    [pa.array([], type=f.type) for f in fields],
+                    schema=pa.schema(fields),
+                ),
+                os.path.join(path, "part-00000-schema-seed.parquet"),
+            )
+            return
+        except KeyError:
+            pass  # non-scalar field type — the Spark writer knows them all
+        except Exception:
+            pass  # missing/odd pyarrow — the job-based seed always works
+    spark.createDataFrame([], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
 def shuffle_width(spark: SparkSession) -> int:
     """The live session's spark.sql.shuffle.partitions as an int — the
     width the ingest gates size their verify repartition to (the streaming

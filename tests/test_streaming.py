@@ -2382,3 +2382,53 @@ def test_build_corpus_index_bucket_cap_bounds_and_keeps_min(spark):
         (1001, 0, 1.0),
         (1001, 2, 1.0),
     }
+
+
+def test_seed_sink_schema_matches_spark_writer(spark, tmp_path):
+    """seed_sink_schema's driver-side pyarrow seed must read back in Spark
+    with EXACTLY the schema the job-based seed produced (name+type+nullable
+    — validate_sink_schema compares simpleString pairs against it), must
+    accept Spark appends afterwards, and must fall back to the Spark write
+    for field types outside the scalar map."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("src_id", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("txt", T.StringType()),
+            T.StructField("f32", T.FloatType()),
+        ]
+    )
+    old_root, new_root = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.createDataFrame([], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(old_root)
+    ST.seed_sink_schema(spark, schema, new_root)
+    old_s = spark.read.parquet(old_root).schema
+    new_s = spark.read.parquet(new_root).schema
+    assert [(f.name, f.dataType.simpleString(), f.nullable) for f in new_s] == [
+        (f.name, f.dataType.simpleString(), f.nullable) for f in old_s
+    ]
+    # an appended row reads back through the seeded sink unchanged
+    spark.createDataFrame(
+        [(1, 2, 0.5, True, "x", 1.5)], schema
+    ).repartition(1).write.mode("append").parquet(new_root)
+    rows = spark.read.parquet(new_root).collect()
+    assert [tuple(r) for r in rows] == [(1, 2, 0.5, True, "x", 1.5)]
+
+    # non-scalar field -> Spark-writer fallback still seeds a readable sink
+    arr_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    arr_root = str(tmp_path / "arr")
+    ST.seed_sink_schema(spark, arr_schema, arr_root)
+    assert spark.read.parquet(arr_root).schema == spark.createDataFrame(
+        [], arr_schema
+    ).schema
+    assert spark.read.parquet(arr_root).count() == 0
