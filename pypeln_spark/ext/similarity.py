@@ -496,23 +496,50 @@ def ann_lsh_topk(
     )
 
 
-def centroid_literals(centroids: DataFrame, id_col: str = "vec_id"):
+_LIT_STORE: tp.Dict[tuple, str] = {}
+
+
+def centroid_literals(
+    centroids: DataFrame, id_col: str = "vec_id", memo_key: tuple | None = None
+):
     """Collect a (tiny, materialized) centroid frame and spell it as an
     inline literal array of (cid, cv, cn) structs — the join-free
     quantizer ivf_assign(as_literals=...) explodes. One driver collect of
     n_cells rows; callers running several assignment passes over the same
-    centroids build this ONCE and pass the Column to each."""
-    rows = centroids.select(
-        F.col(id_col).alias("cid"), F.col("_v"), F.col("_norm")
-    ).collect()
-    return F.array(*[
-        F.struct(
-            F.lit(int(r.cid)).cast("long").alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r._v]).alias("cv"),
-            F.lit(float(r._norm)).alias("cn"),
+    centroids build this ONCE and pass the Column to each.
+
+    The tree is spelled as ONE SQL expression string parsed JVM-side
+    (r13 opt round): the original per-element F.lit/F.struct construction
+    was ~n_cells x dim py4j round-trips — measured 1.5-2 s of pure DRIVER
+    time per tree at 16 cells x 64 dims, dominating the construction cost
+    of every literal-quantizer query. Values are bit-identical: repr() of
+    a Python float is the shortest exact round-trip decimal and Spark's
+    parser (Java Double.parseDouble) is correctly rounded, so each double
+    lands on the same IEEE bits F.lit would have shipped.
+
+    ``memo_key`` (same discipline as trained_artifact's key — it must
+    capture everything that affects the centroid VALUES): memoize the
+    SQL string process-wide, so repeat invocations skip the collect job
+    too. The string is session-independent (pure text), so no session
+    liveness bookkeeping applies."""
+    s = _LIT_STORE.get(memo_key) if memo_key is not None else None
+    if s is None:
+        rows = centroids.select(
+            F.col(id_col).alias("cid"), F.col("_v"), F.col("_norm")
+        ).collect()
+
+        def d(x):
+            return repr(float(x)) + "D"
+
+        structs = ", ".join(
+            "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s), 'cn', %s)"
+            % (int(r.cid), ", ".join(d(x) for x in r._v), d(r._norm))
+            for r in rows
         )
-        for r in rows
-    ])
+        s = "array(" + structs + ")"
+        if memo_key is not None:
+            _LIT_STORE[memo_key] = s
+    return F.expr(s)
 
 
 def ivf_assign(
@@ -818,7 +845,9 @@ def ivf_topk(
     ``quantizer_literals`` (r13, requires ``centroids``): run BOTH
     assignment passes through ivf_assign's inline-literal path — the
     composed plan then has no BroadcastNestedLoopJoin anywhere (the probe
-    join stays a broadcast HASH join on cid).
+    join stays a broadcast HASH join on cid). True builds the literal
+    tree here (one collect); a prebuilt centroid_literals() Column is
+    used as-is (memoized callers skip the per-invocation collect).
 
     ``cells`` (r13): a precomputed corpus assignment (ivf_assign keep=1
     output: id, _v, _norm, cid — typically a cached_index frame) — the
@@ -827,7 +856,11 @@ def ivf_topk(
     query batches, so a serve pays only the probe-side assignment and
     the cid hash join. Bit-identical to recomputing (assignment is
     deterministic)."""
-    if quantizer_literals and centroids is None:
+    if (
+        quantizer_literals is not False
+        and quantizer_literals is not None
+        and centroids is None
+    ):
         raise ValueError(
             "quantizer_literals requires a materialized centroids artifact"
         )
@@ -854,10 +887,15 @@ def ivf_topk(
     else:
         corpus = with_norms(spread(emb), vec_col)
         cents = with_norms(emb.filter(F.col(id_col) < n_cells), vec_col)
-    # one collect + one literal tree, shared by both assignment passes
-    lit_cents = (
-        centroid_literals(cents, id_col) if quantizer_literals else False
-    )
+    # one collect + one literal tree, shared by both assignment passes;
+    # True builds it here, a caller-provided Column (e.g. a memoized
+    # centroid_literals result) is passed through as-is
+    if quantizer_literals is True:
+        lit_cents = centroid_literals(cents, id_col)
+    elif quantizer_literals is not False and quantizer_literals is not None:
+        lit_cents = quantizer_literals
+    else:
+        lit_cents = False
     if cells is None:
         cells = ivf_assign(
             corpus, cents, n_cells, keep=1, id_col=id_col,
@@ -1018,6 +1056,7 @@ def semantic_near_dup(
     vec_col: str = "embedding",
     train_mod: int | None = None,
     centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic dedup, cluster-bucketed: train the spherical k-means
     quantizer (kmeans_centroids — engine-reproducible), assign every vector
@@ -1045,19 +1084,29 @@ def semantic_near_dup(
     join, get hash-repartitioned across the cluster, and only THEN pick up
     their vectors by id — the cell join alone has ≤ n_cells distinct keys,
     so leaving the cosine compute on it caps parallelism at n_cells however
-    big the cluster is."""
+    big the cluster is.
+
+    ``cells`` (r13): a precomputed corpus assignment (ivf_assign keep=1
+    output: id, _v, _norm, cid — typically a cached_index frame, see
+    ivf_topk's twin param): training and assignment are skipped entirely
+    and the provided inverted lists feed the pair scan. Bit-identical to
+    assigning here (assignment is deterministic)."""
     retire_pipeline_caches()
-    if centroids is not None:
-        # pre-trained artifact: corpus feeds assignment once, stays lazy
-        corpus = with_norms(spread(emb), vec_col)
-        cents = centroids
-    else:
-        # lazy persist — see ivf_topk's ReusedExchange note (0.3s at sf0.1)
-        corpus = pool_persist(with_norms(spread(emb), vec_col))
-        cents = kmeans_centroids(
-            emb, n_cells, iters, id_col, vec_col, normed=corpus, train_mod=train_mod
+    if cells is None:
+        if centroids is not None:
+            # pre-trained artifact: corpus feeds assignment once, stays lazy
+            corpus = with_norms(spread(emb), vec_col)
+            cents = centroids
+        else:
+            # lazy persist — see ivf_topk's ReusedExchange note (0.3s at sf0.1)
+            corpus = pool_persist(with_norms(spread(emb), vec_col))
+            cents = kmeans_centroids(
+                emb, n_cells, iters, id_col, vec_col, normed=corpus,
+                train_mod=train_mod,
+            )
+        cells = pool_persist(
+            ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col)
         )
-    cells = pool_persist(ivf_assign(corpus, cents, n_cells, keep=1, id_col=id_col))
     cells.count()  # eager: consumers racing one action would each recompute
     skinny = cells.select(id_col, "cid")
     pairs = (

@@ -311,7 +311,10 @@ def ann_ivf_topk(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.ivf_topk(emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE)
+    return S.ivf_topk(
+        emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE,
+        cells=_first_cells(spark, sf_dir),
+    )
 
 
 def _kmeans_ctes(
@@ -441,6 +444,57 @@ def _kmeans_artifact(spark, sf_dir, seeding: str = "hash"):
     return S.trained_artifact(spark, key, build)
 
 
+def _kmeans_cells(spark, sf_dir, seeding: str = "hash"):
+    """Session-cached IVF inverted lists (corpus assignment, keep=1) for
+    the kmeans quantizer with the given ``seeding`` — the 'add' half of
+    the train/add split, complementing _kmeans_artifact's 'train' half
+    and shared by every entry that retrieves or buckets through the SAME
+    (corpus, quantizer) pair: the MMR-over-ANN front, the recall evals'
+    kmeans arms, and SemDeDup's cell bucketing (r13 opt round — each was
+    paying its own corpus-assignment pass for an identical frame).
+    Built through ivf_assign's inline-literal path, so the BUILD plan is
+    BNLJ-free; assignment is deterministic, so the cached frame is
+    bit-identical to recomputing it inside each entry (the argument the
+    MMR entry established, oracle-replayed). The literal tree is likewise
+    memoized (centroid_literals memo_key — the values are the artifact's
+    own collected doubles), so repeat invocations skip both the literal
+    collect job and the tree build. Returns (cents, cells, lits)."""
+    cents = _kmeans_artifact(spark, sf_dir, seeding=seeding)
+    key = ("ivf_kmeans_cells", sf_dir, N_CELLS, KMEANS_ITERS, KMEANS_TRAIN_MOD)
+    if seeding != "hash":
+        key += (seeding,)
+    lits = S.centroid_literals(cents, memo_key=("lits",) + key)
+
+    def build():
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        return S.ivf_assign(
+            S.with_norms(S.spread(emb)), cents, N_CELLS, keep=1,
+            as_literals=lits,
+        )
+
+    return cents, S.cached_index(key, build), lits
+
+
+def _first_cells(spark, sf_dir):
+    """Session-cached inverted lists for the FROZEN 'first' quantizer
+    (centroids = the first N_CELLS vectors by id — no training, so no
+    artifact): the _kmeans_cells twin for the zero-training path, shared
+    by ann_ivf_topk, ann_recall_eval_ivf and the 5-arm eval's first_dq
+    arm (r13 opt round). The corpus assignment is deterministic, so the
+    cached frame is bit-identical to assigning inside each entry; the
+    centroid side here is a corpus FILTER (not a driver-side artifact),
+    so the build keeps ivf_assign's broadcast path."""
+    from pyspark.sql import functions as F
+
+    def build():
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        corpus = S.with_norms(S.spread(emb))
+        cents = S.with_norms(emb.filter(F.col("vec_id") < N_CELLS))
+        return S.ivf_assign(corpus, cents, N_CELLS, keep=1)
+
+    return S.cached_index(("ivf_first_cells", sf_dir, N_CELLS), build)
+
+
 @register(
     "ann_ivf_kmeans_topk",
     oracle=f"""
@@ -490,10 +544,12 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents, cells, lits = _kmeans_cells(spark, sf_dir)
     return S.ivf_topk(
         emb, queries, k=K, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
         quantizer="kmeans", kmeans_iters=KMEANS_ITERS,
-        train_mod=KMEANS_TRAIN_MOD, centroids=_kmeans_artifact(spark, sf_dir),
+        train_mod=KMEANS_TRAIN_MOD, centroids=cents,
+        quantizer_literals=lits, cells=cells,
     )
 
 
@@ -552,25 +608,16 @@ def search_mmr_over_ann_front(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cents = _kmeans_artifact(spark, sf_dir)
     # the inverted LISTS are a session-cached index (the FAISS train/add
-    # split taken one step further): built once per (corpus, quantizer) —
-    # through the same literal assignment, so the BUILD plan is BNLJ-free
-    # too — and reused across invocations; a query batch then pays only
-    # its own probe assignment + the cid hash join (assignment is
-    # deterministic, so the cached frame is bit-identical to recomputing)
-    cells = S.cached_index(
-        ("ivf_kmeans_cells", sf_dir, N_CELLS, KMEANS_ITERS, KMEANS_TRAIN_MOD),
-        lambda: S.ivf_assign(
-            S.with_norms(S.spread(emb)), cents, N_CELLS, keep=1,
-            as_literals=True,
-        ),
-    )
+    # split taken one step further): built once per (corpus, quantizer)
+    # and reused across invocations AND entries (_kmeans_cells); a query
+    # batch then pays only its own probe assignment + the cid hash join
+    cents, cells, lits = _kmeans_cells(spark, sf_dir)
     front = S.ivf_topk(
         emb, queries, k=MMR_K_CAND, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
         quantizer="kmeans", kmeans_iters=KMEANS_ITERS,
         train_mod=KMEANS_TRAIN_MOD, centroids=cents,
-        quantizer_literals=True, cells=cells,
+        quantizer_literals=lits, cells=cells,
     )
     return S.mmr_rerank(
         emb, queries, k_cand=MMR_K_CAND, k_out=MMR_K_OUT, lam=MMR_LAM,
@@ -773,9 +820,10 @@ def semantic_dedup_pairs(spark, sf_dir):
     oracle verifies the recall trade itself — which boundary-straddling
     pairs the bucketing loses vs embedding_near_dup_pairs."""
     (emb,) = tables(spark, sf_dir, "embeddings")
+    cents, cells, _ = _kmeans_cells(spark, sf_dir)
     return S.semantic_near_dup(
         emb, threshold=NEAR_DUP_T, n_cells=N_CELLS, iters=KMEANS_ITERS,
-        train_mod=KMEANS_TRAIN_MOD, centroids=_kmeans_artifact(spark, sf_dir),
+        train_mod=KMEANS_TRAIN_MOD, centroids=cents, cells=cells,
     )
 
 
@@ -827,9 +875,10 @@ def semantic_dedup_clusters(spark, sf_dir):
     from pypeln_spark.ext import dedup as D
 
     (emb,) = tables(spark, sf_dir, "embeddings")
+    cents, cells, _ = _kmeans_cells(spark, sf_dir)
     pairs = S.semantic_near_dup(
         emb, threshold=NEAR_DUP_T, n_cells=N_CELLS, iters=KMEANS_ITERS,
-        train_mod=KMEANS_TRAIN_MOD, centroids=_kmeans_artifact(spark, sf_dir),
+        train_mod=KMEANS_TRAIN_MOD, centroids=cents, cells=cells,
     ).select("id_a", "id_b")
     return D.connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
@@ -1436,9 +1485,10 @@ def ann_recall_eval_ivf(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     ex = S.cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
-    iv = S.ivf_topk(emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE).select(
-        "query_id", "neighbor_id"
-    )
+    iv = S.ivf_topk(
+        emb, queries, k=K, n_cells=N_CELLS, nprobe=NPROBE,
+        cells=_first_cells(spark, sf_dir),
+    ).select("query_id", "neighbor_id")
     return _recall_table(ex, iv)
 
 
@@ -1625,19 +1675,23 @@ def ann_recall_eval_ivf_kmeans(spark, sf_dir):
     ex_all = S.cosine_topk(emb, q_all, k=K).select("query_id", "neighbor_id")
     ex_o = ex_all.filter(F.col("query_id") < N_QUERIES)
     ex_d = ex_all.filter(F.col("query_id") >= DQ_LO)
-    km = _kmeans_artifact(spark, sf_dir)
-    pp = _kmeans_artifact(spark, sf_dir, seeding="plusplus")
+    km, km_cells, km_lits = _kmeans_cells(spark, sf_dir)
+    pp, pp_cells, pp_lits = _kmeans_cells(spark, sf_dir, seeding="plusplus")
 
-    # one corpus-assignment pass PER CENTROID SET (the expensive half),
-    # probing both query sets in the same run and splitting afterwards —
-    # 3 ivf_topk invocations for 5 arms (the oracle shares its ascore
-    # CTEs per centroid set the same way). Query sets are id-disjoint,
-    # so the split is a pure filter of the ranked output.
-    def split_arms(cents, quantizer, name_o, name_d):
+    # the corpus assignment per trained centroid set comes from the
+    # session cells index (_kmeans_cells — shared with the ANN/SemDeDup
+    # entries; bit-identical to assigning here), probing both query sets
+    # in the same run and splitting afterwards — so an invocation pays 2
+    # probe assignments + 1 frozen-arm corpus assignment for 5 arms (the
+    # oracle shares its ascore CTEs per centroid set the same way).
+    # Query sets are id-disjoint, so the split is a pure filter of the
+    # ranked output.
+    def split_arms(cents, cells, lits, quantizer, name_o, name_d):
         iv = S.ivf_topk(
             emb, q_all, k=K, n_cells=N_CELLS, nprobe=KMEANS_NPROBE,
             quantizer=quantizer, kmeans_iters=KMEANS_ITERS,
             train_mod=KMEANS_TRAIN_MOD, centroids=cents,
+            quantizer_literals=lits, cells=cells,
         ).select("query_id", "neighbor_id")
         parts = []
         for name, ex, pred in (
@@ -1657,11 +1711,17 @@ def ann_recall_eval_ivf_kmeans(spark, sf_dir):
             out = out.unionByName(pdf)
         return out
 
-    out = split_arms(km, "kmeans", "kmeans", "kmeans_dq")
-    out = out.unionByName(split_arms(pp, "kmeans", "kmeans_pp", "kmeans_pp_dq"))
+    out = split_arms(km, km_cells, km_lits, "kmeans", "kmeans", "kmeans_dq")
+    out = out.unionByName(
+        split_arms(pp, pp_cells, pp_lits, "kmeans", "kmeans_pp", "kmeans_pp_dq")
+    )
     # the frozen quantizer only carries the disjoint arm (its overlapping
     # reading is ann_recall_eval_ivf, documented there)
-    return out.unionByName(split_arms(None, "first", None, "first_dq"))
+    return out.unionByName(
+        split_arms(
+            None, _first_cells(spark, sf_dir), None, "first", None, "first_dq"
+        )
+    )
 
 
 def _recall_table(ex, approx):
@@ -1773,14 +1833,14 @@ def ann_recall_eval_nprobe(spark, sf_dir):
     the tradeoff: ~nprobe/n_cells of the corpus per query, the number a
     deployment balances against the measured recall column.
 
-    Plan discipline: ONE corpus-assignment pass serves all three arms
-    (ivf_assign keep=1, pool-persisted with an eager count); queries
-    assign once at the LARGEST nprobe with the rank retained
-    (ivf_assign with_rank) and each arm is a crank filter — the same
-    share-the-expensive-pass structure as the 5-arm quantizer eval, one
-    step further (3 arms, 1 assignment pass). The oracle replays
-    training, assignment, probing, ranking, recall AND the per-query
-    candidate count."""
+    Plan discipline: the corpus assignment serving all three arms is the
+    SESSION cells index (_kmeans_cells — shared with the ANN/SemDeDup
+    entries, bit-identical values); queries assign once at the LARGEST
+    nprobe with the rank retained (ivf_assign with_rank) and each arm is
+    a crank filter — the same share-the-expensive-pass structure as the
+    5-arm quantizer eval, one step further (3 arms, 0 in-query corpus
+    assignments). The oracle replays training, assignment, probing,
+    ranking, recall AND the per-query candidate count."""
     from pyspark.sql import Window, functions as F
 
     from pypeln_spark.ext import dedup as D
@@ -1792,15 +1852,12 @@ def ann_recall_eval_nprobe(spark, sf_dir):
         S.cosine_topk(emb, q_d, k=K).select("query_id", "neighbor_id")
     )
     ex.count()  # eager — one recall rollup per arm consumes it
-    km = _kmeans_artifact(spark, sf_dir)
-    corpus = S.with_norms(S.spread(emb))
-    cells = D.pool_persist(
-        S.ivf_assign(corpus, km, N_CELLS, keep=1).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
-            F.col("_norm").alias("cn"), "cid",
-        )
+    km, cells_idx, _ = _kmeans_cells(spark, sf_dir)
+    cells = cells_idx.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"), "cid",
     )
-    cells.count()  # eager — every arm's probe join reads the inverted lists
+    cells_idx.count()  # eager — every arm's probe join reads the lists
     probes_all = S.ivf_assign(
         S.with_norms(q_d), km, N_CELLS, keep=max(NPROBE_ARMS), with_rank=True
     ).select(
