@@ -823,6 +823,7 @@ def test_harness_scratch_dirs_are_cleaned(spark, tmp_path):
         if "pypeln_spark_replay_" in d
         or "pypeln_spark_cdc_" in d
         or "pypeln_spark_ckpt_" in d
+        or "pypeln_spark_feeds_" in d
     }
     assert leaked == set(), f"harness left scratch dirs: {leaked}"
 
@@ -1589,6 +1590,26 @@ def test_staged_feeds_arrive_as_single_micro_batches(spark):
     seen = []
     ST.staged_foreach_batch(spark, feeds, lambda df, eid: seen.append(df.count()))
     assert seen == [40_000, 35_000, 30_000], seen
+
+
+def test_staged_empty_feed_still_fires_its_epoch(spark):
+    """The one-staging-job feed write (r13) emits no dynamic-partition
+    dir for a zero-row feed, so empty feeds take the legacy per-feed
+    write path — the epoch must still FIRE (bodies see an empty frame)
+    and later feeds must keep their epoch_ids, or every
+    epoch_id-scheduled decision (compaction cadence, query-epoch
+    derivation) silently shifts."""
+    base = spark.range(100).selectExpr("id", "id * 3 AS v")
+    feeds = [
+        base.filter("id < 40"),
+        base.filter("id < 0"),  # empty slice of a real plan
+        base.filter("id >= 40"),
+    ]
+    seen = []
+    ST.staged_foreach_batch(
+        spark, feeds, lambda df, eid: seen.append((eid, df.count()))
+    )
+    assert seen == [(0, 40), (1, 0), (2, 60)], seen
 
 
 def test_incremental_index_bucket_cap_bounds_width(spark):
