@@ -366,6 +366,36 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_local_gate_matches_distributed(spark):
+    """The size-gated driver-side union-find (r13 optimization round)
+    must label EXACTLY as the distributed fixpoint, for both variants,
+    and the cap boundary must route correctly: local_edge_cap=0 disables
+    the gate (distributed rounds), a cap below the edge count falls
+    through to distributed, a cap at/above it goes local. The edge frame
+    counted against the cap is each variant's internal one (symmetrized
+    for min-label, lo<hi for star)."""
+    from pypeln_spark.ext import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (5, 5)],
+        "id_a long, id_b long",
+    )
+
+    def lab(df):
+        return {(r.doc_id, r.cluster_id) for r in df.collect()}
+
+    for fn in (D.connected_components, D.connected_components_star):
+        dist = lab(fn(pairs, local_edge_cap=0))
+        loc = lab(fn(pairs, local_edge_cap=100))
+        assert loc == dist, (fn.__name__, loc, dist)
+        under = lab(fn(pairs, local_edge_cap=3))  # < edges: distributed
+        assert under == dist, (fn.__name__, under)
+    # schema parity with the distributed output
+    loc_df = D.connected_components(pairs, local_edge_cap=100)
+    assert [f.name for f in loc_df.schema.fields] == ["doc_id", "cluster_id"]
+    assert {f.dataType.simpleString() for f in loc_df.schema.fields} == {"bigint"}
+
+
 def test_kmv_sketch_partition_invariant_and_accurate(spark, sf_dir):
     from pyspark.sql import functions as F
 
