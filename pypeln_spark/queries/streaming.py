@@ -1614,8 +1614,10 @@ def streaming_curated_ingest(spark, sf_dir):
     pure projection fused into the epoch scan (zero extra shuffles —
     quality_scores is one Catalyst select); the gate inherits every
     measured property of streaming_incremental_dedup (band equi-join,
-    lineage-cut deltas, K=1 compaction, width=auto); rejects append from
-    the executors like every other decision. The oracle replays screen,
+    lineage-cut deltas, K=1 compaction, width=auto); reject verdicts are
+    a pure projection of the doc (no index state), so they are assembled
+    batch-side after the stream instead of paying one append job per
+    epoch (r13). The oracle replays screen,
     banding, verify, survivor pick AND the filtered absorb across the
     three unrolled epochs, so the COMPOSITION itself is value-checked —
     a doc that fails quality must be invisible to every later epoch's
@@ -1677,7 +1679,6 @@ def streaming_curated_ingest(spark, sf_dir):
     )
 
     root = ST.stream_sink_dir("pypeln_spark_curingest_")
-    rej_root = ST.stream_sink_dir("pypeln_spark_curingest_rej_")
     gate_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1686,14 +1687,7 @@ def streaming_curated_ingest(spark, sf_dir):
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    rej_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("epoch", T.IntegerType()),
-        ]
-    )
     ST.seed_sink_schema(spark, gate_schema, root)
-    ST.seed_sink_schema(spark, rej_schema, rej_root)
 
     index = D.IncrementalLshIndex(
         cor_sh, cor_bands, compact_every=_compact_epochs()
@@ -1707,14 +1701,16 @@ def streaming_curated_ingest(spark, sf_dir):
     def body(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
-        flt = screen(batch_df)
-        (
-            flt.filter(~F.col("q_pass"))
-            .select("doc_id", F.expr(epoch_expr).alias("epoch"))
-            .write.mode("append")
-            .parquet(rej_root)
-        )
-        gate(flt.filter("q_pass").select("doc_id", "text"), epoch_id)
+        # the reject branch is NOT written per epoch: a doc's
+        # low_quality verdict is a pure projection of the doc itself
+        # (screen touches no index state), so the reject rows are
+        # assembled batch-side after the stream — the same pure-
+        # derivation audit point staged feeds rest on. Three per-epoch
+        # append jobs (+ the reject sink seed) become zero; the gate
+        # still sees exactly the screened survivors, per epoch, in
+        # order.
+        gate(screen(batch_df).filter("q_pass").select("doc_id", "text"),
+             epoch_id)
 
     ST.staged_foreach_batch(spark, epochs, body)
     D.retire_pipeline_caches()
@@ -1725,15 +1721,19 @@ def streaming_curated_ingest(spark, sf_dir):
         .otherwise(F.lit("keep")).alias("verdict"),
         "dup_of", "jaccard",
     )
-    rej_rows = spark.read.parquet(rej_root).select(
-        "doc_id", "epoch",
-        F.lit("low_quality").alias("verdict"),
-        F.lit(None).cast("long").alias("dup_of"),
-        F.lit(None).cast("double").alias("jaccard"),
+    rej_rows = (
+        screen(docs.filter(F.col("doc_id") % 2 == 1))
+        .filter(~F.col("q_pass"))
+        .select(
+            "doc_id",
+            F.expr(epoch_expr).alias("epoch"),
+            F.lit("low_quality").alias("verdict"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
     )
     out = gate_rows.unionByName(rej_rows).localCheckpoint(eager=True)
     ST.remove_sink_dir(spark, root)
-    ST.remove_sink_dir(spark, rej_root)
     return out
 
 
