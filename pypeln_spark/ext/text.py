@@ -576,12 +576,16 @@ def tfidf_cosine_topk(
     the sf0.01 corpus it costs ~4× the recall of rerank at equal N. Cost
     shape: ONE more row_number window over the SAME term partitioning the
     df window already established, plus broadcast semi-joins of the tiny
-    candidate set; the weights frame (the inverted index, which feeds
+    candidate set. The weights frame (the inverted index, which feeds
     candidate generation, the corpus side, the query side and both
-    norms) materializes ONCE via the invocation cache pool — in
+    norms) materializes ONCE via the invocation cache pool in BOTH arms
+    (r13 — exact previously recomputed it per consumer, ~2× wall) — in
     production weights and champion lists are precomputed index TABLES,
-    so this is the in-query stand-in. Net plan: strictly FEWER distinct
-    data shuffles than the exact arm (tests/test_plans.py asserts it).
+    so this is the in-query stand-in. Net plan: pruning adds AT MOST the
+    champion window's exchange over the cached index; every other join it
+    introduces is a broadcast semi-join (tests/test_plans.py asserts it).
+    Its at-scale win is unchanged: candidate generation over N postings
+    per term instead of df-sized posting lists.
     Recall@k vs the exact arm is measured by the
     search_tfidf_pruned_recall_eval registry entry, the same
     quality-measurement contract as the ANN recall trilogy."""
@@ -628,27 +632,29 @@ def tfidf_cosine_topk(
             F.col(id_col).alias(out_id), F.sqrt(F.col("_ss")).alias(out_nrm)
         )
 
-    if champions is not None:
-        # the weights frame feeds candidate generation, the corpus semi
-        # side, the query side AND both norms — persist it once (the
-        # invocation-scoped pool, ext/dedup discipline) so the pruned plan
-        # reads ONE materialized inverted index instead of recomputing the
-        # tokenize→count→df subtree per consumer. In production the
-        # weights/champion tables are precomputed index artifacts; the
-        # cache is the in-query stand-in.
-        # COMPOSITION-SAFE: deliberately no retire_pipeline_caches() here
-        # (unlike the pipeline entry points in ext/dedup). An early draft
-        # retired on entry, which made the operator a pipeline boundary
-        # only when champions was set — a caller composing it after its
-        # own pool_persist frames (the documented minhash_lsh_dedup
-        # hazard) silently lost those caches in pruned mode only (ADVICE
-        # r7 low #4). The eager count bounds this operator's pool
-        # contribution to exactly one frame; the ENCLOSING pipeline's
-        # next entry point owns retirement, as everywhere else.
-        from .dedup import pool_persist
+    # the weights frame feeds the corpus side, the query side, both norms
+    # and (pruned mode) candidate generation — persist it once (the
+    # invocation-scoped pool, ext/dedup discipline) so EVERY plan reads
+    # ONE materialized inverted index instead of recomputing the
+    # tokenize→count→df subtree per consumer. Originally pruned-mode only;
+    # the r13 interleaved A/B showed the exact arm pays the recompute 4×
+    # (8 document scans / 4 tokenize-explodes in the plan, ~2× wall at
+    # sf0.1 — AQE exchange reuse does NOT cover it because the consumers
+    # filter/rename below different exchanges). In production the
+    # weights/champion tables are precomputed index artifacts; the cache
+    # is the in-query stand-in.
+    # COMPOSITION-SAFE: deliberately no retire_pipeline_caches() here
+    # (unlike the pipeline entry points in ext/dedup). An early draft
+    # retired on entry, which made the operator a pipeline boundary —
+    # a caller composing it after its own pool_persist frames (the
+    # documented minhash_lsh_dedup hazard) silently lost those caches
+    # (ADVICE r7 low #4). The eager count bounds this operator's pool
+    # contribution to exactly one frame; the ENCLOSING pipeline's next
+    # entry point owns retirement, as everywhere else.
+    from .dedup import pool_persist
 
-        weights = pool_persist(weights)
-        weights.count()
+    weights = pool_persist(weights)
+    weights.count()
     q = weights.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "term", F.col("w").alias("wq")
     )

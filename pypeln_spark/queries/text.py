@@ -328,9 +328,9 @@ def search_tfidf_pruned_recall_eval(spark, sf_dir):
     scored EXACTLY — full postings, true norms — the
     shortlist-then-rerank shape of the PQ arm; index-only scoring would
     under-count surviving pairs' dot products (measured ~4× worse recall
-    at equal N). The materialized-once inverted index makes the pruned
-    plan carry strictly FEWER distinct shuffles than the exact arm
-    (plan-tested), and candidates per query term are capped at 64
+    at equal N). BOTH arms read the once-materialized inverted index
+    (r13; pruning adds at most the champion window's exchange —
+    plan-tested), and candidates per query term are capped at 64
     regardless of df, which is what makes many-query workloads over
     stop-word-heavy corpora linear. The oracle replays BOTH retrievers
     and the recall arithmetic end to end."""

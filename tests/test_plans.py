@@ -354,15 +354,18 @@ def test_bucketed_join_has_no_join_exchange(spark):
 
 
 def test_tfidf_champion_pruning_adds_no_shuffle(spark):
-    """VERDICT r6 #4 contract: the champion-list variant of
+    """VERDICT r6 #4 contract, r13 form: the champion-list variant of
     tfidf_cosine_topk prunes with ONE extra row_number window over the
-    SAME term partitioning the df window already created, materializes
-    the inverted index ONCE (pool persist — every consumer reads
-    InMemoryTableScan instead of recomputing tokenize→count→df), and
-    feeds the shortlist through broadcast semi-joins. Net: STRICTLY FEWER
-    distinct hash-partitioned Exchanges than the exact arm. Distinct
-    plan_ids, not line counts — the plan printer repeats the cached
-    subtree under every InMemoryTableScan reference."""
+    SAME term partitioning the df window already created, and feeds the
+    shortlist through broadcast semi-joins. Since r13 BOTH arms
+    materialize the inverted index ONCE (pool persist — every consumer
+    reads InMemoryTableScan instead of recomputing tokenize→count→df;
+    before r13 only the pruned arm did, which made it strictly cheaper
+    than an exact arm that paid the recompute 4×). Net: pruning adds at
+    most the champion window's ONE distinct hash-partitioned Exchange
+    over the cached index — never a shuffled join. Distinct plan_ids,
+    not line counts — the plan printer repeats the cached subtree under
+    every InMemoryTableScan reference."""
     import re as _re
 
     from pypeln_spark.ext import text as X
@@ -383,10 +386,12 @@ def test_tfidf_champion_pruning_adds_no_shuffle(spark):
     n_pr, p_pr = hash_exchanges(
         X.tfidf_cosine_topk(docs, n_queries=4, k=3, champions=16)
     )
-    assert n_pr < n_ex, f"pruning should shuffle less: {n_ex} -> {n_pr}\n{p_pr}"
-    # the index really materializes once, and the shortlist joins are
-    # broadcast semi-joins, not shuffled ones
-    assert "InMemoryTableScan" in p_pr and "InMemoryTableScan" not in p_ex
+    assert n_pr <= n_ex + 1, (
+        f"pruning may add only the champion window: {n_ex} -> {n_pr}\n{p_pr}"
+    )
+    # the index really materializes once IN BOTH ARMS, and the shortlist
+    # joins are broadcast semi-joins, not shuffled ones
+    assert "InMemoryTableScan" in p_pr and "InMemoryTableScan" in p_ex
     assert "BroadcastHashJoin" in p_pr and "LeftSemi" in p_pr
 
 
