@@ -55,6 +55,7 @@ def trained_artifact(spark, key: tuple, build: tp.Callable[[], DataFrame]) -> Da
     subtree. Values are the exact collected doubles, so oracle replays stay
     bit-identical. ``key`` must capture everything that affects the
     artifact: input table identity plus every training parameter."""
+    _ARTIFACT_TOUCH.add(key)
     hit = _MODEL_STORE.get(key)
     if hit is None:
         df = build()
@@ -65,6 +66,22 @@ def trained_artifact(spark, key: tuple, build: tp.Callable[[], DataFrame]) -> Da
 
 
 _INDEX_CACHE: tp.Dict[tuple, DataFrame] = {}
+
+# Measurement-side touch log (VERDICT r13 #7): every trained_artifact /
+# cached_index access — hit or build — records its key here, so the bench
+# can tell which rows' reported mins depend on session-cached artifacts
+# and append one artifact-cold sample for exactly those rows. Never read
+# by any query path.
+_ARTIFACT_TOUCH: tp.Set[tuple] = set()
+
+
+def artifact_touches() -> tp.Set[tuple]:
+    """Copy of the artifact-access log (see _ARTIFACT_TOUCH)."""
+    return set(_ARTIFACT_TOUCH)
+
+
+def reset_artifact_touches() -> None:
+    _ARTIFACT_TOUCH.clear()
 
 
 def _session_alive(df: DataFrame) -> bool:
@@ -95,6 +112,7 @@ def cached_index(key: tuple, build: tp.Callable[[], DataFrame]) -> DataFrame:
     stale entry is discarded and the index rebuilt in the live session."""
     from pyspark import StorageLevel
 
+    _ARTIFACT_TOUCH.add(key)
     df = _INDEX_CACHE.get(key)
     if df is not None and not _session_alive(df):
         _INDEX_CACHE.pop(key, None)
@@ -270,8 +288,19 @@ def mmr_rerank(
     nf = with_norms(spread(emb), vec_col).select(
         F.col(id_col).alias("nid"), F.col("_v").alias("v"), F.col("_norm").alias("nrm")
     )
-    cv = cand.join(nf, F.col("neighbor_id") == F.col("nid")).select(
-        "query_id", "neighbor_id", "v", "nrm"
+    # INNER join: a supplied candidate whose id has no emb row is dropped
+    # HERE, before the greedy arrays are built (ADVICE r13). The r12
+    # unrolled chain had exactly this semantics (its div join was inner);
+    # the first array form built cands_arr from `cand` instead, so an
+    # emb-less candidate had no pair rows, its step>=2 penalty
+    # array_max(empty) was NULL, and the NULL-scored struct could win the
+    # fold-argmax as the uncontested zero element (NULL comparisons keep
+    # the accumulator). cv carries cos through so the candidate array
+    # derives from the SURVIVING front.
+    cv = pool_persist(
+        cand.join(nf, F.col("neighbor_id") == F.col("nid")).select(
+            "query_id", "neighbor_id", "cos", "v", "nrm"
+        )
     )
     a = cv.select(
         "query_id", F.col("neighbor_id").alias("id_a"),
@@ -308,7 +337,7 @@ def mmr_rerank(
     # the per-query arrays are k_cand structs / k_cand² sims, constants
     # independent of corpus size.
     id_dt = dict(cand.dtypes)["neighbor_id"]
-    cands_arr = cand.groupBy("query_id").agg(
+    cands_arr = cv.groupBy("query_id").agg(
         F.array_sort(
             F.collect_list(
                 F.struct(F.col("neighbor_id").alias("nid"), F.col("cos").alias("cos"))
@@ -529,7 +558,20 @@ def centroid_literals(
         ).collect()
 
         def d(x):
-            return repr(float(x)) + "D"
+            # non-finite guard (ADVICE r13): repr() spells inf/nan as
+            # 'inf'/'nan', which Spark's SQL parser rejects ('infD' is not
+            # a literal) — a build-time AnalysisException the old F.lit
+            # tree never raised. Spell them as the CASTs the parser does
+            # accept; Double.parseDouble('Infinity'/'NaN') yields the same
+            # IEEE bits F.lit ships.
+            x = float(x)
+            if x != x:
+                return "CAST('NaN' AS DOUBLE)"
+            if x == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if x == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
+            return repr(x) + "D"
 
         structs = ", ".join(
             "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s), 'cn', %s)"
@@ -538,6 +580,12 @@ def centroid_literals(
         )
         s = "array(" + structs + ")"
         if memo_key is not None:
+            # bound the process-wide memo (ADVICE r13): a long-lived
+            # driver cycling through many centroid artifacts must not
+            # accumulate megabyte literal strings forever. FIFO eviction;
+            # 64 distinct centroid trees is far beyond any one session.
+            while len(_LIT_STORE) >= 64:
+                _LIT_STORE.pop(next(iter(_LIT_STORE)))
             _LIT_STORE[memo_key] = s
     return F.expr(s)
 

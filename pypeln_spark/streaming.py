@@ -95,13 +95,26 @@ def seed_sink_schema(spark: SparkSession, schema, path: str) -> None:
                 for f in schema.fields
             ]
             os.makedirs(path, exist_ok=True)
-            pq.write_table(
-                pa.Table.from_arrays(
-                    [pa.array([], type=f.type) for f in fields],
-                    schema=pa.schema(fields),
-                ),
-                os.path.join(path, "part-00000-schema-seed.parquet"),
-            )
+            # write to a temp name and rename into place (ADVICE r13): a
+            # write_table that dies mid-file would otherwise leave a
+            # partial parquet beside the Spark-fallback seed and poison
+            # every later read of the sink. os.rename is atomic on the
+            # local/shared POSIX filesystems this branch serves.
+            seed = os.path.join(path, "part-00000-schema-seed.parquet")
+            tmp = seed + ".inprogress"
+            try:
+                pq.write_table(
+                    pa.Table.from_arrays(
+                        [pa.array([], type=f.type) for f in fields],
+                        schema=pa.schema(fields),
+                    ),
+                    tmp,
+                )
+                os.rename(tmp, seed)
+            except Exception:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
             return
         except KeyError:
             pass  # non-scalar field type — the Spark writer knows them all
@@ -367,6 +380,7 @@ def _stage_feed_files(
     feed_col = "_feed"
     while any(feed_col in b.columns for b in batches):
         feed_col += "_"
+    stage = None
     try:
         u = None
         for i, b in enumerate(batches):
@@ -374,11 +388,18 @@ def _stage_feed_files(
             u = bb if u is None else u.unionByName(bb)
         stage = stream_sink_dir("pypeln_spark_feeds_")
         if "://" in stage:
+            # nothing materialized: stream_sink_dir only mints a name
+            # under a URI root, it does not create the remote dir
             return None, [None] * len(batches)
         u.repartition(feed_col).write.partitionBy(feed_col).mode(
             "overwrite"
         ).parquet(stage)
     except Exception:
+        # the staging dir may already exist when the union/write raised
+        # (ADVICE r13): the caller's cleanup is gated on stage is not
+        # None, so an abandoned dir here would leak scratch space
+        if stage is not None:
+            remove_sink_dir(spark, stage)
         return None, [None] * len(batches)
     import glob as _glob
 

@@ -315,6 +315,40 @@ def test_mmr_rerank_diversifies_near_duplicate_hits(spark):
     )
 
 
+def test_mmr_rerank_drops_candidates_missing_from_emb(spark):
+    """ADVICE r13 (medium): a supplied candidate whose id has no emb row
+    used to survive into the greedy arrays with no pair rows, get a NULL
+    penalty score at step >= 2, and — as the fold's uncontested zero
+    element — be SELECTED with mmr_score NULL, ahead of a real candidate.
+    The contract (the r12 chain's inner div join): such candidates are
+    dropped before the rerank. Repro mirrors the advice: a bogus id with
+    a high front cos must not appear, no mmr_score may be NULL, and the
+    real candidates must fill the trajectory."""
+    from pypeln_spark.ext import similarity as S
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, q),
+        (1, [0.99, 0.14, 0.0, 0.0]),
+        (3, [0.7, 0.0, 0.71, 0.0]),
+        (4, [0.1, 0.0, 0.0, 0.99]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    cand = spark.createDataFrame(
+        [(0, 1, 0.99), (0, 999, 0.95), (0, 3, 0.70), (0, 4, 0.10)],
+        "query_id long, neighbor_id long, cos double",
+    )  # 999 has no emb row — an external ANN front handing back a stale id
+    out = S.mmr_rerank(
+        emb, queries, k_cand=4, k_out=3, lam=0.5, candidates=cand
+    ).collect()
+    picked = {r.neighbor_id for r in out}
+    assert 999 not in picked
+    assert all(r.mmr_score is not None for r in out)
+    assert picked == {1, 3, 4}          # the real front fills k_out
+    assert sorted(r.mmr_rank for r in out) == [1, 2, 3]
+
+
 def test_ivf_assign_literal_path_matches_join_path(spark):
     """ivf_assign(as_literals=True) embeds the centroids as an inline
     literal array (no join node — the BNLJ-free quantizer the MMR-over-ANN
