@@ -219,13 +219,16 @@ def shingle_sets(
 
 
 def minhash_signatures_wide(
-    doc_sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 32
+    doc_sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 32,
+    keep: tp.Sequence[str] = (),
 ) -> DataFrame:
     """(id, sig: array<long>[n_hashes]) — ALL signatures from ONE fold over
     the shingle array: the accumulator is the running per-function minima,
     each shingle updates all n via zip_with. One traversal, no intermediate
     n_hashes-sized arrays per hash function (the per-function
-    array_min(transform) formulation re-walks the shingles n times)."""
+    array_min(transform) formulation re-walks the shingles n times).
+    ``keep`` carries extra input columns through (the combined-absorb
+    frame wants sh_arr next to the signature)."""
     params = "array(" + ",".join(
         f"named_struct('a', CAST({a} AS BIGINT), 'b', CAST({b} AS BIGINT))"
         for a, b in MINHASH_PARAMS[:n_hashes]
@@ -237,7 +240,9 @@ def minhash_signatures_wide(
       (acc, h) -> zip_with(acc, {params}, (m, p) -> least(m, (p.a * h + p.b) % {P31}))
     )
     """
-    return doc_sh.select(F.col(id_col), F.expr(expr).alias("sig"))
+    return doc_sh.select(
+        F.col(id_col), *[F.col(c) for c in keep], F.expr(expr).alias("sig")
+    )
 
 
 def shingle_sigs_np(
@@ -884,6 +889,20 @@ class IncrementalLshIndex:
         self._lvl_bands: tp.Optional[DataFrame] = None
         self._pend_sh: list = []
         self._pend_bands: list = []
+        # COMBINED-absorb state (r14 optimization round, absorb_combined):
+        # one frame per epoch carrying BOTH sides' columns, so each absorb
+        # (and each leveled merge) is ONE materialization job instead of
+        # two. _comb_seq tags every combined row with its absorb ordinal;
+        # _band_wm is the rebuild watermark — rows with _abseq <= _band_wm
+        # are already covered by a rebuilt band-side base and must not
+        # contribute band rows again.
+        self._lvl_comb: tp.Optional[DataFrame] = None
+        self._pend_comb: list = []
+        self._own_comb: list = []
+        self._comb_seq = 0
+        self._band_wm = 0
+        self._sh_project = None
+        self._band_project = None
 
     def size(self) -> int:
         """Row count of the index. First call counts ``sh`` (base +
@@ -970,6 +989,11 @@ class IncrementalLshIndex:
         # 2^epochs plan blowup the cut prevents cannot start. The auto
         # mode keeps the cut: its ratio count must not re-run the novel
         # lineage.
+        if self._pend_comb or self._lvl_comb is not None:
+            raise RuntimeError(
+                "IncrementalLshIndex: classic absorb() after "
+                "absorb_combined() — one index must use one absorb mode"
+            )
         will_compact = (
             not self._auto
             and bool(self.compact_every)
@@ -1003,6 +1027,73 @@ class IncrementalLshIndex:
         self._pend_bands.append(nov_bands)
         self.sh = self.sh.unionByName(nov_sh)
         self.bands = self.bands.unionByName(nov_bands)
+        self.n_deltas += 1
+        if self.compact_every and self.n_deltas >= self.compact_every:
+            self.compact()
+
+    def absorb_combined(self, comb: DataFrame, sh_project, band_project) -> None:
+        """Append one epoch's novel rows from ONE combined frame carrying
+        both sides' columns (r14 optimization round, guide §1.2/§5): the
+        sh delta and the band delta of an ingest-gate epoch always derive
+        from the same novel frame, and the classic two-frame absorb paid
+        TWO lineage-cut materialization jobs per epoch (and the leveled
+        compaction two more merge jobs) over that one lineage. Here the
+        combined frame materializes ONCE and both consumer views are
+        narrow projections of the cut leaf — which is also the real
+        index layout (an IVF inverted list stores the vector WITH its
+        cell; a MinHash index stores the doc's bands next to its shingle
+        set).
+
+        ``sh_project(comb)`` must produce exactly the base sh frame's
+        columns; ``band_project(comb)`` the base band frame's. Rows are
+        identical to ``absorb(sh_project(comb), band_project(comb))`` by
+        construction — only the leaf layout differs (the invariant the
+        side-by-side replay tests pin). Falls back to exactly that
+        classic call when the index needs whole-union semantics
+        (bucket_cap: capping is iterated over flat band rows; durable
+        checkpoint_dir: the newest-file-recovers-everything contract is
+        per side)."""
+        if self.bucket_cap is not None or self.checkpoint_dir:
+            self.absorb(sh_project(comb), band_project(comb))
+            return
+        if self._pend_sh or self._lvl_sh is not None or (
+            self._own_sh or self._own_bands
+        ):
+            raise RuntimeError(
+                "IncrementalLshIndex: absorb_combined() after classic "
+                "absorb() — one index must use one absorb mode"
+            )
+        self._sh_project, self._band_project = sh_project, band_project
+        self._comb_seq += 1
+        comb = comb.withColumn("_abseq", F.lit(self._comb_seq).cast("int"))
+        will_compact = (
+            not self._auto
+            and bool(self.compact_every)
+            and self.n_deltas + 1 >= self.compact_every
+        )
+        if not will_compact:
+            comb = self._materialize(comb, "comb")
+        if self._auto:
+            pre_rows = self.size()
+        if will_compact:
+            self._n_rows = None
+            batch_rows = None
+        else:
+            batch_rows = (
+                comb.count()
+                if (self._auto or self._n_rows is not None)
+                else None
+            )
+            if self._n_rows is not None:
+                self._n_rows += batch_rows
+        if self._auto:
+            ratio = pre_rows / max(batch_rows, 1)
+            self.compact_every = 1 if ratio < 50 else (4 if ratio < 100 else 8)
+        if not will_compact:
+            self._own_comb.append(comb)
+        self._pend_comb.append(comb)
+        self.sh = self.sh.unionByName(sh_project(comb.drop("_abseq")))
+        self.bands = self.bands.unionByName(band_project(comb.drop("_abseq")))
         self.n_deltas += 1
         if self.compact_every and self.n_deltas >= self.compact_every:
             self.compact()
@@ -1063,6 +1154,32 @@ class IncrementalLshIndex:
         prices). The shared initial base frames are read, never
         unpersisted — they belong to the session cache."""
         spark = (self._pend_sh[-1] if self._pend_sh else self.sh).sparkSession
+        if self._pend_comb or self._lvl_comb is not None:
+            # combined leveled merge (absorb_combined): ONE materialization
+            # refreshes BOTH sides — the level leaf carries every absorbed
+            # row's sh and band columns together. The band view filters to
+            # rows absorbed after the last rebuild_bands (the rebuilt base
+            # already covers older rows).
+            lvl = (
+                [self._lvl_comb] if self._lvl_comb is not None else []
+            ) + self._pend_comb
+            merged = lvl[0]
+            for d in lvl[1:]:
+                merged = merged.unionByName(d)
+            self._lvl_comb = self._materialize(merged, "comb")
+            self.sh = self._base_sh.unionByName(
+                self._sh_project(self._lvl_comb.drop("_abseq"))
+            )
+            live = self._lvl_comb.filter(F.col("_abseq") > self._band_wm)
+            self.bands = self._base_bands.unionByName(
+                self._band_project(live.drop("_abseq"))
+            )
+            retired = self._own_comb
+            self._own_comb, self._pend_comb = [], []
+            for df in retired:
+                df.unpersist(blocking=False)
+            self.n_deltas = 0
+            return
         if self.bucket_cap is None and not self.checkpoint_dir:
             lvl = ([self._lvl_sh] if self._lvl_sh is not None else []) + self._pend_sh
             if lvl:
@@ -1131,6 +1248,10 @@ class IncrementalLshIndex:
         self._base_bands = new_bands
         self._lvl_bands = None
         self._pend_bands = []
+        # combined mode: every row absorbed so far (level AND pending) is
+        # band-covered by the rebuilt table — advance the watermark so a
+        # later merge derives band rows only from newer absorbs
+        self._band_wm = self._comb_seq
         for df in retired:
             df.unpersist(blocking=False)
         self._drop_ckpt(new_bands.sparkSession, "bands", keep_last=1)
@@ -1140,9 +1261,9 @@ class IncrementalLshIndex:
         checkpointed frames free via ContextCleaner once the caller drops
         the index — durable dirs under checkpoint_dir are the
         DEPLOYMENT's index state and are left in place)."""
-        for df in self._own_sh + self._own_bands:
+        for df in self._own_sh + self._own_bands + self._own_comb:
             df.unpersist(blocking=False)
-        self._own_sh, self._own_bands = [], []
+        self._own_sh, self._own_bands, self._own_comb = [], [], []
 
 
 class TextIngestGate:
@@ -1246,7 +1367,19 @@ class TextIngestGate:
         new_sh = pool_persist(
             shingle_arrays(spread(batch_df), self.text_col, self.id_col, self.shingle_k)
         )
-        n_new = new_sh.count()
+        # the batch count is ONLY consumed by width=auto sizing and the
+        # stats channel — when neither is on, skip the job (r14, guide §5:
+        # the persist materializes inside the decisions write instead, at
+        # identical total compute minus one job round trip per epoch)
+        from pypeln_spark.streaming import (
+            STREAM_WIDTH_AUTO, autosize_stream_width,
+        )
+
+        n_new = (
+            new_sh.count()
+            if (STREAM_WIDTH_AUTO or self.collect_stats)
+            else None
+        )
         if self.collect_stats:
             # flood indicator: canonical (sorted) shingle-set identity —
             # exactly the granularity absorb_dedup collapses
@@ -1256,12 +1389,11 @@ class TextIngestGate:
                 "n_batch_dup": n_new
                 - new_sh.select(F.array_sort("sh_arr")).distinct().count(),
             })
-        # width=auto: re-size this epoch's shuffle width from its row
-        # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto);
-        # shuffle_width below then reads the adjusted conf
-        from pypeln_spark.streaming import autosize_stream_width
-
-        autosize_stream_width(batch_df.sparkSession, n_new)
+        if n_new is not None:
+            # width=auto: re-size this epoch's shuffle width from its row
+            # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto);
+            # shuffle_width below then reads the adjusted conf
+            autosize_stream_width(batch_df.sparkSession, n_new)
         new_bands = lsh_band_table(
             minhash_signatures_wide(new_sh, self.id_col, self.n_hashes),
             self.id_col, self.bands, self.n_hashes // self.bands,
@@ -1352,7 +1484,6 @@ class TextIngestGate:
         # so absorb_dedup can surface its verdict in the output.
         dropped = pick.select(F.col("new_id").alias(self.id_col))
         novel_sh = new_sh.join(dropped, self.id_col, "left_anti")
-        novel_bands = new_bands.join(dropped, self.id_col, "left_anti")
         if self.absorb_dedup:
             # one window keyed on the SORTED shingle array — the canonical
             # set representation (engine-replayable: the oracle keys on
@@ -1383,9 +1514,6 @@ class TextIngestGate:
             # consumer)
             novel_sh = pool_persist(novel_sh)
             novel_sh.count()
-            novel_bands = novel_bands.join(
-                novel_sh.select(self.id_col), self.id_col, "left_semi"
-            )
         decisions = (
             batch_df.select(self.id_col)
             .join(pick, F.col(self.id_col) == F.col("new_id"), "left")
@@ -1411,7 +1539,39 @@ class TextIngestGate:
             validate_sink_schema(decisions, self.sink_root)
             self._sink_checked = True
         decisions.write.mode("append").parquet(self.sink_root)
-        self.index.absorb(novel_sh, novel_bands)
+        # combined absorb (r14): band rows are a pure per-row function of
+        # (id, sh_arr), so the absorb set's bands derive from novel_sh
+        # directly — one (id, sh_arr, _bnd) frame materializes per epoch
+        # instead of separate sh and band deltas (and the minhash fold
+        # runs over the NOVEL rows only, where the old lazy
+        # new_bands-anti-join recomputed it over the whole batch). The
+        # per-band sigh here is xxhash64 over the same (int band literal,
+        # band slice) values lsh_band_table hashes, so probe-side and
+        # stored band keys keep matching exactly.
+        rpb = self.n_hashes // self.bands
+        bnd = F.array(*[
+            F.struct(
+                F.xxhash64(
+                    F.lit(b), F.slice(F.col("sig"), b * rpb + 1, rpb)
+                ).alias("sigh"),
+                F.slice(F.col("sig"), b * rpb + 1, rpb).alias("sig"),
+            )
+            for b in range(self.bands)
+        ])
+        comb = minhash_signatures_wide(
+            novel_sh, self.id_col, self.n_hashes, keep=("sh_arr",)
+        ).select(self.id_col, "sh_arr", bnd.alias("_bnd"))
+        self.index.absorb_combined(
+            comb,
+            lambda c: c.select(self.id_col, "sh_arr"),
+            lambda c: c.select(
+                self.id_col, F.explode("_bnd").alias("bs")
+            ).select(
+                self.id_col,
+                F.col("bs.sigh").alias("sigh"),
+                F.col("bs.sig").alias("sig"),
+            ),
+        )
         self._epoch += 1
 
 

@@ -1829,6 +1829,7 @@ def live_topk_serve(
     dim: int,
     recall_target: float = 0.12,
     id_col: str = "vec_id",
+    cents_lits=None,
 ) -> tp.Optional[DataFrame]:
     """One query micro-batch served top-k against a LIVE cells index
     (an IncrementalLshIndex whose sh side stores (id, _v, _norm) and
@@ -1854,7 +1855,14 @@ def live_topk_serve(
         return None
     retire_pipeline_caches()
     q = with_norms(spread(batch_df))
-    probes = ivf_assign(q, centroids, n_cells, keep=serve_np, id_col=id_col).select(
+    # cents_lits (r14): a caller-held centroid-literal Column (the cells
+    # gate's centroid_lits()) makes the query-probe assignment join-free;
+    # None keeps the broadcast-join path for centroids that are not
+    # materialized artifacts. Values are identical either way.
+    probes = ivf_assign(
+        q, centroids, n_cells, keep=serve_np, id_col=id_col,
+        as_literals=cents_lits,
+    ).select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
         F.col("_norm").alias("qn"), F.col("cid"),
     )
@@ -2073,6 +2081,20 @@ class EmbeddingIngestGate:
         vectors — hyperplane: their own bucket column."""
         return novel.select(self.id_col, "bucket")
 
+    def _absorb_novel(self, novel: DataFrame) -> None:
+        """One combined-frame absorb per epoch (r14): the sh rows and the
+        band rows both derive from ``novel``, so the index materializes
+        ONE (id, _v, _norm, bucket) leaf per epoch instead of two —
+        absorb_combined falls back to the classic two-frame call when
+        the index needs whole-union semantics (bucket_cap /
+        checkpoint_dir). Hyperplane: novel already carries its bucket."""
+        comb = novel.select(self.id_col, "_v", "_norm", "bucket")
+        self.index.absorb_combined(
+            comb,
+            lambda c: c.select(self.id_col, "_v", "_norm"),
+            lambda c: c.select(self.id_col, "bucket"),
+        )
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -2080,12 +2102,21 @@ class EmbeddingIngestGate:
 
         retire_pipeline_caches()
         new = pool_persist(self._prepare_new(batch_df))
-        n_new = new.count()
-        # width=auto: re-size this epoch's shuffle width from its row
-        # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto)
-        from pypeln_spark.streaming import autosize_stream_width
+        # the batch count is ONLY consumed by width=auto sizing and the
+        # stats channel — when neither is on, skip the job (r14, guide §5:
+        # the persist materializes inside the decisions write instead, at
+        # identical total compute minus one job round trip per epoch)
+        from pypeln_spark.streaming import (
+            STREAM_WIDTH_AUTO, autosize_stream_width,
+        )
 
-        autosize_stream_width(batch_df.sparkSession, n_new)
+        n_new = (
+            new.count() if (STREAM_WIDTH_AUTO or self.collect_stats) else None
+        )
+        if n_new is not None:
+            # width=auto: re-size this epoch's shuffle width from its row
+            # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto)
+            autosize_stream_width(batch_df.sparkSession, n_new)
         nb = self._probe_rows(new)
         cb = self.index.bands.select(
             F.col(self.id_col).alias("corpus_id"), "bucket"
@@ -2193,10 +2224,7 @@ class EmbeddingIngestGate:
             # pipeline's shared-stage discipline
             novel = pool_persist(novel)
             novel.count()
-        self.index.absorb(
-            novel.select(self.id_col, "_v", "_norm"),
-            self._novel_bands(novel),
-        )
+        self._absorb_novel(novel)
         widened = self._maybe_widen()
         if self.collect_stats:
             self.stats.append(
@@ -2304,6 +2332,22 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         self.nprobe = int(nprobe)
         self.retrain_iters = retrain_iters
         self.retrain_train_mod = retrain_train_mod
+        self._lits = None  # lazy centroid-literal column (r14)
+
+    def centroid_lits(self):
+        """The current geometry's centroid-literal Column (r14, guide
+        §1.2/§5): the gate's centroids are always a materialized
+        collect-and-replay artifact (trained_artifact frames at
+        construction, retrain's own collect) — exactly the precondition
+        ivf_assign(as_literals=...) documents — so every per-epoch
+        assignment pass (probe keep=nprobe, absorb keep=1, and the live
+        serve's query probing) runs as a join-free whole-stage-codegen
+        explode instead of re-broadcasting the centroid frame each call.
+        Values are bit-identical to the join path (test-pinned). Built
+        once per geometry; retrain invalidates."""
+        if self._lits is None:
+            self._lits = centroid_literals(self.centroids, self.id_col)
+        return self._lits
 
     def retrain(self, n_cells: tp.Optional[int] = None) -> None:
         """The cells gate's at-scale maintenance move, as an operator
@@ -2328,13 +2372,14 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         # lineage (and every later epoch's probes) off the training plan
         spark = self.index.sh.sparkSession
         cents = spark.createDataFrame(cents.collect(), cents.schema)
-        self.index.rebuild_bands(
-            ivf_assign(self.index.sh, cents, n_cells, keep=1,
-                       id_col=self.id_col)
-            .select(self.id_col, F.col("cid").alias("bucket"))
-        )
         self.centroids = cents
         self.n_cells = n_cells
+        self._lits = None  # new geometry -> new literal tree
+        self.index.rebuild_bands(
+            ivf_assign(self.index.sh, cents, n_cells, keep=1,
+                       id_col=self.id_col, as_literals=self.centroid_lits())
+            .select(self.id_col, F.col("cid").alias("bucket"))
+        )
 
     def _maybe_widen(self) -> bool:
         """Occupancy-triggered RE-TRAIN (the cells analogue of the
@@ -2365,10 +2410,26 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         # no-distinct candidate join stays pair-unique at any nprobe
         return ivf_assign(
             new, self.centroids, self.n_cells, keep=self.nprobe,
-            id_col=self.id_col,
+            id_col=self.id_col, as_literals=self.centroid_lits(),
         ).select(F.col(self.id_col).alias("new_id"), F.col("cid").alias("bucket"))
 
     def _novel_bands(self, novel: DataFrame) -> DataFrame:
         return ivf_assign(
-            novel, self.centroids, self.n_cells, keep=1, id_col=self.id_col
+            novel, self.centroids, self.n_cells, keep=1, id_col=self.id_col,
+            as_literals=self.centroid_lits(),
         ).select(self.id_col, F.col("cid").alias("bucket"))
+
+    def _absorb_novel(self, novel: DataFrame) -> None:
+        """Cells: ivf_assign(keep=1) already returns (id, _v, _norm, cid)
+        — vector values pass through the argmax struct untouched, so the
+        combined frame is that output directly (the IVF layout: each
+        stored vector WITH its cell)."""
+        comb = ivf_assign(
+            novel, self.centroids, self.n_cells, keep=1, id_col=self.id_col,
+            as_literals=self.centroid_lits(),
+        ).select(self.id_col, "_v", "_norm", F.col("cid").alias("bucket"))
+        self.index.absorb_combined(
+            comb,
+            lambda c: c.select(self.id_col, "_v", "_norm"),
+            lambda c: c.select(self.id_col, "bucket"),
+        )

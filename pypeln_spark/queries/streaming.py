@@ -2521,7 +2521,7 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
         # earlier absorb epoch)
         topk = S.live_topk_serve(
             index, gate.centroids, gate.n_cells, batch_df, k=K, dim=DIM,
-            recall_target=0.12,
+            recall_target=0.12, cents_lits=gate.centroid_lits(),
         )
         if topk is None:
             return

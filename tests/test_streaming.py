@@ -992,6 +992,69 @@ def test_incremental_lsh_index_compaction_bounds_plan(spark):
     comp.close()
 
 
+def test_incremental_lsh_index_combined_absorb_matches_classic(spark):
+    """absorb_combined (r14 optimization round): one combined frame per
+    epoch materializes BOTH sides' delta in a single job — contents must
+    equal the classic two-frame absorb exactly, across compactions AND
+    across a mid-stream rebuild_bands (the watermark: rows absorbed
+    before a rebuild are band-covered by the rebuilt table and must not
+    contribute band rows again after the next merge). Leaf bound holds
+    (base + level + pending)."""
+    from pyspark.sql import functions as F
+
+    from pypeln_spark.ext import dedup as D
+
+    def frames(ids, tag):
+        sh = spark.createDataFrame(
+            [(i, [i * 10 + 1, i * 10 + 2]) for i in ids],
+            "vec_id long, sh_arr array<long>",
+        )
+        bands = sh.select("vec_id", (F.col("vec_id") % 4).alias("bucket"))
+        return sh, bands
+
+    def leaves(df):
+        return df._jdf.queryExecution().analyzed().toString().count("LogicalRDD")
+
+    base_sh, base_bands = frames(range(0, 6, 2), "base")
+    base_sh = base_sh.localCheckpoint(eager=True)
+    base_bands = base_bands.localCheckpoint(eager=True)
+    classic = D.IncrementalLshIndex(base_sh, base_bands, compact_every=2)
+    comb = D.IncrementalLshIndex(base_sh, base_bands, compact_every=2)
+    sh_p = lambda c: c.select("vec_id", "sh_arr")  # noqa: E731
+    bd_p = lambda c: c.select("vec_id", "bucket")  # noqa: E731
+    for e in range(1, 6):
+        d_sh, d_bands = frames(range(100 * e, 100 * e + 3), f"e{e}")
+        classic.absorb(d_sh, d_bands)
+        comb.absorb_combined(
+            d_sh.withColumn("bucket", F.col("vec_id") % 4), sh_p, bd_p
+        )
+        assert leaves(comb.sh) <= 3 and leaves(comb.bands) <= 3
+        if e == 3:
+            # mid-stream band rebuild under a NEW geometry (mod 5): both
+            # indexes re-derive the whole band side from their sh view
+            for idx in (classic, comb):
+                idx.rebuild_bands(
+                    idx.sh.select("vec_id", (F.col("vec_id") % 5).alias("bucket"))
+                )
+    key = lambda r: (r["vec_id"], str(sorted(r.asDict().items())))  # noqa: E731
+    for attr in ("sh", "bands"):
+        got = sorted(getattr(comb, attr).collect(), key=key)
+        want = sorted(getattr(classic, attr).collect(), key=key)
+        assert got == want, f"combined absorb changed {attr} contents"
+    # mode mixing is a hard error, both directions
+    import pytest as _pytest
+
+    d_sh, d_bands = frames([900], "x")
+    with _pytest.raises(RuntimeError):
+        comb.absorb(d_sh, d_bands)
+    with _pytest.raises(RuntimeError):
+        classic.absorb_combined(
+            d_sh.withColumn("bucket", F.col("vec_id") % 4), sh_p, bd_p
+        )
+    classic.close()
+    comb.close()
+
+
 def test_embedding_index_rebucket_widens_mid_stream(spark):
     """The embedding gate's documented scaling move, executed: the index
     stores VECTORS (sh = vec_id,_v,_norm), so when buckets saturate the
