@@ -835,6 +835,7 @@ class IncrementalLshIndex:
         compact_every: tp.Union[int, str] = 0,
         checkpoint_dir: tp.Optional[str] = None,
         bucket_cap: tp.Optional[int] = None,
+        comb: tp.Optional[DataFrame] = None,
     ):
         # ``bucket_cap`` (r10): bound the width of every band bucket the
         # gate PROBES — the streaming twin of lsh_candidate_pairs'
@@ -903,6 +904,20 @@ class IncrementalLshIndex:
         self._band_wm = 0
         self._sh_project = None
         self._band_project = None
+        # consumer-facing COMBINED view (r14): when the caller's base index
+        # frame already carries sh AND band columns together (the gates'
+        # build_index output — the real inverted-list layout) and every
+        # absorb goes through absorb_combined, ``self.comb`` stays a live
+        # (base ∪ level ∪ pending) union of full rows. A gate verify can
+        # then run as ONE probe-vs-index join instead of the band-scan +
+        # candidate shuffle + two vector joins. None under bucket_cap /
+        # checkpoint_dir (those absorbs fall back to classic two-frame
+        # semantics and would leave the view stale), and invalidated by a
+        # classic rebuild_bands (rebuild_combined keeps it live).
+        self.comb = (
+            None if (bucket_cap is not None or checkpoint_dir) else comb
+        )
+        self._base_comb = self.comb
 
     def size(self) -> int:
         """Row count of the index. First call counts ``sh`` (base +
@@ -1094,6 +1109,8 @@ class IncrementalLshIndex:
         self._pend_comb.append(comb)
         self.sh = self.sh.unionByName(sh_project(comb.drop("_abseq")))
         self.bands = self.bands.unionByName(band_project(comb.drop("_abseq")))
+        if self.comb is not None:
+            self.comb = self.comb.unionByName(comb.drop("_abseq"))
         self.n_deltas += 1
         if self.compact_every and self.n_deltas >= self.compact_every:
             self.compact()
@@ -1174,6 +1191,10 @@ class IncrementalLshIndex:
             self.bands = self._base_bands.unionByName(
                 self._band_project(live.drop("_abseq"))
             )
+            if self._base_comb is not None:
+                self.comb = self._base_comb.unionByName(
+                    self._lvl_comb.drop("_abseq")
+                )
             retired = self._own_comb
             self._own_comb, self._pend_comb = [], []
             for df in retired:
@@ -1252,9 +1273,47 @@ class IncrementalLshIndex:
         # band-covered by the rebuilt table — advance the watermark so a
         # later merge derives band rows only from newer absorbs
         self._band_wm = self._comb_seq
+        # a classic band rebuild leaves any combined view's bucket column
+        # STALE — drop the view; consumers fall back to the two-frame
+        # joins (rebuild_combined is the view-preserving rebuild)
+        self.comb = None
+        self._base_comb = None
         for df in retired:
             df.unpersist(blocking=False)
         self._drop_ckpt(new_bands.sparkSession, "bands", keep_last=1)
+
+    def rebuild_combined(self, comb: DataFrame, sh_project, band_project) -> None:
+        """The view-preserving whole-index rebuild (r14): replace the
+        entire index with one freshly derived COMBINED frame — the cells
+        gate's retrain re-assignment (ivf_assign keep=1 over index.sh
+        already returns id, _v, _norm, cid) and the hyperplane gate's
+        occupancy widen (lsh_bucket over index.sh keeps the vector
+        columns) both produce exactly this shape, so materializing the
+        combined frame is the SAME single pass the classic band rebuild
+        ran, writing the vectors alongside (the standard IVF rebuild:
+        re-add rewrites the lists, and the lists store vectors). The
+        index collapses to one leaf; sh and band views become narrow
+        projections of it."""
+        if self.bucket_cap is not None or self.checkpoint_dir:
+            raise RuntimeError(
+                "rebuild_combined requires the in-session uncapped index "
+                "(bucket_cap / checkpoint_dir keep classic per-side state)"
+            )
+        new_comb = self._materialize(comb, "comb")
+        retired = self._own_sh + self._own_bands + self._own_comb
+        self._own_sh, self._own_bands, self._own_comb = [], [], []
+        self._pend_sh, self._pend_bands, self._pend_comb = [], [], []
+        self._lvl_sh = self._lvl_bands = self._lvl_comb = None
+        self._sh_project, self._band_project = sh_project, band_project
+        self.comb = self._base_comb = new_comb
+        self.sh = self._base_sh = sh_project(new_comb)
+        self.bands = self._base_bands = band_project(new_comb)
+        self._band_wm = self._comb_seq
+        # unlike rebuild_bands, the SH side collapsed too — no pending
+        # leaves remain, so the compaction clock restarts
+        self.n_deltas = 0
+        for df in retired:
+            df.unpersist(blocking=False)
 
     def close(self) -> None:
         """Release every delta this index owns (never the shared base;
@@ -1539,39 +1598,22 @@ class TextIngestGate:
             validate_sink_schema(decisions, self.sink_root)
             self._sink_checked = True
         decisions.write.mode("append").parquet(self.sink_root)
-        # combined absorb (r14): band rows are a pure per-row function of
-        # (id, sh_arr), so the absorb set's bands derive from novel_sh
-        # directly — one (id, sh_arr, _bnd) frame materializes per epoch
-        # instead of separate sh and band deltas (and the minhash fold
-        # runs over the NOVEL rows only, where the old lazy
-        # new_bands-anti-join recomputed it over the whole batch). The
-        # per-band sigh here is xxhash64 over the same (int band literal,
-        # band slice) values lsh_band_table hashes, so probe-side and
-        # stored band keys keep matching exactly.
-        rpb = self.n_hashes // self.bands
-        bnd = F.array(*[
-            F.struct(
-                F.xxhash64(
-                    F.lit(b), F.slice(F.col("sig"), b * rpb + 1, rpb)
-                ).alias("sigh"),
-                F.slice(F.col("sig"), b * rpb + 1, rpb).alias("sig"),
-            )
-            for b in range(self.bands)
-        ])
-        comb = minhash_signatures_wide(
-            novel_sh, self.id_col, self.n_hashes, keep=("sh_arr",)
-        ).select(self.id_col, "sh_arr", bnd.alias("_bnd"))
-        self.index.absorb_combined(
-            comb,
-            lambda c: c.select(self.id_col, "sh_arr"),
-            lambda c: c.select(
-                self.id_col, F.explode("_bnd").alias("bs")
-            ).select(
-                self.id_col,
-                F.col("bs.sigh").alias("sigh"),
-                F.col("bs.sig").alias("sig"),
-            ),
+        # band rows are a pure per-row function of (id, sh_arr), so the
+        # absorb set's bands derive from novel_sh DIRECTLY (r14): the
+        # minhash fold runs over the NOVEL rows only, where the old lazy
+        # new_bands-anti-join recomputed it over the whole batch. The
+        # absorb stays CLASSIC two-frame here, deliberately: a combined
+        # (sh_arr, bands) leaf was measured (r14 probe) to regress this
+        # gate ~15% above its floor — the checkpointed leaf is row-
+        # stored, so every later epoch's band-probe scan deserialized
+        # the fat sh_arr column alongside the skinny band rows. The
+        # embedding gates keep the combined absorb: their band view's
+        # extra column is the same vector the verify join reads anyway.
+        novel_bands = lsh_band_table(
+            minhash_signatures_wide(novel_sh, self.id_col, self.n_hashes),
+            self.id_col, self.bands, self.n_hashes // self.bands,
         )
+        self.index.absorb(novel_sh, novel_bands)
         self._epoch += 1
 
 

@@ -1866,29 +1866,48 @@ def live_topk_serve(
         F.col(id_col).alias("query_id"), F.col("_v").alias("qv"),
         F.col("_norm").alias("qn"), F.col("cid"),
     )
-    cand = pool_persist(
-        probe_side_join(
-            index.bands.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(index.bands.columns[1]).alias("cid"),
+    if index.comb is not None:
+        # ONE-JOIN SERVE (r14): the live combined view (id, _v, _norm,
+        # bucket) is the inverted-list layout, so the guarded probe
+        # broadcast lands on it directly and cos is computed in the same
+        # pass — the band-probe stage, the candidate persist and its
+        # guard-count job all disappear. Pair set and arithmetic are
+        # unchanged (a vector lives in exactly one cell).
+        scored = probe_side_join(
+            index.comb.select(
+                F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
+                F.col("_norm").alias("cn"), F.col("bucket").alias("cid"),
             ),
             probes, "cid",
             probe_rows=n_batch * serve_np,
-            probe_row_bytes=dim * 8 + 24,
-        ).select("query_id", "qv", "qn", "neighbor_id")
-    )
-    n_cand = cand.count()  # feeds stage 2's guard; also the persist cut
-    scored = probe_side_join(
-        index.sh.select(
-            F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
-            F.col("_norm").alias("cn"),
-        ),
-        cand, "neighbor_id",
-        probe_rows=n_cand,
-        probe_row_bytes=dim * 8 + 32,
-    ).withColumn(
-        "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    )
+            probe_row_bytes=2 * dim * 8 + 40,
+        ).withColumn(
+            "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    else:
+        cand = pool_persist(
+            probe_side_join(
+                index.bands.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(index.bands.columns[1]).alias("cid"),
+                ),
+                probes, "cid",
+                probe_rows=n_batch * serve_np,
+                probe_row_bytes=dim * 8 + 24,
+            ).select("query_id", "qv", "qn", "neighbor_id")
+        )
+        n_cand = cand.count()  # feeds stage 2's guard; also the persist cut
+        scored = probe_side_join(
+            index.sh.select(
+                F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
+                F.col("_norm").alias("cn"),
+            ),
+            cand, "neighbor_id",
+            probe_rows=n_cand,
+            probe_row_bytes=dim * 8 + 32,
+        ).withColumn(
+            "cos", dot_ieee(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -2040,13 +2059,21 @@ class EmbeddingIngestGate:
             self.n_planes + 1,
             math.ceil(math.log2(max(size / self.target_occupancy, 2.0))),
         )
-        # ONE narrow pass over the stored vectors; rebuild_bands cuts
-        # lineage and retires the band-side delta persists
-        self.index.rebuild_bands(
-            lsh_bucket(self.index.sh, "_v", new_planes, self.dim).select(
-                self.id_col, "bucket"
-            )
+        # ONE narrow pass over the stored vectors; the rebuild cuts
+        # lineage and retires the delta persists. With a live combined
+        # view the rebuilt frame keeps the vectors alongside the new
+        # buckets (same pass, the inverted-list layout — rebuild_combined)
+        new_comb = lsh_bucket(self.index.sh, "_v", new_planes, self.dim).select(
+            self.id_col, "_v", "_norm", "bucket"
         )
+        if self.index.comb is not None:
+            self.index.rebuild_combined(
+                new_comb,
+                lambda c: c.select(self.id_col, "_v", "_norm"),
+                lambda c: c.select(self.id_col, "bucket"),
+            )
+        else:
+            self.index.rebuild_bands(new_comb.select(self.id_col, "bucket"))
         self.n_planes = new_planes
         return True
 
@@ -2074,6 +2101,21 @@ class EmbeddingIngestGate:
         )
         return new.select(
             F.col(self.id_col).alias("new_id"), F.explode(probes).alias("bucket")
+        )
+
+    def _probe_rows_v(self, new: DataFrame) -> DataFrame:
+        """(new_id, va, na, bucket) probe rows CARRYING the new vector —
+        the one-join verify's probe side (r14): batch × probes rows, so
+        the payload stays micro-batch-bounded at any corpus size."""
+        probes = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                for m in _probe_masks(self.n_planes, self.probe_hamming)
+            ]
+        )
+        return new.select(
+            F.col(self.id_col).alias("new_id"), F.col("_v").alias("va"),
+            F.col("_norm").alias("na"), F.explode(probes).alias("bucket"),
         )
 
     def _novel_bands(self, novel: DataFrame) -> DataFrame:
@@ -2117,13 +2159,37 @@ class EmbeddingIngestGate:
             # width=auto: re-size this epoch's shuffle width from its row
             # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto)
             autosize_stream_width(batch_df.sparkSession, n_new)
-        nb = self._probe_rows(new)
-        cb = self.index.bands.select(
-            F.col(self.id_col).alias("corpus_id"), "bucket"
-        )
-        # one row per (new, corpus) pair — the connecting xor mask is unique
-        cand = nb.join(cb, "bucket").select("new_id", "corpus_id")
-        n_cand = cand.count() if self.collect_stats else None
+        one_join = self.index.comb is not None
+        if one_join:
+            # ONE-JOIN VERIFY (r14, guide §8/§2.4): the index keeps a live
+            # COMBINED view (id, _v, _norm, bucket) — the inverted-list
+            # layout — so probes carrying their own vectors join it once
+            # and score in the same pass. The classic path below scanned
+            # the band view, shuffled the candidate pairs, then shuffled
+            # the ENTIRE fat sh side through a second hash join every
+            # epoch: 3 exchanges and two corpus-sized reads collapse to
+            # one join whose build side is the batch-bounded probe rows
+            # (shuffle_hash — the corpus side streams, never broadcasts).
+            # Pair set and cos expression are unchanged, so decisions are
+            # bit-identical (the connecting bucket/mask is unique per
+            # pair in both gate geometries).
+            nbv = self._probe_rows_v(new)
+            cbv = self.index.comb.select(
+                F.col(self.id_col).alias("corpus_id"),
+                F.col("_v").alias("vb"), F.col("_norm").alias("nb"),
+                "bucket",
+            )
+            pairs = nbv.hint("shuffle_hash").join(cbv, "bucket")
+            n_cand = pairs.count() if self.collect_stats else None
+        else:
+            nb = self._probe_rows(new)
+            cb = self.index.bands.select(
+                F.col(self.id_col).alias("corpus_id"), "bucket"
+            )
+            # one row per (new, corpus) pair — the connecting xor mask is
+            # unique
+            cand = nb.join(cb, "bucket").select("new_id", "corpus_id")
+            n_cand = cand.count() if self.collect_stats else None
         # within-batch duplicate mass (VERDICT r11 #3): rows minus
         # distinct vectors — the flood indicator an operator reads to
         # know absorb_dedup has work to do (gates never compare a batch
@@ -2136,38 +2202,46 @@ class EmbeddingIngestGate:
             if self.collect_stats
             else None
         )
-        # spread the verify compute across the STREAMING SCOPE's width
-        # (spark.sql.shuffle.partitions, 4 by default under
-        # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it on
-        # real deployments — A/B'd vs defaultParallelism in r8, ~6% win)
-        cand = cand.repartition(
-            shuffle_width(batch_df.sparkSession), F.col("new_id")
-        )
-        a = new.select(
-            F.col(self.id_col).alias("new_id"), F.col("_v").alias("va"),
-            F.col("_norm").alias("na"),
-        )
-        b = self.index.sh.select(
-            F.col(self.id_col).alias("corpus_id"), F.col("_v").alias("vb"),
-            F.col("_norm").alias("nb"),
-        )
-        # shuffle_hash hints: 64-double array sides under-estimate like
-        # shingle arrays — broadcast of the CORPUS side OOMs at scale
-        # (r7 sweep class). Broadcasting the bounded NEW side was also
-        # tried (r10, the serving gate's winning move): sf1 fixed arm
-        # 105.4s shuffle_hash vs 107.0s broadcast, decisions identical —
-        # no win, because the saturated gate is candidate-VOLUME-bound
-        # (3.8M pairs/epoch through the verify), not join-layout-bound;
-        # the serving gate won 2.3x from the same move only because its
-        # corpus side never has to move at all. Kept on shuffle_hash.
-        matches = (
-            cand.join(a.hint("shuffle_hash"), "new_id")
-            .join(b.hint("shuffle_hash"), "corpus_id")
-            .withColumn(
+        if one_join:
+            matches = pairs.withColumn(
                 "cos", dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).filter(F.col("cos") >= self.threshold)
+        else:
+            # spread the verify compute across the STREAMING SCOPE's width
+            # (spark.sql.shuffle.partitions, 4 by default under
+            # _stream_partitions; PYPELN_SPARK_STREAM_PARTITIONS sizes it
+            # on real deployments — A/B'd vs defaultParallelism in r8,
+            # ~6% win)
+            cand = cand.repartition(
+                shuffle_width(batch_df.sparkSession), F.col("new_id")
             )
-            .filter(F.col("cos") >= self.threshold)
-        )
+            a = new.select(
+                F.col(self.id_col).alias("new_id"), F.col("_v").alias("va"),
+                F.col("_norm").alias("na"),
+            )
+            b = self.index.sh.select(
+                F.col(self.id_col).alias("corpus_id"), F.col("_v").alias("vb"),
+                F.col("_norm").alias("nb"),
+            )
+            # shuffle_hash hints: 64-double array sides under-estimate
+            # like shingle arrays — broadcast of the CORPUS side OOMs at
+            # scale (r7 sweep class). Broadcasting the bounded NEW side
+            # was also tried (r10, the serving gate's winning move): sf1
+            # fixed arm 105.4s shuffle_hash vs 107.0s broadcast,
+            # decisions identical — no win, because the saturated gate is
+            # candidate-VOLUME-bound (3.8M pairs/epoch through the
+            # verify), not join-layout-bound; the serving gate won 2.3x
+            # from the same move only because its corpus side never has
+            # to move at all. Kept on shuffle_hash.
+            matches = (
+                cand.join(a.hint("shuffle_hash"), "new_id")
+                .join(b.hint("shuffle_hash"), "corpus_id")
+                .withColumn(
+                    "cos",
+                    dot_ieee(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                )
+                .filter(F.col("cos") >= self.threshold)
+            )
         # survivor pick: min corpus id (struct-min — corpus_id leads, so
         # the attached cos is that pair's, deterministically).
         # pool-persisted (r13 optimization round, same as the text gate):
@@ -2375,11 +2449,25 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
         self.centroids = cents
         self.n_cells = n_cells
         self._lits = None  # new geometry -> new literal tree
-        self.index.rebuild_bands(
-            ivf_assign(self.index.sh, cents, n_cells, keep=1,
-                       id_col=self.id_col, as_literals=self.centroid_lits())
-            .select(self.id_col, F.col("cid").alias("bucket"))
+        asg = ivf_assign(
+            self.index.sh, cents, n_cells, keep=1,
+            id_col=self.id_col, as_literals=self.centroid_lits(),
         )
+        if self.index.comb is not None:
+            # same single re-assignment pass, now storing the vectors
+            # alongside their new cells (the IVF re-add: lists hold
+            # vectors) so the one-join verify/serve view stays live
+            self.index.rebuild_combined(
+                asg.select(
+                    self.id_col, "_v", "_norm", F.col("cid").alias("bucket")
+                ),
+                lambda c: c.select(self.id_col, "_v", "_norm"),
+                lambda c: c.select(self.id_col, "bucket"),
+            )
+        else:
+            self.index.rebuild_bands(
+                asg.select(self.id_col, F.col("cid").alias("bucket"))
+            )
 
     def _maybe_widen(self) -> bool:
         """Occupancy-triggered RE-TRAIN (the cells analogue of the
@@ -2412,6 +2500,17 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
             new, self.centroids, self.n_cells, keep=self.nprobe,
             id_col=self.id_col, as_literals=self.centroid_lits(),
         ).select(F.col(self.id_col).alias("new_id"), F.col("cid").alias("bucket"))
+
+    def _probe_rows_v(self, new: DataFrame) -> DataFrame:
+        # ivf_assign keeps the vector columns, so the one-join probe side
+        # is its output directly
+        return ivf_assign(
+            new, self.centroids, self.n_cells, keep=self.nprobe,
+            id_col=self.id_col, as_literals=self.centroid_lits(),
+        ).select(
+            F.col(self.id_col).alias("new_id"), F.col("_v").alias("va"),
+            F.col("_norm").alias("na"), F.col("cid").alias("bucket"),
+        )
 
     def _novel_bands(self, novel: DataFrame) -> DataFrame:
         return ivf_assign(

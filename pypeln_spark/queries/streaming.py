@@ -1865,6 +1865,10 @@ def streaming_embedding_ingest(spark, sf_dir):
         cor.select("vec_id", "bucket"),
         compact_every=_compact_epochs(),
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+        # the base index frame already carries sh AND band columns —
+        # hand it over so the gate verify/serve can run the one-join
+        # inverted-list path (r14; ignored under a durable checkpoint)
+        comb=cor,
     )
 
     root = ST.stream_sink_dir("pypeln_spark_embingest_")
@@ -2035,6 +2039,10 @@ def streaming_embedding_ingest_cells(spark, sf_dir):
         cor.select("vec_id", "bucket"),
         compact_every=_compact_epochs(),
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+        # the base index frame already carries sh AND band columns —
+        # hand it over so the gate verify/serve can run the one-join
+        # inverted-list path (r14; ignored under a durable checkpoint)
+        comb=cor,
     )
 
     root = ST.stream_sink_dir("pypeln_spark_embcells_")
@@ -2483,6 +2491,10 @@ def streaming_ann_topk_serving_live(spark, sf_dir):
         cor.select("vec_id", "bucket"),
         compact_every=_compact_epochs(),
         checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+        # the base index frame already carries sh AND band columns —
+        # hand it over so the gate verify/serve can run the one-join
+        # inverted-list path (r14; ignored under a durable checkpoint)
+        comb=cor,
     )
 
     ingest_root = ST.stream_sink_dir("pypeln_spark_liveingest_")

@@ -2364,6 +2364,73 @@ def test_cells_gate_auto_nprobe_resolves_measured_rule(spark, tmp_path):
     D.retire_pipeline_caches()
 
 
+def test_cells_gate_one_join_verify_matches_two_frame_path(spark, tmp_path):
+    """The one-join verify/serve path (r14: the index's combined view —
+    probes carrying their vectors join the inverted-list layout once)
+    must emit decisions IDENTICAL to the classic band-scan + two-vector-
+    join path, across multiple epochs AND across a mid-stream retrain
+    that grows the cell count (rebuild_combined vs rebuild_bands). Same
+    pair set, same cos arithmetic — bit-equality is the contract."""
+    import random
+
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.ext import similarity as S
+
+    DIM = 8
+    rng = random.Random(7)
+    base = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(DIM)]) for i in range(0, 80, 2)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S.kmeans_centroids(base, 8, 2, train_mod=1)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    def gate(tag, with_comb):
+        nf = S.with_norms(S.spread(base))
+        cor = S.ivf_assign(nf, cents, 8, keep=1).select(
+            "vec_id", "_v", "_norm", F.col("cid").alias("bucket")
+        ).localCheckpoint(eager=True)
+        idx = D.IncrementalLshIndex(
+            cor.select("vec_id", "_v", "_norm"), cor.select("vec_id", "bucket"),
+            compact_every=1, comb=cor if with_comb else None,
+        )
+        g = S.CellEmbeddingIngestGate(
+            idx, str(tmp_path / tag), DIM, centroids=cents, n_cells=8,
+            threshold=0.35, nprobe=4, retrain_train_mod=1,
+        )
+        return g, idx
+
+    g1, i1 = gate("onejoin", True)
+    g2, i2 = gate("classic", False)
+    assert i1.comb is not None and i2.comb is None
+    corpus_rows = base.collect()
+    batches = [
+        spark.createDataFrame(
+            [(1000 * e + i, [rng.uniform(-1, 1) for _ in range(DIM)])
+             for i in range(8)]
+            + [(1000 * e + 900, corpus_rows[e].embedding)],  # planted dup
+            "vec_id long, embedding array<float>",
+        ).localCheckpoint(eager=True)
+        for e in range(3)
+    ]
+    for e, b in enumerate(batches):
+        if e == 2:
+            g1.retrain(n_cells=16)
+            g2.retrain(n_cells=16)
+            assert i1.comb is not None, "retrain must keep the view live"
+        g1(b, e)
+        g2(b, e)
+    rows = lambda tag: sorted(  # noqa: E731
+        (r.vec_id, r.epoch, r.dup_of, r.cos)
+        for r in spark.read.parquet(str(tmp_path / tag)).collect()
+    )
+    assert rows("onejoin") == rows("classic")
+    assert any(d is not None for (_, _, d, _) in rows("onejoin"))
+    i1.close()
+    i2.close()
+    D.retire_pipeline_caches()
+
+
 def test_incremental_index_bucket_cap_history_independent_property(spark):
     """The docstring's history-independence claim, property-tested: with
     min-id priority, the post-compaction capped band view equals the

@@ -64,6 +64,7 @@ def run(spark, retrain_cells):
         cor.select("vec_id", "_v", "_norm"),
         cor.select("vec_id", "bucket"),
         compact_every=1,
+        comb=cor,
     )
     root = tempfile.mkdtemp(prefix="pypeln_live_dial_")
     serve_root = tempfile.mkdtemp(prefix="pypeln_live_dial_serve_")

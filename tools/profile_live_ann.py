@@ -74,6 +74,7 @@ def main() -> int:
             cor.select("vec_id", "bucket"),
             compact_every=_compact_epochs(),
             checkpoint_dir=os.environ.get("PYPELN_SPARK_INGEST_COMPACT_DIR") or None,
+            comb=cor,
         )
 
         ingest_root = ST.stream_sink_dir("pypeln_spark_liveingest_")
