@@ -879,6 +879,12 @@ class IncrementalLshIndex:
         self._seq = 0  # durable-checkpoint file sequence
         self._ckpt_sh: list = []  # live durable dirs, sh side
         self._ckpt_bands: list = []  # live durable dirs, bands side
+        # durable GENERATION-CHAIN state (r14, VERDICT r13 #6): one
+        # corpus-sized BASE copy per side written once, then delta-sized
+        # level writes forever — recovery is the MANIFEST's file union,
+        # not a single self-contained file. Capped indexes keep the full
+        # rewrite (iterated capping is a whole-index semantic).
+        self._base_ckpt: dict = {}  # side -> durable base-copy path
         # LEVELED compaction state (r13 optimization round, uncapped
         # indexes only — see compact()): the immutable BASE frames, one
         # merged LEVEL leaf per side holding every absorbed row so far,
@@ -1014,6 +1020,11 @@ class IncrementalLshIndex:
             and bool(self.compact_every)
             and self.n_deltas + 1 >= self.compact_every
         )
+        if self.checkpoint_dir and self.bucket_cap is None:
+            # generation chain (r14): the base copy must exist before any
+            # delta lands, so the manifest is recoverable from the start
+            self._ensure_durable_base("sh", self._base_sh)
+            self._ensure_durable_base("bands", self._base_bands)
         if not will_compact:
             nov_sh = self._materialize(nov_sh, "sh")
             nov_bands = self._materialize(nov_bands, "bands")
@@ -1038,6 +1049,10 @@ class IncrementalLshIndex:
         if not will_compact:
             self._own_sh.append(nov_sh)
             self._own_bands.append(nov_bands)
+            if self.checkpoint_dir:
+                # a durable delta append is part of the recoverable state
+                # the moment it lands — publish it
+                self._write_manifest()
         self._pend_sh.append(nov_sh)
         self._pend_bands.append(nov_bands)
         self.sh = self.sh.unionByName(nov_sh)
@@ -1131,7 +1146,9 @@ class IncrementalLshIndex:
 
     def _drop_ckpt(self, spark, side: str, keep_last: int) -> None:
         """Remove this side's durable dirs except the newest keep_last —
-        called only after a superseding file fully materialized."""
+        called only after a superseding file fully materialized. The
+        base copies in _base_ckpt are managed separately and never
+        trimmed here."""
         from pypeln_spark.streaming import remove_sink_dir
 
         paths = getattr(self, f"_ckpt_{side}")
@@ -1139,6 +1156,63 @@ class IncrementalLshIndex:
         for p in paths[:cut]:
             remove_sink_dir(spark, p)
         setattr(self, f"_ckpt_{side}", paths[cut:])
+
+    def _ensure_durable_base(self, side: str, df: DataFrame) -> None:
+        """Write this side's BASE copy once (r14 generation chain): the
+        corpus-sized write every generation used to repeat is paid a
+        single time, and every later durable compaction writes only
+        absorbed rows. Serving keeps reading the (faster) in-session
+        base frames; the disk copy exists purely for recovery."""
+        if side in self._base_ckpt:
+            return
+        path = self.checkpoint_dir.rstrip("/") + f"/{side}_base"
+        df.write.mode("overwrite").parquet(path)
+        self._base_ckpt[side] = path
+
+    def _write_manifest(self) -> None:
+        """Atomically publish the live durable file set (r14): recovery =
+        the union of each side's listed files, in any order. Written
+        after every durable mutation, BEFORE superseded files are
+        removed — a crash between the two leaks files, never loses data.
+        Local/shared-POSIX paths only; under a URI root the deployment's
+        table format carries the manifest role instead."""
+        if not self.checkpoint_dir or "://" in self.checkpoint_dir:
+            return
+        import json as _json
+        import os as _os
+
+        m = {
+            side: (
+                ([self._base_ckpt[side]] if side in self._base_ckpt else [])
+                + list(getattr(self, f"_ckpt_{side}"))
+            )
+            for side in ("sh", "bands")
+        }
+        path = _os.path.join(self.checkpoint_dir, "MANIFEST.json")
+        tmp = path + ".inprogress"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps(m))
+        _os.rename(tmp, path)
+
+    @staticmethod
+    def recover(spark, checkpoint_dir: str):
+        """Rebuild (sh, bands) from the durable dir ALONE — the executor-
+        loss recovery story under the generation chain: read the
+        manifest, union each side's live files (base copy + newest level
+        + any deltas since). No session state is consulted."""
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(checkpoint_dir, "MANIFEST.json")) as f:
+            m = _json.load(f)
+        out = []
+        for side in ("sh", "bands"):
+            dfs = [spark.read.parquet(p) for p in m[side]]
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+            out.append(df)
+        return tuple(out)
 
     def compact(self) -> None:
         """Collapse the delta chain, release every delta this index owns,
@@ -1159,17 +1233,24 @@ class IncrementalLshIndex:
         same rows, only their leaf layout changes (the same invariant
         the side-by-side replay pins).
 
-        **Full-union rewrite (bucket_cap set, or a durable
-        checkpoint_dir).** Capping is ITERATED — the rank filter must
-        run over base and deltas together so rows evicted by an earlier
-        compaction never come back and bucket width returns to ≤ cap
-        every cycle; that is a whole-index semantic. And the durable
-        contract is test-pinned self-containment: the NEWEST durable
-        file alone must recover the full index after executor loss, so
-        a durable compaction keeps the full table rewrite (that
-        write-amplification is exactly what the _durable registry entry
-        prices). The shared initial base frames are read, never
-        unpersisted — they belong to the session cache."""
+        **Full-union rewrite (bucket_cap set).** Capping is ITERATED —
+        the rank filter must run over base and deltas together so rows
+        evicted by an earlier compaction never come back and bucket
+        width returns to ≤ cap every cycle; that is a whole-index
+        semantic. The shared initial base frames are read, never
+        unpersisted — they belong to the session cache.
+
+        **Durable generation chain (checkpoint_dir, uncapped — r14,
+        VERDICT r13 #6).** The r13 durable contract was newest-file-
+        self-containment, which forced a full corpus rewrite per
+        compaction — not deployable at 100 TB. Now the BASE is copied to
+        disk ONCE, every compaction writes only the merged LEVEL
+        (∝ absorbed rows), and MANIFEST.json atomically names the live
+        file set; recovery (the static recover()) is the manifest's
+        union — same recovered CONTENTS, delta-sized writes. The
+        _durable registry row still prices real durability (base copy +
+        per-epoch level rewrites), just no longer a corpus rewrite per
+        epoch."""
         spark = (self._pend_sh[-1] if self._pend_sh else self.sh).sparkSession
         if self._pend_comb or self._lvl_comb is not None:
             # combined leveled merge (absorb_combined): ONE materialization
@@ -1201,7 +1282,12 @@ class IncrementalLshIndex:
                 df.unpersist(blocking=False)
             self.n_deltas = 0
             return
-        if self.bucket_cap is None and not self.checkpoint_dir:
+        if self.bucket_cap is None:
+            if self.checkpoint_dir:
+                # generation chain: the corpus-sized base copy is paid
+                # once, before the first delta-sized level write
+                self._ensure_durable_base("sh", self._base_sh)
+                self._ensure_durable_base("bands", self._base_bands)
             lvl = ([self._lvl_sh] if self._lvl_sh is not None else []) + self._pend_sh
             if lvl:
                 merged = lvl[0]
@@ -1232,8 +1318,20 @@ class IncrementalLshIndex:
         self._pend_sh, self._pend_bands = [], []
         for df in retired:
             df.unpersist(blocking=False)
-        self._drop_ckpt(spark, "sh", keep_last=1)
-        self._drop_ckpt(spark, "bands", keep_last=1)
+        # publish the new generation (manifest names only the files that
+        # survive the trim), THEN remove superseded files — a crash
+        # between the two leaks a file, never loses data
+        dropped = []
+        for side in ("sh", "bands"):
+            paths = getattr(self, f"_ckpt_{side}")
+            dropped += paths[:-1]
+            setattr(self, f"_ckpt_{side}", paths[-1:])
+        self._write_manifest()
+        if dropped:
+            from pypeln_spark.streaming import remove_sink_dir
+
+            for p in dropped:
+                remove_sink_dir(spark, p)
         self.n_deltas = 0
 
     def rebuild_bands(self, bands: DataFrame) -> None:
@@ -1280,7 +1378,19 @@ class IncrementalLshIndex:
         self._base_comb = None
         for df in retired:
             df.unpersist(blocking=False)
-        self._drop_ckpt(new_bands.sparkSession, "bands", keep_last=1)
+        if self.checkpoint_dir:
+            # the rebuilt table supersedes the band-side base copy AND
+            # every band file: it becomes the new band-side base in the
+            # manifest; superseded files go only after the manifest lands
+            from pypeln_spark.streaming import remove_sink_dir
+
+            old_base = self._base_ckpt.pop("bands", None)
+            dropped = self._ckpt_bands[:-1]
+            self._base_ckpt["bands"] = self._ckpt_bands[-1]
+            self._ckpt_bands = []
+            self._write_manifest()
+            for p in dropped + ([old_base] if old_base else []):
+                remove_sink_dir(new_bands.sparkSession, p)
 
     def rebuild_combined(self, comb: DataFrame, sh_project, band_project) -> None:
         """The view-preserving whole-index rebuild (r14): replace the

@@ -1222,22 +1222,24 @@ def test_ingest_gate_compaction_invariant_decisions(spark, tmp_path, monkeypatch
     # the planted absorb matches must actually be present in both gates
     assert any(r[0] == 3 and r[2] == 7 for r in base_txt)
     assert any(r[0] == 3 and r[2] == 7 for r in base_emb)
-    # end-to-end durable arm (ADVICE r8): same registry gate, compaction
-    # materializing to a shared-FS dir instead of localCheckpoint —
-    # decisions identical, and the final index is readable from the
-    # durable files alone (the executor-loss recovery story)
+    # end-to-end durable arm (ADVICE r8, r14 generation chain): same
+    # registry gate, materializing to a shared-FS dir instead of
+    # localCheckpoint — decisions identical, and the final index is
+    # recoverable from the durable files alone via the manifest (base
+    # copy + level; the corpus is written once, never rewritten)
+    from pypeln_spark.ext import dedup as D
+
     ckpt = str(tmp_path / "gate_ckpt")
     os.makedirs(ckpt)
     monkeypatch.setenv("PYPELN_SPARK_INGEST_COMPACT_DIR", ckpt)
     assert run("streaming_incremental_dedup") == base_txt
     live = sorted(os.listdir(ckpt))
-    assert [n for n in live if n.startswith("sh_")], live
-    newest_sh = [n for n in live if n.startswith("sh_")][-1]
-    recovered = spark.read.parquet(os.path.join(ckpt, newest_sh))
+    assert "sh_base" in live and "MANIFEST.json" in live, live
+    rec_sh, _rec_bands = D.IncrementalLshIndex.recover(spark, ckpt)
     # base corpus (even ids) + every novel absorbed doc = all non-dup ids
     dups = {r[0] for r in base_txt if r[2] is not None}
     want_ids = {doc_id for doc_id, _ in rows} - dups
-    assert {r.doc_id for r in recovered.collect()} == want_ids
+    assert {r.doc_id for r in rec_sh.collect()} == want_ids
 
 
 def test_shuffle_width_guarded(spark, monkeypatch):
@@ -1253,13 +1255,17 @@ def test_shuffle_width_guarded(spark, monkeypatch):
 
 
 def test_incremental_index_durable_checkpoint(spark, tmp_path):
-    """ADVICE r8: localCheckpoint blocks are non-recomputable after
-    executor loss, so unbounded cluster gates need a DURABLE target. With
-    checkpoint_dir set, every DELTA APPEND and every compaction writes
-    parquet under <dir>/<side>_<seq> and reads it back (absorb = table
-    append, compact = table rewrite — the maintained-index-table story);
-    superseded files are removed only after a compaction generation fully
-    materializes; contents stay the naive base∪deltas union."""
+    """ADVICE r8 + VERDICT r13 #6: localCheckpoint blocks are
+    non-recomputable after executor loss, so unbounded cluster gates need
+    a DURABLE target. Under the r14 GENERATION CHAIN, checkpoint_dir
+    holds a one-time BASE copy per side, delta/level files (compaction
+    writes only absorbed rows — never the corpus again), and
+    MANIFEST.json naming the live set; recovery = the manifest's union
+    (IncrementalLshIndex.recover), no session state consulted. Superseded
+    files are removed only after the manifest publishing the successor
+    lands — a crash leaks a file, never loses data."""
+    import json
+
     from pypeln_spark.ext import dedup as D
 
     ckpt = str(tmp_path / "idx_ckpt")
@@ -1282,24 +1288,36 @@ def test_incremental_index_durable_checkpoint(spark, tmp_path):
         compact_every=2, checkpoint_dir=ckpt,
     )
     idx.absorb(mk(range(10, 13), "d"), mk(range(10, 13), "d"))
+    # first absorb: base copy written ONCE + the durable delta append,
+    # manifest names both
     sh_d, bd_d = sides()
-    assert len(sh_d) == 1 and len(bd_d) == 1  # the durable delta append
+    assert sh_d == ["sh_00001", "sh_base"] and bd_d == ["bands_00002", "bands_base"]
+    m = json.load(open(os.path.join(ckpt, "MANIFEST.json")))
+    assert [os.path.basename(p) for p in m["sh"]] == ["sh_base", "sh_00001"]
     idx.absorb(mk(range(20, 22), "e"), mk(range(20, 22), "e"))
-    # second absorb hit compact_every=2: deltas written, union rewritten,
-    # then the superseded delta files removed — one live file per side
+    # second absorb hit compact_every=2: the LEVEL (absorbed rows only)
+    # replaced the delta files; the base copy is untouched — the corpus
+    # is never rewritten (the generation-chain point)
     sh_d, bd_d = sides()
-    assert len(sh_d) == 1 and len(bd_d) == 1, (sh_d, bd_d)
+    assert len(sh_d) == 2 and len(bd_d) == 2, (sh_d, bd_d)
+    assert "sh_base" in sh_d and "bands_base" in bd_d
     want = (
         {(i, f"b{i}") for i in range(5)}
         | {(i, f"d{i}") for i in range(10, 13)}
         | {(i, f"e{i}") for i in range(20, 22)}
     )
+    lvl = [n for n in sh_d if n != "sh_base"][0]
+    got_lvl = {
+        (r.doc_id, r.payload)
+        for r in spark.read.parquet(os.path.join(ckpt, lvl)).collect()
+    }
+    assert got_lvl == want - {(i, f"b{i}") for i in range(5)}  # absorbed only
     assert {(r.doc_id, r.payload) for r in idx.sh.collect()} == want
     assert {(r.doc_id, r.payload) for r in idx.bands.collect()} == want
-    # the index is now readable from the durable files ALONE — the
-    # executor-loss recovery story (fresh frames, no session state)
-    recovered = spark.read.parquet(os.path.join(ckpt, sh_d[0]))
-    assert {(r.doc_id, r.payload) for r in recovered.collect()} == want
+    # recovery from the durable dir ALONE — fresh frames, no session state
+    rec_sh, rec_bands = D.IncrementalLshIndex.recover(spark, ckpt)
+    assert {(r.doc_id, r.payload) for r in rec_sh.collect()} == want
+    assert {(r.doc_id, r.payload) for r in rec_bands.collect()} == want
     # the durable dirs are the deployment's index state: close() keeps them
     idx.close()
     assert sides() == ((sh_d), (bd_d))
