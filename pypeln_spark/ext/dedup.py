@@ -2047,13 +2047,38 @@ def lsh_recall_table(
     sh = doc_sh.select(id_col, F.explode("sh_arr").alias("s"))
     ea = sh.select(F.col(id_col).alias("id_a"), "s")
     eb = sh.select(F.col(id_col).alias("id_b"), "s")
-    cand_ex = (
+    # exact arm WITHOUT re-joining the shingle arrays (r14, guide §2.3/§6):
+    # shingle_arrays dedups within a doc, so the inverted-index self-join
+    # emits exactly |A∩B| rows per pair — n_inter IS the pair's row count,
+    # aggregated map-side, where the old spelling distinct-ed the pairs
+    # and then shuffled both docs' FAT shingle arrays through two more
+    # hash joins for an array_intersect that recomputed the same number.
+    # Sizes attach from a per-doc projection of the persisted doc_sh; the
+    # division is the same int-cast-double arithmetic, bit-identical.
+    inter = (
         ea.join(eb, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
     )
-    exact = jaccard_pairs_from_candidates(cand_ex, doc_sh, id_col, threshold)
+    sizes = doc_sh.select(id_col, F.size("sh_arr").alias("_sz"))
+    exact = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_ni").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("_ni")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
     # persist the signatures: both sides of the band self-join read them and
     # the fold is the expensive projection (same reasoning as
     # minhash_lsh_dedup's second persist point)
