@@ -461,7 +461,8 @@ def main() -> None:
     # Runs AFTER the retry pass so retries stay warm-comparable, and
     # defaults on for full sweeps (PYPELN_SPARK_BENCH_COLD=0 disables).
     cold_s: dict[str, float] = {}
-    if not only and os.environ.get("PYPELN_SPARK_BENCH_COLD", "1") != "0":
+    cold_mode = os.environ.get("PYPELN_SPARK_BENCH_COLD", "1")
+    if (not only or cold_mode == "force") and cold_mode != "0":
         for name in touched_rows:
             q = LOOKUP.get(name)
             if q is None:
