@@ -2118,6 +2118,11 @@ class EmbeddingIngestGate:
             F.col("_norm").alias("na"), F.explode(probes).alias("bucket"),
         )
 
+    def _n_probes(self) -> int:
+        """Probe rows per arriving vector — the broadcast guard's row
+        multiplier. Hyperplane: the hd≤probe_hamming shell size."""
+        return len(_probe_masks(self.n_planes, self.probe_hamming))
+
     def _novel_bands(self, novel: DataFrame) -> DataFrame:
         """(id, bucket) rows the index absorbs for this epoch's novel
         vectors — hyperplane: their own bucket column."""
@@ -2161,25 +2166,35 @@ class EmbeddingIngestGate:
             autosize_stream_width(batch_df.sparkSession, n_new)
         one_join = self.index.comb is not None
         if one_join:
-            # ONE-JOIN VERIFY (r14, guide §8/§2.4): the index keeps a live
-            # COMBINED view (id, _v, _norm, bucket) — the inverted-list
-            # layout — so probes carrying their own vectors join it once
-            # and score in the same pass. The classic path below scanned
-            # the band view, shuffled the candidate pairs, then shuffled
-            # the ENTIRE fat sh side through a second hash join every
-            # epoch: 3 exchanges and two corpus-sized reads collapse to
-            # one join whose build side is the batch-bounded probe rows
-            # (shuffle_hash — the corpus side streams, never broadcasts).
-            # Pair set and cos expression are unchanged, so decisions are
-            # bit-identical (the connecting bucket/mask is unique per
-            # pair in both gate geometries).
+            # ONE-JOIN VERIFY (r14, guide §8/§2.4/§3.1): the index keeps a
+            # live COMBINED view (id, _v, _norm, bucket) — the inverted-
+            # list layout — so probes carrying their own vectors join it
+            # once and score in the same pass. The classic path below
+            # scanned the band view, shuffled the candidate pairs, then
+            # shuffled the ENTIRE fat sh side through a second hash join
+            # every epoch. Here the probe side is micro-batch-bounded
+            # (|batch| × n_probes rows), so the join runs through the
+            # guarded probe-side broadcast (probe_side_join, the serving
+            # gate's shape): under the guard the INDEX NEVER MOVES — zero
+            # corpus-sized exchanges per epoch — and past it the join
+            # degrades to a bounded shuffle_hash build on the probes. The
+            # guard's row estimate reuses the batch count (one tiny job,
+            # paid only on this path). Pair set and cos expression are
+            # unchanged, so decisions are bit-identical (the connecting
+            # bucket/mask is unique per pair in both gate geometries).
+            if n_new is None:
+                n_new = new.count()
             nbv = self._probe_rows_v(new)
             cbv = self.index.comb.select(
                 F.col(self.id_col).alias("corpus_id"),
                 F.col("_v").alias("vb"), F.col("_norm").alias("nb"),
                 "bucket",
             )
-            pairs = nbv.hint("shuffle_hash").join(cbv, "bucket")
+            pairs = probe_side_join(
+                cbv, nbv, "bucket",
+                probe_rows=n_new * self._n_probes(),
+                probe_row_bytes=self.dim * 8 + 40,
+            )
             n_cand = pairs.count() if self.collect_stats else None
         else:
             nb = self._probe_rows(new)
@@ -2511,6 +2526,9 @@ class CellEmbeddingIngestGate(EmbeddingIngestGate):
             F.col(self.id_col).alias("new_id"), F.col("_v").alias("va"),
             F.col("_norm").alias("na"), F.col("cid").alias("bucket"),
         )
+
+    def _n_probes(self) -> int:
+        return self.nprobe
 
     def _novel_bands(self, novel: DataFrame) -> DataFrame:
         return ivf_assign(
