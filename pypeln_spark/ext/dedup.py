@@ -1563,10 +1563,24 @@ class TextIngestGate:
             # count (no-op unless PYPELN_SPARK_STREAM_PARTITIONS=auto);
             # shuffle_width below then reads the adjusted conf
             autosize_stream_width(batch_df.sparkSession, n_new)
+        # batch bands POOL-PERSISTED (r14, guide §1.2 per-task work): the
+        # minhash fold — the gate's heaviest per-row compute (n_hashes
+        # hash evaluations per shingle) — previously ran TWICE per epoch
+        # over near-identical row sets: once here for the probe and once
+        # in novel_bands for the absorb (novel ≈ batch on non-flood
+        # traffic). The persisted batch bands materialize inside the
+        # decisions write (the band probe reads them); the absorb set
+        # then derives its band rows by an anti-join against the cache.
+        # Under absorb_dedup the cache is NOT built: that path recomputes
+        # the fold over the window-thinned novel set (below), so caching
+        # the full flooded batch's bands would be a pure storage write
+        # (measured +~1s on the flood row, r14 probe).
         new_bands = lsh_band_table(
             minhash_signatures_wide(new_sh, self.id_col, self.n_hashes),
             self.id_col, self.bands, self.n_hashes // self.bands,
         )
+        if not self.absorb_dedup:
+            new_bands = pool_persist(new_bands)
         nb = new_bands.select(
             F.col(self.id_col).alias("new_id"), "sigh", F.col("sig").alias("sig_n")
         )
@@ -1588,7 +1602,14 @@ class TextIngestGate:
         # task-launch overhead (A/B min-of-3 at sf0.1: both gates ~6%
         # faster scope-sized; layout-only, decisions unchanged).
         # shuffle_width guards the conf parse (ADVICE r8: managed
-        # runtimes may set the conf non-numeric, e.g. "auto")
+        # runtimes may set the conf non-numeric, e.g. "auto").
+        # NOTE (r14, measured): a probe-side-broadcast restructure of the
+        # band join + verify (the embedding gates' one-join shape) was
+        # built, oracle-verified, and REVERTED — the two guard-count jobs
+        # it needs per epoch cost more at bench scale than the removed
+        # corpus exchanges save (4-row subset probe 32.3 → 34.9 s; the
+        # embedding gates won the same move only because their two-stage
+        # serve path already paid the counts). See OPTIMIZATION_r14.md.
         cand = cand.repartition(
             shuffle_width(batch_df.sparkSession), F.col("new_id")
         )
@@ -1708,21 +1729,32 @@ class TextIngestGate:
             validate_sink_schema(decisions, self.sink_root)
             self._sink_checked = True
         decisions.write.mode("append").parquet(self.sink_root)
-        # band rows are a pure per-row function of (id, sh_arr), so the
-        # absorb set's bands derive from novel_sh DIRECTLY (r14): the
-        # minhash fold runs over the NOVEL rows only, where the old lazy
-        # new_bands-anti-join recomputed it over the whole batch. The
-        # absorb stays CLASSIC two-frame here, deliberately: a combined
-        # (sh_arr, bands) leaf was measured (r14 probe) to regress this
-        # gate ~15% above its floor — the checkpointed leaf is row-
-        # stored, so every later epoch's band-probe scan deserialized
-        # the fat sh_arr column alongside the skinny band rows. The
-        # embedding gates keep the combined absorb: their band view's
-        # extra column is the same vector the verify join reads anyway.
-        novel_bands = lsh_band_table(
-            minhash_signatures_wide(novel_sh, self.id_col, self.n_hashes),
-            self.id_col, self.bands, self.n_hashes // self.bands,
-        )
+        # band rows are a pure per-row function of (id, sh_arr), so on the
+        # default path the absorb set's bands come from the PERSISTED
+        # batch bands by the SAME anti-join the shingle side runs (r14):
+        # the minhash fold then runs exactly ONCE per epoch (materialized
+        # in the decisions write above) — the earlier spelling re-ran the
+        # whole fold over the novel rows, which on non-flood traffic is
+        # ~the whole batch again. Values identical by purity; rows
+        # identical because novel = batch minus the dropped ids on this
+        # path. Under absorb_dedup the fold RECOMPUTES over novel_sh
+        # instead: the window thins the novel set far below the batch
+        # (the flood case), so the small fold beats re-reading the
+        # full-batch band cache (measured, r14 probe). The absorb stays
+        # CLASSIC two-frame here, deliberately: a combined (sh_arr,
+        # bands) leaf was measured (r14 probe) to regress this gate ~15%
+        # above its floor — the checkpointed leaf is row-stored, so every
+        # later epoch's band-probe scan deserialized the fat sh_arr
+        # column alongside the skinny band rows. The embedding gates keep
+        # the combined absorb: their band view's extra column is the same
+        # vector the verify join reads anyway.
+        if self.absorb_dedup:
+            novel_bands = lsh_band_table(
+                minhash_signatures_wide(novel_sh, self.id_col, self.n_hashes),
+                self.id_col, self.bands, self.n_hashes // self.bands,
+            )
+        else:
+            novel_bands = new_bands.join(dropped, self.id_col, "left_anti")
         self.index.absorb(novel_sh, novel_bands)
         self._epoch += 1
 

@@ -1774,6 +1774,67 @@ def test_text_gate_bucket_cap_exact_dup_decisions_identical(spark, tmp_path):
     }
 
 
+def test_text_gate_probe_side_verify_matches_fallback(spark, tmp_path):
+    """The text gate's probe-side band/verify joins (r14: batch bands and
+    candidate ids broadcast under the guard, the corpus views never move)
+    must emit decisions IDENTICAL to the guard's fallback branch (broadcast
+    disabled → bounded shuffle_hash builds — the r13-shaped plan), across
+    epochs and an absorb in between. Same pair set, same jaccard
+    arithmetic — bit-equality is the contract."""
+    from pypeln_spark.ext import dedup as D
+    from pypeln_spark.queries.dedup import BANDS, N_HASHES
+
+    boiler = "boilerplate footer navigation copyright terms privacy contact"
+    corpus = spark.createDataFrame(
+        [(0, boiler)] + [
+            (50 + i, f"entirely unrelated corpus document {i} about topic {i*3}")
+            for i in range(4)
+        ],
+        "doc_id long, text string",
+    )
+    epochs = [
+        # epoch 0: one corpus dup + one novel doc (absorbed)
+        [(11, boiler), (13, "a fresh novel document about gardening and soil")],
+        # epoch 1: a dup of the epoch-0 NOVEL doc (proves the absorb path)
+        [(21, "a fresh novel document about gardening and soil"),
+         (23, "another novel text concerning sailing and knots")],
+    ]
+
+    def run(root, broadcast_on):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        if not broadcast_on:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cor_sh = D.pool_persist(
+                D.shingle_arrays(D.spread(corpus), "text", "doc_id", 5))
+            cor_sh.count()
+            cor_bands = D.lsh_band_table(
+                D.minhash_signatures_wide(cor_sh, "doc_id", N_HASHES),
+                "doc_id", BANDS, N_HASHES // BANDS,
+            )
+            idx = D.IncrementalLshIndex(cor_sh, cor_bands, compact_every=1)
+            gate = D.TextIngestGate(idx, root, N_HASHES, BANDS, 5, 0.5)
+            for e, rows in enumerate(epochs):
+                gate(spark.createDataFrame(rows, "doc_id long, text string"), e)
+            idx.close()
+            out = sorted(
+                (r.doc_id, r.epoch, r.dup_of, r.jaccard)
+                for r in spark.read.parquet(root).collect()
+            )
+            D.retire_pipeline_caches()
+            return out
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    probe_side = run(str(tmp_path / "probe"), True)
+    fallback = run(str(tmp_path / "fallback"), False)
+    assert probe_side == fallback
+    # the cross-epoch absorb proof: 21 reads dup_of the absorbed 13
+    assert any(d == 21 and du == 13 and j == 1.0
+               for d, e, du, j in probe_side)
+    assert any(d == 11 and du == 0 for d, e, du, j in probe_side)
+
+
 def test_text_gate_absorb_dedup_thins_index_and_keeps_decisions(spark, tmp_path):
     """TextIngestGate(absorb_dedup=True) — the text twin of the embedding
     gates' flag: an identical-document flood arriving in ONE micro-batch
