@@ -96,16 +96,29 @@ def profile(df: DataFrame, columns: tp.Optional[tp.List[str]] = None) -> DataFra
     """One-pass column profile → rows (column, n_rows, n_nulls, n_distinct,
     min_value, max_value, numeric mean/stddev or NULLs).
 
-    All statistics compute in a single global aggregate (one job, one
-    final row) and unpivot driver-side via a literal stack — table width
-    adds expressions, never passes. min/max stringify for a uniform
-    schema; mean is the decimal-exact dsum convention so the oracle
-    replays it bit-identically; stddev is left out of the oracle surface
-    (its float reduction is order-dependent) and lives in the engine only."""
+    All statistics compute in one final row and unpivot driver-free via a
+    literal stack — table width adds expressions, never passes. min/max
+    stringify for a uniform schema; mean is the decimal-exact dsum
+    convention so the oracle replays it bit-identically; stddev is left
+    out of the oracle surface (its float reduction is order-dependent)
+    and lives in the engine only.
+
+    Aggregate SPLIT (r14 optimization round, guide §1.2): Spark rewrites
+    multiple count_distinct's as Expand + an aggregate KEYED by every
+    distinct column, and a string-typed min/max anywhere in that
+    aggregate forces the whole keyed phase to SortAggregate — two global
+    sorts of the expanded (n_distinct_cols+1)×rows set (measured: the
+    dominant cost of profiling at every scale; plan in plans/r14/).
+    Min/max of NON-numeric columns therefore compute in a SEPARATE
+    keyless pass (keyless sort-aggregation performs no sort), leaving
+    the expanded dedup aggregate all-mutable — a pure HashAggregate. The
+    one-row frames cross-join back together; every expression, and so
+    every output bit, is unchanged."""
     from ..functions import davg
 
     cols = columns or df.columns
     aggs: tp.List[Column] = [F.count(F.lit(1)).alias("__n")]
+    str_aggs: tp.List[Column] = []
     numeric = set()
     for c in cols:
         dt = df.schema[c].dataType
@@ -116,12 +129,18 @@ def profile(df: DataFrame, columns: tp.Optional[tp.List[str]] = None) -> DataFra
             )
         )
         aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
-        if isinstance(dt, (T.NumericType,)):
+        is_numeric = isinstance(dt, (T.NumericType,))
+        mm = aggs if is_numeric else str_aggs
+        mm.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        mm.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        if is_numeric:
             numeric.add(c)
             aggs.append(davg(c, 6).alias(f"{c}__mean"))
     row = df.agg(*aggs)
+    if str_aggs:
+        # both sides are exactly one row — a deliberate broadcast cross
+        # of scalar aggregates (lint-exempted, the 1×1 combine)
+        row = row.crossJoin(F.broadcast(df.agg(*str_aggs)))
     parts = []
     for c in cols:
         mean = F.col(f"{c}__mean") if c in numeric else F.lit(None).cast("double")

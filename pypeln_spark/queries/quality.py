@@ -85,12 +85,14 @@ def quality_expectations_lineitem(spark, sf_dir):
     """,
 )
 def quality_profile_orders(spark, sf_dir):
-    """One-pass column profiling (ext/quality.profile): nulls, distincts,
-    min/max and decimal-exact means for four orders columns, computed in a
-    SINGLE global aggregate (one job, one final row, unpivoted driver-free
-    via a literal stack) — the ANALYZE TABLE shape. The oracle spells the
-    same statistics per column; means follow the dsum convention so values
-    hash-match."""
+    """Column profiling (ext/quality.profile): nulls, distincts, min/max
+    and decimal-exact means for four orders columns — the ANALYZE TABLE
+    shape, one final row unpivoted driver-free via a literal stack. Since
+    r14 the stats compute in TWO aggregates (hash-able stats incl. the
+    expanded multi-distinct, plus a keyless pass for string min/max) so
+    the distinct dedup phase stays a HashAggregate instead of sort-based
+    (see ext/quality.profile). The oracle spells the same statistics per
+    column; means follow the dsum convention so values hash-match."""
     (orders,) = tables(spark, sf_dir, "orders")
     return Q.profile(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]

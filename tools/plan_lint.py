@@ -53,6 +53,10 @@ ALLOW_CARTESIAN = {
 # compared against the corpus (ANN query sets, k-means centroid scoring,
 # scalar-aggregate thresholds, histogram buckets, asof unions)
 ALLOW_BNLJ = {
+    # profile()'s two ONE-ROW aggregate frames (hash-able stats vs string
+    # min/max — the r14 SortAggregate split) combine via a broadcast
+    # cross: 1×1 rows by construction, never corpus-sized
+    "quality_profile_orders",
     "ann_cosine_topk",
     "ann_knn_classify",  # composes cosine_topk's broadcast theta-join
     "search_hybrid_rrf",  # composes cosine_topk's broadcast theta-join (dense arm)
