@@ -1774,13 +1774,14 @@ def test_text_gate_bucket_cap_exact_dup_decisions_identical(spark, tmp_path):
     }
 
 
-def test_text_gate_probe_side_verify_matches_fallback(spark, tmp_path):
-    """The text gate's probe-side band/verify joins (r14: batch bands and
-    candidate ids broadcast under the guard, the corpus views never move)
-    must emit decisions IDENTICAL to the guard's fallback branch (broadcast
-    disabled → bounded shuffle_hash builds — the r13-shaped plan), across
-    epochs and an absorb in between. Same pair set, same jaccard
-    arithmetic — bit-equality is the contract."""
+def test_text_gate_decisions_broadcast_threshold_invariant(spark, tmp_path):
+    """Gate decisions must not depend on the session's broadcast
+    threshold (r14: the fold-once absorb derives novel bands from the
+    persisted batch bands via an anti-join whose strategy the planner
+    picks) — run the gate with broadcasts enabled and disabled and
+    require bit-identical decisions, across epochs and an absorb in
+    between. Also pins the cross-epoch absorb proof for the fold-once
+    path: a dup of an epoch-0 NOVEL doc must match in epoch 1."""
     from pypeln_spark.ext import dedup as D
     from pypeln_spark.queries.dedup import BANDS, N_HASHES
 
